@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall seconds.
+
+Each query is executed as ``count()`` over its plan (forces the full plan
+without collecting results to the driver) after a warm-up of the input
+file listing. The metric is total seconds across the headline set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q08_left_join_enrich",
+    "q09_anti_join_ledger",
+    "q17_global_renumber",
+    "q23_tumbling_window",
+    "q25_star_join",
+    "q27_explode_tokens",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as entry_mod
+    from kaggle_data_pipeline_with_aws_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entry_mod.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # extend with any registered llm-data headline ops
+    names += [n for n in qs if n.startswith("d") and n not in names and n in getattr(entry_mod, "BENCH_EXTRA", [])]
+
+    # untimed warm-up: file listing, parquet footer reads, JVM JIT
+    from kaggle_data_pipeline_with_aws_spark.sources.readers import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

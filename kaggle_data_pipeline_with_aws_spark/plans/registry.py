@@ -1,0 +1,41 @@
+"""Query registry.
+
+Every operator the engine implements (SURVEY.md §2 inventory + the
+LLM-data-pipeline extensions) registers here as a named query:
+
+- ``QUERIES[name]``   — callable ``(spark, sf_dir) -> DataFrame``
+- ``ORACLE_SQL[name]``— equivalent ANSI SQL for the DuckDB oracle
+  (omitted only for genuinely non-SQL-expressible operators; the driver
+  then records a weaker rows-only check).
+
+Column names are aliased identically on both sides — the harness sorts
+columns by name before hashing values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def spark_query(name: str, oracle: str | None = None):
+    """Register a query plan and (optionally) its DuckDB oracle twin."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every plan module so registration side-effects run."""
+    from . import relational  # noqa: F401
+    from . import llm_data  # noqa: F401
+    from . import cricket_analytics  # noqa: F401

@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+One place to configure the engine for both the local[32] test harness and
+a real multi-executor cluster. Everything here is scale policy, not
+semantics:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  join-strategy re-planning) — at 100 TB static planning is always wrong
+  somewhere.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a cluster
+  AQE coalesces from a deliberately-high initial number.
+- UTC session timezone so timestamp semantics match the DuckDB oracle and
+  are cluster-location-independent.
+- Arrow enabled for the (rare) pandas-interchange paths: the multimodal /
+  embedding Pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "kaggle_data_pipeline_with_aws_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``shuffle_partitions`` defaults to the core count locally. On a real
+    cluster, pass a high value (e.g. 2000+) and let AQE coalesce — the
+    configs below are already cluster-safe.
+    """
+    cpus = default_parallelism()
+    n_shuffle = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    # Only force local master when nothing supplied one (spark-submit on a
+    # cluster sets spark.master itself).
+    if not os.environ.get("SPARK_MASTER") and "spark.master" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,88 @@
+"""Source readers.
+
+The engine's batch sources (SURVEY §2.1):
+
+- Parquet star-schema tables (the driver's synthetic TPC-H-ish data) —
+  the stand-in "silver zone" every query runs over. Columnar, pushdown,
+  partition-prunable: the scan Catalyst wants.
+- Schema'd JSON document scan for the nested Cricsheet-shaped input
+  (S3 in the reference: ``extract_matchwise_cricsheet_data_lambda_function.py:44-46``)
+  — one DataFrame over *all* match files instead of one Lambda per file.
+- CSV with explicit schema (S6: ``upload_dataset_to_kaggle_lambda.py:124-126``).
+
+All readers take explicit schemas — inference is a scan of the whole
+input at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table. Plain parquet scan → full pushdown.
+
+    ``events.parquet`` carries TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects by default; read nanos as long and truncate to
+    microseconds with integer division (same truncation DuckDB applies
+    when narrowing ns → its µs-precision TIMESTAMP). Integer ``div``, not
+    ``/``: epoch-nanos (~1.7e18) exceed double's 2^53 exact range.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so plans can be written in SQL."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_json_documents(
+    spark: SparkSession, path: str, schema: StructType, id_pattern: str = r"(\d+)\.json$"
+) -> DataFrame:
+    """Scan a directory of per-match JSON documents with an explicit schema.
+
+    Replaces the reference's one-Lambda-per-file ``json.loads``
+    (``extract_matchwise...py:44-46``): one distributed scan, file-source
+    partitioning for free. ``match_id`` is derived from the filename the
+    way ``utils.py:92-106`` does, but as a column expression
+    (``F.input_file_name`` + regexp) instead of per-event code.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("multiLine", True)
+        .json(path)
+        .withColumn(
+            "match_id",
+            F.regexp_extract(F.input_file_name(), id_pattern, 1).cast("int"),
+        )
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    return spark.read.schema(schema).option("header", True).csv(path)
