@@ -63,7 +63,10 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def read_json_documents(
-    spark: SparkSession, path: str, schema: StructType, id_pattern: str = r"(\d+)\.json$"
+    spark: SparkSession,
+    path: str | list[str],
+    schema: StructType,
+    id_pattern: str = r"(\d+)\.json$",
 ) -> DataFrame:
     """Scan a directory of per-match JSON documents with an explicit schema.
 
