@@ -26,6 +26,9 @@ HEADLINE = [
     "q23_tumbling_window",
     "q25_star_join",
     "q27_explode_tokens",
+    "d01_dedup_exact",
+    "d07_minhash_lsh",
+    "d09_ann_topk",
 ]
 
 

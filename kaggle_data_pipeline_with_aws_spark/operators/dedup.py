@@ -1,0 +1,340 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each expressed as shuffle-conscious DataFrame plans:
+
+- **Exact**: hash-groupBy on content (or ``dropDuplicates``) — one
+  shuffle on the content hash, map-side partial agg first.
+- **N-gram Jaccard**: shingle-explode → self-equi-join on shingle →
+  per-pair intersection counts → Jaccard. The join key is the shingle,
+  so only docs *sharing* a shingle ever meet (candidate generation and
+  scoring in one plan). Hot shingles are the skew risk at scale —
+  ``max_shingle_doc_freq`` drops stop-shingles before the join, the
+  standard scale mitigation.
+- **MinHash + LSH**: k affine min-hashes over shingle hashes →
+  signatures; band the signature (b bands × r rows), groupBy band-key →
+  candidate pairs only within buckets; estimated Jaccard = matching
+  signature fraction. Turns O(n²) pair scoring into near-linear work.
+- **SimHash**: weighted bit-vote over token hashes → 60-bit
+  fingerprint; near-dup pairs via banded fingerprint chunks + Hamming
+  distance ≤ d.
+
+All hashes use the portable char-fold hash (operators/text.py) when
+``portable=True`` so the DuckDB oracle reproduces them bit-for-bit;
+the scale path flips to ``F.xxhash64``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import HASH_MOD, portable_hash, tokens, word_shingles
+
+# Fixed affine minhash parameters (a, b) — odd multipliers, generated
+# once from a seeded RNG and baked in as constants so every run (and the
+# SQL oracle) agrees. h_i(x) = (a_i * x + b_i) mod (2^31 - 1).
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    (1203114875, 722127386), (1823585963, 1822528699), (573325049, 239543733),
+    (1011175299, 1972183799), (442471603, 1910486145), (1237530991, 966939195),
+    (2072496709, 760914667), (1767373757, 501056677), (874552741, 1479790269),
+    (1294649447, 2000259879), (1039957357, 768126829), (658071109, 1165550209),
+    (1821386743, 1154448979), (204483571, 1281814183), (902930725, 613122351),
+    (1116461119, 1700750281), (840066523, 1704997115), (244854823, 1942292521),
+    (563761601, 1597759947), (833507557, 193217627), (1642373099, 1766249797),
+    (680896167, 1752871491), (701754445, 816896129), (1280819965, 1363160661),
+    (1790801711, 1109211917), (1384772509, 783907469), (1128181441, 569227793),
+    (383704849, 1677993395), (1596887323, 1302836099), (576348247, 1798043321),
+    (1026484127, 1404406755), (1760751077, 862198727),
+]
+NUM_HASHES = len(MINHASH_PARAMS)  # 32
+LSH_BANDS = 8
+LSH_ROWS = NUM_HASHES // LSH_BANDS  # 4
+
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
+SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS  # 15
+
+
+def _content_hash(col: Column, portable: bool) -> Column:
+    return portable_hash(col) if portable else F.xxhash64(col)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of identical content: one row per distinct text with the
+    representative (min) doc_id and the duplicate count. groupBy on the
+    text itself; at scale pre-hash to a 64-bit key to shrink shuffle
+    bytes (``exact_dedup_keep_first``)."""
+    return df.groupBy(text_col).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def exact_dedup_keep_first(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The scale form: shuffle on xxhash64(text) (8 bytes/row instead of
+    the full document), keep min doc_id per hash, anti-join nothing —
+    semi-join survivors back for payload columns."""
+    hashed = df.withColumn("__h", F.xxhash64(F.col(text_col)))
+    keep = hashed.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
+    return df.join(keep, "doc_id", "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Shingles + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def shingle_table(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """(doc_id, shingle) — distinct n-gram shingles per document.
+    ``max_shingle_doc_freq`` removes shingles appearing in more than N
+    docs (stop-shingles): they blow up the self-join quadratically and
+    carry no dedup signal — the skew mitigation at 100 TB."""
+    sh = df.select(
+        "doc_id",
+        F.explode(word_shingles(tokens(text_col), n)).alias("shingle"),
+    )
+    if max_shingle_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_shingle_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """Candidate pairs with shingle-Jaccard ≥ threshold.
+
+    Plan: shingle explode → self-join on shingle (docs sharing nothing
+    never meet) → count intersections → join per-doc shingle counts
+    (broadcastable aggregate) → |A∩B| / (|A|+|B|−|A∩B|).
+    """
+    sh = shingle_table(df, text_col, n, max_shingle_doc_freq).cache()
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("n_shingles").alias("n_1")
+    )
+    cb = counts.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("n_shingles").alias("n_2")
+    )
+    return (
+        inter.join(F.broadcast(ca), "doc_id_1")
+        .join(F.broadcast(cb), "doc_id_2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_1") + F.col("n_2") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_1", "doc_id_2", "n_common", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", portable: bool = True, n: int = 3
+) -> DataFrame:
+    """Per-doc k=32 minhash signature as columns h0..h31.
+
+    One shingle explode; each h_i is an independent MIN aggregate of an
+    affine transform of the shingle hash — k partial-aggregating MINs in
+    a single groupBy pass, no extra shuffles."""
+    sh = shingle_table(df, text_col, n)
+    hashed = sh.withColumn(
+        "__sh", F.pmod(_content_hash(F.col("shingle"), portable), F.lit(HASH_MOD))
+    )
+    aggs = [
+        F.min(
+            F.pmod(F.lit(a) * F.col("__sh") + F.lit(b), F.lit(HASH_MOD))
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    portable: bool = True,
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded LSH over minhash signatures,
+    scored by estimated Jaccard (fraction of matching components).
+
+    Bucket join: band-key = (band index, the band's r signature values);
+    docs collide only when an entire band matches. The pair join is
+    per-bucket — near-linear instead of O(n²)."""
+    sigs = minhash_signatures(df, text_col, portable, n).cache()
+    sig_cols = [f"h{i}" for i in range(NUM_HASHES)]
+
+    bands = []
+    for bi in range(LSH_BANDS):
+        cols = sig_cols[bi * LSH_ROWS : (bi + 1) * LSH_ROWS]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.concat_ws("-", F.lit(str(bi)), *cols).alias("band_key"),
+            )
+        )
+    all_bands = bands[0]
+    for nxt in bands[1:]:
+        all_bands = all_bands.unionByName(nxt)
+
+    a = all_bands.alias("a")
+    b = all_bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_id_1"),
+        *[F.col(c).alias(f"a_{c}") for c in sig_cols],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_id_2"),
+        *[F.col(c).alias(f"b_{c}") for c in sig_cols],
+    )
+    matches = sum(
+        F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0)
+        for c in sig_cols
+    )
+    return (
+        candidates.join(sa, "doc_id_1")
+        .join(sb, "doc_id_2")
+        .withColumn(
+            "est_jaccard", F.round(matches / F.lit(NUM_HASHES), 6)
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_id_1", "doc_id_2", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", portable: bool = True
+) -> DataFrame:
+    """60-bit SimHash per document: token-frequency-weighted bit votes.
+
+    Explode tokens → per-token hash → 60 conditional SUM aggregates
+    (one per bit, +w if set, −w otherwise) → reassemble the fingerprint
+    as Σ (vote_b > 0) << b. Single shuffle (the groupBy), all codegen."""
+    from .text import portable_hash60
+
+    tok = df.select("doc_id", F.explode(tokens(text_col)).alias("token"))
+    weighted = tok.groupBy("doc_id", "token").agg(F.count("*").alias("w"))
+    token_hash = (
+        portable_hash60(F.col("token"))
+        if portable
+        else F.pmod(F.xxhash64(F.col("token")), F.lit(1 << SIMHASH_BITS))
+    )
+    hashed = weighted.withColumn("__th", token_hash)
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("__th"), b).bitwiseAND(F.lit(1)) == 1,
+                    F.col("w"),
+                ).otherwise(-F.col("w"))
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 8,
+    portable: bool = True,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ d, via the banded-chunk
+    trick: split the 60-bit fingerprint into 4 × 15-bit chunks; any pair
+    within Hamming ≤ 3·15 must agree on ≥1 chunk (pigeonhole when
+    d < chunks) — candidates come from chunk-equality buckets only."""
+    fps = simhash_fingerprints(df, text_col, portable).cache()
+    chunk_mask = (1 << SIMHASH_CHUNK_BITS) - 1
+    chunks = None
+    for ci in range(SIMHASH_CHUNKS):
+        c = fps.select(
+            "doc_id",
+            "simhash",
+            F.concat_ws(
+                "-",
+                F.lit(str(ci)),
+                F.shiftright(F.col("simhash"), ci * SIMHASH_CHUNK_BITS)
+                .bitwiseAND(F.lit(chunk_mask))
+                .cast("string"),
+            ).alias("chunk_key"),
+        )
+        chunks = c if chunks is None else chunks.unionByName(c)
+
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_key") == F.col("b.chunk_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

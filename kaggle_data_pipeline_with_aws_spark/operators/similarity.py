@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k. The query set is broadcast
+  (queries are user-sized, corpus is data-sized); per-partition the
+  corpus streams against all queries, then a partitioned window keeps
+  top-k per query — corpus is never shuffled, only k·|queries| rows are.
+- ``hyperplane_lsh_topk``: the scale path — random-hyperplane signatures
+  bucket the corpus; only same-bucket candidates are scored. Recall <
+  100% by construction (probabilistic), rows-only checked.
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` (sequential fold,
+double precision) so the DuckDB oracle — written as the same fold —
+matches bit-for-bit. At cluster scale swap the fold for a vectorized
+Pandas-UDF matmul per partition batch; plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Fixed seeded hyperplane constants: per plane, per dimension pseudo-
+# random ±1 derived from a hash — deterministic, no runtime RNG.
+NUM_PLANES = 16
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision fold — mirrors the SQL oracle's
+    list_reduce exactly (term order is part of the contract)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Output: (query_id, neighbor_id, cos_sim, rank), self-matches
+    excluded, ties broken by neighbor id asc (deterministic)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def near_duplicate_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id1 < id2, cosine ≥ threshold).
+
+    Brute-force form for exactness at oracle scale; the LSH variant
+    (``hyperplane_lsh_topk``'s bucketing) is the 100 TB path."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_1"), F.col(vec_col).alias("__a")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_2"), F.col(vec_col).alias("__b")
+    )
+    return (
+        a.join(b, F.col("id_1") < F.col("id_2"))
+        .withColumn("cos_sim", F.round(cosine(F.col("__a"), F.col("__b")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_1", "id_2", "cos_sim")
+    )
+
+
+def hyperplane_signature(
+    vec: Column, num_planes: int = NUM_PLANES, dim: int = 64
+) -> Column:
+    """Random-hyperplane LSH signature: bit i = sign(<v, r_i>) where
+    r_i's components are deterministic ±1 pseudo-random values
+    (hash(i, j) parity). Cosine-similar vectors agree on most bits."""
+    v = _as_double(vec)
+    bits = []
+    for p in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(
+                    *[
+                        F.lit(1.0 if _plane_sign(p, j) else -1.0)
+                        for j in range(dim)
+                    ]
+                ),
+                lambda x, r: x * r,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for t in bits[1:]:
+        out = out + t
+    return out
+
+
+def _plane_sign(p: int, j: int) -> bool:
+    # Deterministic pseudo-random sign per (plane, dim): splitmix-style.
+    x = (p * 0x9E3779B9 + j * 0x85EBCA6B + 0xC2B2AE35) & 0xFFFFFFFF
+    x ^= x >> 16
+    x = (x * 0x45D9F3B) & 0xFFFFFFFF
+    x ^= x >> 16
+    return bool(x & 1)
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = NUM_PLANES,
+    dim: int = 64,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Approximate top-k: bucket corpus and queries by hyperplane
+    signature; score only candidates whose signatures are within
+    ``max_hamming`` bits (popcount on XOR — cheap pre-filter), then
+    exact-cosine rank the survivors. Trades recall for a ~2^planes
+    candidate reduction; at 100 TB this is the difference between a
+    scan and a cross join."""
+    sig = lambda df, idn, vn: df.select(  # noqa: E731
+        F.col(id_col).alias(idn),
+        F.col(vec_col).alias(vn),
+        hyperplane_signature(F.col(vec_col), num_planes, dim).alias(
+            f"{idn}_sig"
+        ),
+    )
+    c = sig(corpus, "neighbor_id", "__cv")
+    q = sig(queries, "query_id", "__qv")
+    candidates = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "__ham",
+            F.bit_count(
+                F.col("neighbor_id_sig").bitwiseXOR(F.col("query_id_sig"))
+            ),
+        )
+        .filter(F.col("__ham") <= max_hamming)
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

