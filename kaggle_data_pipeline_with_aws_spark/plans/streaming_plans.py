@@ -1,0 +1,38 @@
+"""Oracle-checkable faces of the streaming operators (SURVEY §2.9).
+
+The streaming module's transformations are built unified-batch-first:
+the same plan runs under ``readStream`` (with watermark-bounded state)
+and under a batch read (watermark is a no-op). That lets the DuckDB
+oracle check the *semantics* of the streaming operator; the
+stream-specific behaviors (checkpoint exactly-once, AvailableNow
+drains, state expiry) are covered by tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.readers import load_table
+from ..streaming.incremental import windowed_event_counts
+from .registry import spark_query
+
+
+@spark_query(
+    "s01_windowed_event_counts",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type
+    """,
+)
+def s01_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-series semantics as a query: watermarked tumbling-window count
+    (streaming/incremental.py::windowed_event_counts run in batch mode,
+    where ``withWatermark`` is a no-op — identical plan either way)."""
+    events = load_table(spark, sf_dir, "events")
+    return windowed_event_counts(
+        events, timestamp_col="ts", key_col="event_type"
+    ).orderBy("window_start", "event_type")

@@ -1,0 +1,103 @@
+"""Custom stateful streaming operator: per-key running session stats.
+
+The reference carries no record-level state between cycles — its only
+"state" is the per-file ledger (SURVEY §2.9). This module supplies the
+operator a large-scale streaming pipeline needs instead: arbitrary
+per-key running aggregates maintained across micro-batches with
+``applyInPandasWithState`` (Arrow-batched; state lives in the Spark
+state store, partitioned by key, so it scales horizontally — never a
+driver-side dict).
+
+Shape: events keyed by ``user_id`` → one running record per user
+(event count, value sum, last timestamp), emitted each micro-batch the
+key appears in. A processing-time timeout expires idle keys so state
+stays bounded on an unbounded stream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+RUNNING_STATS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_sum", DoubleType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("value_sum", DoubleType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+
+def _make_update_fn(idle_timeout_ms: int | None):
+    def _update_user_stats(
+        key: tuple, batch_iter: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, vsum, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in batch_iter:
+            n += len(pdf)
+            vsum += float(pdf["value"].fillna(0.0).sum())
+            if len(pdf):
+                last_us = max(last_us, int(pdf["ts"].max().value // 1_000))
+        state.update((n, vsum, last_us))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "value_sum": [vsum],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    return _update_user_stats
+
+
+def running_user_stats(
+    events: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
+    """Streaming DataFrame of per-user running stats.
+
+    Input must be a *streaming* DataFrame with columns
+    ``user_id, ts, value`` (the driver testdata ``events`` shape).
+
+    ``idle_timeout_ms``: expire state for keys idle that long — set it
+    on unbounded resident streams so state stays bounded. Leave ``None``
+    for drain-the-backlog (``Trigger.AvailableNow``) runs: a processing
+    -time timeout forces the query to keep scheduling batches until the
+    timeout can fire, which defeats run-and-terminate semantics.
+    """
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_update_fn(idle_timeout_ms),
+        outputStructType=RUNNING_STATS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

@@ -1,0 +1,202 @@
+"""Streaming-mode tests (SURVEY §2.9 T1-T7).
+
+The file-source checkpoint must reproduce the ledger semantics the
+reference implements with DynamoDB: each landed file processed exactly
+once across restarts, new files picked up incrementally, both
+extraction branches fed from one scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from kaggle_data_pipeline_with_aws_spark.operators import flatten
+from kaggle_data_pipeline_with_aws_spark.sources.readers import (
+    read_json_documents,
+)
+from kaggle_data_pipeline_with_aws_spark.schemas import CRICSHEET_MATCH_SCHEMA
+from kaggle_data_pipeline_with_aws_spark.streaming import (
+    dedup_within_watermark,
+    run_stream_to_memory,
+    running_user_stats,
+    stream_extract,
+    windowed_event_counts,
+)
+
+from cricket_fixtures import write_fixture_dir
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("event_time", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _write_events(path: str, rows: list[dict]) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "events.jsonl"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _event_rows(n: int, start_hour: int = 0) -> list[dict]:
+    rows = []
+    for i in range(n):
+        hour = start_hour + (i * 3) // 60
+        minute = (i * 3) % 60
+        rows.append(
+            {
+                "event_id": i,
+                "event_time": f"2024-01-01T{hour:02d}:{minute:02d}:00.000Z",
+                "user_id": i % 5,
+                "event_type": ["click", "view", "purchase"][i % 3],
+                "value": float(i),
+            }
+        )
+    return rows
+
+
+def test_stream_extract_exactly_once_across_cycles(spark, tmp_path):
+    """T2/T7: cycle 1 processes the backlog; cycle 2 with the same
+    checkpoint only processes files landed in between — no reprocessing,
+    no duplicates (the reference's DynamoDB anti-join semantics)."""
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    write_fixture_dir(landing, n_matches=8, seed=1)
+    q = stream_extract(spark, landing, out, ckpt, max_files_per_trigger=3)
+    q.awaitTermination()
+
+    mw = spark.read.parquet(os.path.join(out, "matchwise"))
+    assert mw.count() == 8
+    assert mw.select("match_id").distinct().count() == 8
+
+    # land 4 more files (ids continue), rerun with the same checkpoint
+    write_fixture_dir(landing, n_matches=12, seed=1)  # rewrites 8, adds 4
+    q = stream_extract(spark, landing, out, ckpt, max_files_per_trigger=3)
+    q.awaitTermination()
+
+    mw = spark.read.parquet(os.path.join(out, "matchwise"))
+    assert mw.count() == 12  # the 8 old files were NOT reprocessed
+    assert mw.select("match_id").distinct().count() == 12
+
+    # deliverywise fan-out saw the same files, and matches batch flatten
+    dw = spark.read.parquet(os.path.join(out, "deliverywise"))
+    raw = read_json_documents(spark, landing, CRICSHEET_MATCH_SCHEMA)
+    batch_dw = flatten.deliverywise(raw)
+    assert dw.count() == batch_dw.count()
+    assert dw.select("match_id").distinct().count() == 12
+
+
+def test_stream_extract_matches_batch_values(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    write_fixture_dir(landing, n_matches=5, seed=7)
+    out = str(tmp_path / "out")
+    q = stream_extract(spark, landing, out, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    streamed = (
+        spark.read.parquet(os.path.join(out, "matchwise"))
+        .orderBy("match_id")
+        .collect()
+    )
+    batch = (
+        flatten.matchwise(
+            read_json_documents(spark, landing, CRICSHEET_MATCH_SCHEMA)
+        )
+        .orderBy("match_id")
+        .collect()
+    )
+    assert [r.asDict() for r in streamed] == [r.asDict() for r in batch]
+
+
+def test_windowed_event_counts_stream_vs_batch(spark, tmp_path):
+    src = str(tmp_path / "events")
+    _write_events(src, _event_rows(120))  # 6 hours of events
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+    q = run_stream_to_memory(
+        windowed_event_counts(stream), "win_counts", output_mode="complete"
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.table("win_counts").collect()
+    }
+
+    batch = windowed_event_counts(spark.read.schema(EVENT_SCHEMA).json(src))
+    want = {
+        (r.window_start, r.event_type): r.n_events for r in batch.collect()
+    }
+    assert got == want
+    assert sum(got.values()) == 120
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "events")
+    rows = _event_rows(30)
+    _write_events(src, rows + rows[:10])  # 10 duplicated keys
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+    q = run_stream_to_memory(
+        dedup_within_watermark(stream, ["event_id"]), "deduped"
+    )
+    q.awaitTermination()
+    got = spark.table("deduped")
+    assert got.count() == 30
+    assert got.select("event_id").distinct().count() == 30
+
+
+def test_running_user_stats_stateful(spark, tmp_path):
+    src = str(tmp_path / "events")
+    rows = _event_rows(50)
+    _write_events(src, rows)
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .json(src)
+        .withColumnRenamed("event_time", "ts")
+    )
+    q = run_stream_to_memory(
+        running_user_stats(stream), "user_stats", output_mode="update"
+    )
+    q.awaitTermination()
+
+    # last emitted record per user == the batch ground truth
+    latest = (
+        spark.table("user_stats")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("value_sum").alias("value_sum"),
+        )
+    )
+    got = {r.user_id: (r.n_events, r.value_sum) for r in latest.collect()}
+    want = {
+        r.user_id: (r.n_events, r.value_sum)
+        for r in (
+            spark.read.schema(EVENT_SCHEMA)
+            .json(src)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("value_sum"),
+            )
+        ).collect()
+    }
+    assert got == want
