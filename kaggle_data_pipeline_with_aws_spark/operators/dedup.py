@@ -200,18 +200,19 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, text_col, portable, n).cache()
     sig_cols = [f"h{i}" for i in range(NUM_HASHES)]
 
-    bands = []
-    for bi in range(LSH_BANDS):
-        cols = sig_cols[bi * LSH_ROWS : (bi + 1) * LSH_ROWS]
-        bands.append(
-            sigs.select(
-                "doc_id",
-                F.concat_ws("-", F.lit(str(bi)), *cols).alias("band_key"),
+    # One scan: explode an array of the b band keys per doc, rather than
+    # unioning b selects (which re-reads the signature table b times).
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                F.lit(str(bi)),
+                *sig_cols[bi * LSH_ROWS : (bi + 1) * LSH_ROWS],
             )
-        )
-    all_bands = bands[0]
-    for nxt in bands[1:]:
-        all_bands = all_bands.unionByName(nxt)
+            for bi in range(LSH_BANDS)
+        ]
+    )
+    all_bands = sigs.select("doc_id", F.explode(band_keys).alias("band_key"))
 
     a = all_bands.alias("a")
     b = all_bands.alias("b")
@@ -305,20 +306,23 @@ def simhash_pairs(
     d < chunks) — candidates come from chunk-equality buckets only."""
     fps = simhash_fingerprints(df, text_col, portable).cache()
     chunk_mask = (1 << SIMHASH_CHUNK_BITS) - 1
-    chunks = None
-    for ci in range(SIMHASH_CHUNKS):
-        c = fps.select(
-            "doc_id",
-            "simhash",
+    # One scan: explode the 4 chunk keys per fingerprint (same
+    # single-pass shape as the minhash banding above).
+    chunk_keys = F.array(
+        *[
             F.concat_ws(
                 "-",
                 F.lit(str(ci)),
                 F.shiftright(F.col("simhash"), ci * SIMHASH_CHUNK_BITS)
                 .bitwiseAND(F.lit(chunk_mask))
                 .cast("string"),
-            ).alias("chunk_key"),
-        )
-        chunks = c if chunks is None else chunks.unionByName(c)
+            )
+            for ci in range(SIMHASH_CHUNKS)
+        ]
+    )
+    chunks = fps.select(
+        "doc_id", "simhash", F.explode(chunk_keys).alias("chunk_key")
+    )
 
     a = chunks.alias("a")
     b = chunks.alias("b")

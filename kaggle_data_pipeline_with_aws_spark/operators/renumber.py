@@ -7,16 +7,21 @@ defined dense sequence over the whole table. The naive Spark translation,
 into ONE partition (Spark must see a global order), which is fine at 3k
 rows and fatal at 100 TB.
 
-Scale path implemented here (two-stage prefix-sum numbering):
+Scale path implemented here (two-stage prefix-sum numbering, ONE
+shuffle total):
 
 1. Range-repartition on the sort keys and sort within each partition —
    partitions are now globally ordered ranges (partition i's keys all
-   precede partition i+1's).
-2. Per-partition local ``row_number`` (window partitioned by
-   ``spark_partition_id()`` — fully parallel, no single-partition sink).
+   precede partition i+1's). This is the only row-level shuffle.
+2. ``monotonically_increasing_id()`` over the sorted partitions:
+   its layout is ``(partition_id << 33) | in-partition counter``, so
+   the lower 33 bits ARE the local 0-based row number in sorted order —
+   no window function, and crucially no second (hash-partition) shuffle
+   that ``row_number().over(partitionBy(pid))`` would force on the
+   already-range-partitioned data.
 3. A tiny per-partition COUNT (one row per partition) is collected,
    prefix-summed on the driver, and joined back as a broadcast offset
-   map: ``global = offset[pid] + local``.
+   map: ``global = offset[pid] + local + 1``.
 
 The only driver-side data is one (pid, count) row per partition —
 O(partitions), never O(rows).
@@ -24,8 +29,11 @@ O(partitions), never O(rows).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_LOCAL_BITS = 33  # monotonically_increasing_id: pid << 33 | local counter
+_LOCAL_MASK = (1 << _LOCAL_BITS) - 1
 
 
 def contiguous_row_number(
@@ -42,19 +50,21 @@ def contiguous_row_number(
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n, *order_by).sortWithinPartitions(*order_by)
-    # Persisted because two jobs (count pass, numbering pass) must see the
-    # SAME partitioning; DISK spill keeps this viable beyond memory. At
-    # extreme scale swap for rdd.zipWithIndex(), which makes the identical
-    # two-pass contract without the cache.
-    ranged = ranged.persist()
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
-
-    local_w = Window.partitionBy("__pid").orderBy(*order_by)
-    local = with_pid.withColumn("__local_rn", F.row_number().over(local_w))
+    # Persisted because two jobs (count pass, numbering pass) must see
+    # the SAME id assignment; DISK spill keeps this viable beyond memory.
+    # (Even on recompute the ids are deterministic — the range partition
+    # + sort fixes both placement and order — but the persist avoids
+    # paying the sort twice.)
+    withid = ranged.withColumn(
+        "__mid", F.monotonically_increasing_id()
+    ).persist()
+    pid = F.shiftrightunsigned(F.col("__mid"), _LOCAL_BITS).cast("int")
+    local = F.col("__mid").bitwiseAND(F.lit(_LOCAL_MASK))
 
     # O(partitions) stats → driver prefix sum → broadcast join back.
     counts = sorted(
-        local.groupBy("__pid").count().collect(), key=lambda r: r["__pid"]
+        withid.groupBy(pid.alias("__pid")).count().collect(),
+        key=lambda r: r["__pid"],
     )
     offsets, running = {}, 0
     for row in counts:
@@ -62,10 +72,11 @@ def contiguous_row_number(
         running += row["count"]
     spark = df.sparkSession
     offset_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "__pid INT, __offset BIGINT"
+        [(p, off) for p, off in offsets.items()], "__pid INT, __offset BIGINT"
     )
     return (
-        local.join(F.broadcast(offset_df), "__pid")
-        .withColumn(out_col, (F.col("__offset") + F.col("__local_rn")).cast("long"))
-        .drop("__pid", "__local_rn", "__offset")
+        withid.withColumn("__pid", pid)
+        .join(F.broadcast(offset_df), "__pid")
+        .withColumn(out_col, (F.col("__offset") + local + 1).cast("long"))
+        .drop("__pid", "__mid", "__offset")
     )

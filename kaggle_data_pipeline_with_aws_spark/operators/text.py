@@ -111,15 +111,24 @@ def portable_hash60_sql(expr: str) -> str:
 
 
 def word_shingles(tok: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles (1-based element_at; mirrors the oracle's
-    1-based list indexing exactly)."""
-    parts = F.transform(
-        F.sequence(F.lit(1), F.array_size(tok) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tok, i + off) for off in range(n)]
-        ),
-    )
-    return F.array_distinct(parts)
+    """Distinct n-word shingles.
+
+    Built by zipping the token array with its own shifted slices
+    (n-1 chained ``zip_with``) rather than
+    ``transform(sequence(...), i -> element_at(...))``: higher-order
+    lambdas run interpreted, and per-index ``element_at`` made the
+    index-based form ~6× slower; the slice+zip form also degrades
+    safely to an empty array for docs shorter than n tokens (the
+    sequence form emits a *descending* index range there)."""
+    ln = F.greatest(F.array_size(tok) - (n - 1), F.lit(0))
+    acc = F.slice(tok, 1, ln)
+    for off in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(tok, 1 + off, ln),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.array_distinct(acc)
 
 
 def char_ratio(col: Column, pattern: str) -> Column:
