@@ -59,15 +59,16 @@ def deliverywise(raw: DataFrame) -> DataFrame:
         F.col("over.over").alias("over_number"),
         F.posexplode("over.deliveries").alias("ball_idx", "ball"),
     )
-    first_wicket = F.element_at(F.col("ball.wickets"), 1)
+    first_wicket = F.try_element_at(F.col("ball.wickets"), F.lit(1))
     return balls.select(
         F.col("match_id").cast("int").alias("match_id"),
         F.col("innings_number").cast("int").alias("innings_number"),
         "batting_team",
         # complement-within-pair lookup (J3, extract_deliverywise...py:104):
         # no join — array_except against the batting team.
-        F.element_at(
-            F.array_except(F.col("teams"), F.array(F.col("batting_team"))), 1
+        F.try_element_at(
+            F.array_except(F.col("teams"), F.array(F.col("batting_team"))),
+            F.lit(1),
         ).alias("bowling_team"),
         F.col("over_number").cast("int").alias("over_number"),
         (F.col("ball_idx") + 1).cast("int").alias("ball_number"),
@@ -84,7 +85,7 @@ def deliverywise(raw: DataFrame) -> DataFrame:
         _zeroed("ball.runs.total").alias("total_runs"),
         first_wicket.getField("player_out").alias("player_dismissed"),
         first_wicket.getField("kind").alias("dismissal_type"),
-        F.element_at(first_wicket.getField("fielders"), 1)
+        F.try_element_at(first_wicket.getField("fielders"), F.lit(1))
         .getField("name")
         .alias("fielder_name"),
     )
@@ -162,18 +163,18 @@ def matchwise(raw: DataFrame) -> DataFrame:
     """
     return raw.select(
         F.col("match_id").cast("int").alias("match_id"),
-        F.element_at("info.dates", 1).alias("date"),
+        F.try_element_at("info.dates", F.lit(1)).alias("date"),
         F.col("info.event.name").alias("event_name"),
         F.col("info.venue").alias("ground_name"),
         F.col("info.city").alias("ground_city"),
-        F.element_at("info.teams", 1).alias("team_1"),
-        F.element_at("info.teams", 2).alias("team_2"),
+        F.try_element_at("info.teams", F.lit(1)).alias("team_1"),
+        F.try_element_at("info.teams", F.lit(2)).alias("team_2"),
         F.col("info.toss.winner").alias("toss_winner"),
         F.col("info.toss.decision").alias("toss_decision"),
-        _runs_scored_by(F.element_at("info.teams", 1)).alias(
+        _runs_scored_by(F.try_element_at("info.teams", F.lit(1))).alias(
             "team_1_total_runs"
         ),
-        _runs_scored_by(F.element_at("info.teams", 2)).alias(
+        _runs_scored_by(F.try_element_at("info.teams", F.lit(2))).alias(
             "team_2_total_runs"
         ),
         # winner = outcome.winner or outcome.result (:71)
@@ -181,5 +182,5 @@ def matchwise(raw: DataFrame) -> DataFrame:
         F.col("info.outcome.by.runs").cast("double").alias("margin_runs"),
         F.col("info.outcome.by.wickets").cast("double").alias("margin_wickets"),
         F.col("info.outcome.method").alias("winning_method"),
-        F.element_at("info.player_of_match", 1).alias("player_of_the_match"),
+        F.try_element_at("info.player_of_match", F.lit(1)).alias("player_of_the_match"),
     )

@@ -1,0 +1,149 @@
+"""Sinks — SURVEY §2.2 (K1–K8), Spark-first.
+
+The reference writes to MongoDB (document upserts keyed by ``_id``),
+DynamoDB (per-file status flags), S3 CSV objects, and the Kaggle API,
+with a Telegram notifier wrapped around every stage. Here each sink is
+re-expressed over the storage the engine actually owns:
+
+- **Keyed document store** (K2/K3): parquet-backed table with the
+  natural-key idempotency MongoDB gave the reference for free
+  (``_id = match_id`` / composite ball key — replays conflict instead
+  of duplicating, ``extract_matchwise...py:104``,
+  ``extract_deliverywise...py:88``). A real ``mongodb``-connector write
+  is the same one-line ``df.write.format(...)`` behind the same
+  interface; the parquet form is what tests and the bench run.
+- **Ledger upsert** (K4): operators/ledger.py (per-column merge).
+- **CSV publish** (K5): materialize.write_sorted_csv (order is part of
+  the artifact).
+- **Dataset publish** (K7): version-metadata builder — the Kaggle-API
+  call itself is IO out of engine scope; everything Spark-side (top-1
+  latest match, date reformat, version-note template) is here.
+- **Stage notifier** (K8): the exception_handler decorator semantics
+  (``utils.py:17-63``) as a plain callable wrapper.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# K2/K3 — keyed idempotent document sink
+# ---------------------------------------------------------------------------
+
+def upsert_keyed(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> None:
+    """Idempotent keyed write: new keys inserted, existing keys replaced
+    by the incoming row (MongoDB ``_id`` semantics — a replayed batch
+    converges instead of duplicating).
+
+    Read-union-dedup-overwrite with updates-win priority; the staging
+    swap keeps the read and the overwrite from racing on the same path.
+    At scale this is the documented Delta/Iceberg ``MERGE`` upgrade
+    path — the call-site contract (keys + updates) is identical.
+    """
+    exists = os.path.isdir(table_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(table_dir)
+    )
+    if not exists:
+        updates.dropDuplicates(key_cols).write.mode("overwrite").parquet(
+            table_dir
+        )
+        return
+    current = spark.read.parquet(table_dir)
+    merged = updates.withColumn("__prio", F.lit(0)).unionByName(
+        current.withColumn("__prio", F.lit(1))
+    )
+    # dropDuplicates keeps the first row per key encountered; make that
+    # deterministic with an explicit per-key min-priority filter instead
+    # of relying on union order.
+    w_min = merged.groupBy(*key_cols).agg(F.min("__prio").alias("__keep"))
+    deduped = (
+        merged.join(w_min, key_cols)
+        .filter(F.col("__prio") == F.col("__keep"))
+        .drop("__prio", "__keep")
+        .dropDuplicates(key_cols)
+    )
+    staging = table_dir.rstrip("/") + ".staging"
+    deduped.write.mode("overwrite").parquet(staging)
+    spark.catalog.refreshByPath(staging)
+    spark.read.parquet(staging).write.mode("overwrite").parquet(table_dir)
+    spark.catalog.refreshByPath(table_dir)
+
+
+# ---------------------------------------------------------------------------
+# K7 — dataset publish metadata (upload_dataset_to_kaggle_lambda.py:37-129)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class PublishMetadata:
+    version_notes: str
+    latest_match_id: int
+    latest_date: str  # dd/MM/yyyy, reference format (upload...py:61)
+
+
+def publish_metadata(matchwise: DataFrame) -> PublishMetadata:
+    """Version notes from the top-1 latest match (P10 + F4).
+
+    The reference reads the whole CSV and takes ``iloc[-1]``
+    (upload...py:119-129); here it's an orderBy-desc-limit-1 — the scan
+    prunes to two columns and top-1 short-circuits."""
+    last = (
+        matchwise.select("match_id", "date")
+        .orderBy(F.col("date").desc(), F.col("match_id").desc())
+        .limit(1)
+        .withColumn(
+            "date_fmt",
+            F.date_format(F.to_date("date", "yyyy-MM-dd"), "dd/MM/yyyy"),
+        )
+        .collect()[0]
+    )
+    return PublishMetadata(
+        version_notes=(
+            f"Dataset updated with data till the match held on "
+            f"{last['date_fmt']}"
+        ),
+        latest_match_id=int(last["match_id"]),
+        latest_date=last["date_fmt"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# K8 — stage notifier (utils.py:17-63 exception_handler semantics)
+# ---------------------------------------------------------------------------
+
+def with_notification(
+    notify: Callable[[str, str], None],
+    stage_name: str | None = None,
+) -> Callable:
+    """Wrap a pipeline stage: on success notify(stage, "success"), on
+    failure notify(stage, "failure: <err>") and re-raise — the decorator
+    shape of the reference's Telegram wrapper, with the transport (an
+    HTTP POST there) injected instead of hard-coded."""
+
+    def deco(fn: Callable) -> Callable:
+        name = stage_name or fn.__name__
+
+        @functools.wraps(fn)
+        def wrapped(*args, **kwargs):
+            try:
+                result = fn(*args, **kwargs)
+            except Exception as exc:  # noqa: BLE001 — mirror, then re-raise
+                notify(name, f"failure: {exc}")
+                raise
+            notify(name, "success")
+            return result
+
+        return wrapped
+
+    return deco

@@ -1,0 +1,146 @@
+"""Tests for the scalar function library (§2.8) and sinks (§2.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kaggle_data_pipeline_with_aws_spark.functions import scalars as S
+from kaggle_data_pipeline_with_aws_spark.sources import sinks
+
+
+def test_scalar_functions_reference_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            Row(
+                s="Hello World",
+                d="2024-03-09",
+                bad_d="not-a-date",
+                arr=["a", "b"],
+                one=["solo"],
+                x=3,
+                y=3,
+                flag=True,
+            )
+        ]
+    )
+    row = df.select(
+        S.lower("s").alias("lo"),
+        S.to_date_coerce("d").alias("dt"),
+        S.to_date_coerce("bad_d").alias("coerced"),
+        S.year(S.to_date_coerce("d")).alias("yr"),
+        S.reformat_date("d").alias("fmt"),
+        S.zero_default(F.lit(None).cast("int")).alias("zd"),
+        S.first_element("arr").alias("first"),
+        S.second_element("arr").alias("second"),
+        S.second_element("one").alias("missing2"),
+        S.eq_flag("x", "y").alias("eq"),
+        S.composite_key("x", "y").alias("ck"),
+        S.recode_bool("flag").alias("recoded"),
+        S.endswith("s", "World").alias("ew"),
+        S.format_string("%s-%d", "s", "x").alias("tpl"),
+        S.nested_sum(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("nsum"),
+    ).collect()[0]
+    assert row.lo == "hello world"
+    assert str(row.dt) == "2024-03-09"
+    assert row.coerced is None  # errors='coerce' semantics
+    assert row.yr == 2024
+    assert row.fmt == "09/03/2024"
+    assert row.zd == 0
+    assert row.first == "a" and row.second == "b"
+    assert row.missing2 is None  # teams[1] if len > 1 else None
+    assert row.eq is True
+    assert row.ck == "3-3"
+    assert row.recoded == "Won Match"
+    assert row.ew is True
+    assert row.tpl == "Hello World-3"
+    assert row.nsum == 6
+
+
+def test_upsert_keyed_idempotent_and_updates_win(spark, tmp_path):
+    table = str(tmp_path / "docs")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id INT, val STRING")
+    sinks.upsert_keyed(spark, table, v1, ["id"])
+    assert sorted(
+        (r.id, r.val) for r in spark.read.parquet(table).collect()
+    ) == [(1, "a"), (2, "b")]
+
+    # replay the same batch → no duplicates (T7)
+    sinks.upsert_keyed(spark, table, v1, ["id"])
+    assert spark.read.parquet(table).count() == 2
+
+    # overlapping batch → updates win, new keys insert
+    v2 = spark.createDataFrame([(2, "B2"), (3, "c")], "id INT, val STRING")
+    sinks.upsert_keyed(spark, table, v2, ["id"])
+    assert sorted(
+        (r.id, r.val) for r in spark.read.parquet(table).collect()
+    ) == [(1, "a"), (2, "B2"), (3, "c")]
+
+
+def test_publish_metadata_top1(spark):
+    mw = spark.createDataFrame(
+        [
+            (10, "2024-01-05"),
+            (12, "2024-06-30"),
+            (11, "2024-06-30"),
+        ],
+        "match_id INT, date STRING",
+    )
+    meta = sinks.publish_metadata(mw)
+    assert meta.latest_match_id == 12  # date desc, then match_id desc
+    assert meta.latest_date == "30/06/2024"
+    assert "30/06/2024" in meta.version_notes
+
+
+def test_with_notification_success_and_failure():
+    events: list[tuple[str, str]] = []
+
+    @sinks.with_notification(lambda s, m: events.append((s, m)))
+    def ok_stage():
+        return 42
+
+    @sinks.with_notification(lambda s, m: events.append((s, m)), "boom")
+    def bad_stage():
+        raise ValueError("nope")
+
+    assert ok_stage() == 42
+    with pytest.raises(ValueError):
+        bad_stage()
+    assert events[0] == ("ok_stage", "success")
+    assert events[1][0] == "boom" and events[1][1].startswith("failure")
+
+
+def test_flatten_degenerate_documents_null_not_throw(spark, tmp_path):
+    """ANSI-mode regression: .get(..., None) semantics must hold for
+    documents missing teams[1], player_of_match, dates — null, never an
+    out-of-bounds error."""
+    import json
+
+    from kaggle_data_pipeline_with_aws_spark.operators import flatten
+    from kaggle_data_pipeline_with_aws_spark.schemas import (
+        CRICSHEET_MATCH_SCHEMA,
+    )
+    from kaggle_data_pipeline_with_aws_spark.sources.readers import (
+        read_json_documents,
+    )
+
+    doc = {
+        "info": {
+            "dates": ["2024-01-01"],
+            "venue": "G",
+            "teams": ["OnlyTeam"],  # degenerate: single team
+            "toss": {"winner": "OnlyTeam", "decision": "bat"},
+            "outcome": {"result": "no result"},
+        },
+        "innings": [],
+    }
+    d = tmp_path / "degenerate"
+    d.mkdir()
+    (d / "999999.json").write_text(json.dumps(doc))
+    raw = read_json_documents(spark, str(d), CRICSHEET_MATCH_SCHEMA)
+    row = flatten.matchwise(raw).collect()[0]
+    assert row.team_1 == "OnlyTeam"
+    assert row.team_2 is None
+    assert row.player_of_the_match is None
+    assert flatten.deliverywise(raw).count() == 0
