@@ -386,3 +386,16 @@ def d14_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is deterministic but the banding shortcut is the point of the
     plan; checked rows-only (d08 oracle-checks the fingerprints)."""
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+@spark_query("d15_ann_ivf")
+def d15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: KMeans coarse quantizer + n_probe cell
+    probing + exact re-rank of probed candidates (the cluster-scale ANN;
+    Arrow-batched centroid matmuls, equi-join on cell_id — no cross
+    join). Probabilistic recall — rows-only check."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        embs, queries, k=5, n_cells=16, n_probe=4, seed=42
+    )

@@ -104,3 +104,27 @@ def test_multimodal_features_match_local_decode(spark):
         assert got["height"] == want["height"]
         assert got["n_frames"] == want["n_frames"]
         assert got["byte_len"] == row["meta"]["byte_len"]
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from kaggle_data_pipeline_with_aws_spark.operators import similarity
+    from kaggle_data_pipeline_with_aws_spark.sources.readers import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(embs, queries, k=5).collect()
+    approx = similarity.ivf_topk(
+        embs, queries, k=5, n_cells=8, n_probe=4, seed=42
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    # every query answered, k results each
+    assert len(approx) == len(exact)
+    # probing half the cells must recover a solid share of true top-5
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"recall {recall}"
+    # determinism: same seed, same result
+    approx2 = similarity.ivf_topk(
+        embs, queries, k=5, n_cells=8, n_probe=4, seed=42
+    ).collect()
+    assert {(r.query_id, r.neighbor_id) for r in approx2} == approx_set
