@@ -1,0 +1,112 @@
+"""Physical-plan regression tests — the 100 TB evidence.
+
+Correctness says the plan computes the right rows; these assert it
+computes them the way a 1000-executor cluster needs: dimension joins
+broadcast (no all-to-all shuffle of the fact table), predicates and
+projections pushed into the parquet scan, hot expressions inside
+whole-stage codegen. A regression here is a silent 100× at scale even
+when every value still matches the oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kaggle_data_pipeline_with_aws_spark.plans.registry import (
+    QUERIES,
+    load_all,
+)
+
+load_all()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_left_join_enrich_is_broadcast(spark, sf_dir):
+    """J1: the deliveries←matches enrich must broadcast the match side,
+    never shuffle the fact table."""
+    plan = _plan(spark, sf_dir, "q08_left_join_enrich")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_anti_join_ledger_is_broadcast(spark, sf_dir):
+    """J2/P5: the new-file anti join broadcasts the ledger key set."""
+    plan = _plan(spark, sf_dir, "q09_anti_join_ledger")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    """All dimension tables of the star join broadcast; the single
+    fact-side scan never sort-merge-joins a dimension."""
+    plan = _plan(spark, sf_dir, "q25_star_join")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark, sf_dir):
+    """P-pushdown: the date predicate reaches the parquet scan
+    (PushedFilters), and the scan reads only the referenced columns."""
+    plan = _plan(spark, sf_dir, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan.replace(
+        "\n", " "
+    ) or "PushedFilters: [" in plan
+    # lineitem has 16 columns; the query touches 7 — the ReadSchema
+    # must not contain untouched wide columns like l_comment.
+    assert "l_comment" not in plan
+
+
+def test_pricing_summary_has_partial_aggregation(spark, sf_dir):
+    """A-agg: groupBy compiles to partial (map-side) + final hash
+    aggregate — the shuffle carries pre-combined rows."""
+    plan = _plan(spark, sf_dir, "q01_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_whole_stage_codegen_covers_hot_path(spark, sf_dir):
+    df = QUERIES["q01_pricing_summary"](spark, sf_dir)
+    df.collect()  # AQE finalizes (and codegen-annotates) only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark whole-stage-codegen spans; the scan→filter→
+    # partial-agg hot path must be inside one
+    assert "*(1) HashAggregate" in plan or "*(1) Filter" in plan
+
+
+def test_exact_dedup_uses_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "d01_dedup_exact")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_per_group_no_global_single_partition_sort(spark, sf_dir):
+    """W-top-k per group must window on the group key, not collapse to
+    one partition (a global-window row_number would)."""
+    plan = _plan(spark, sf_dir, "q24_topk_per_group")
+    assert "SinglePartition" not in plan
+
+
+def test_minhash_banding_single_scan(spark, sf_dir):
+    """The LSH banding must explode band keys in one pass over the
+    signatures, not union b re-scans."""
+    plan = _plan(spark, sf_dir, "d07_minhash_lsh")
+    assert "Union" not in plan
+
+
+def test_global_renumber_no_second_shuffle(spark, sf_dir):
+    """W2 scale path: exactly one row-level exchange (the range
+    repartition); the local numbering must not hash-shuffle again."""
+    from kaggle_data_pipeline_with_aws_spark.operators.renumber import (
+        contiguous_row_number,
+    )
+    from kaggle_data_pipeline_with_aws_spark.sources.readers import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    out = contiguous_row_number(o, ["o_orderdate", "o_orderkey"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only exchanges allowed: the range partitioning (cached parent)
+    # and the broadcast of the offset map
+    assert "rangepartitioning" in plan or "InMemoryTableScan" in plan
+    assert "hashpartitioning" not in plan
