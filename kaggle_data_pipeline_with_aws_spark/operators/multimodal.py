@@ -134,3 +134,93 @@ def extract_features(
             ]
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resample: size the payload to
+    width*height bytes (tile-or-truncate). A real implementation calls
+    PIL `Image.open(...).resize(...)` here — same signature."""
+    target = width * height
+    if not payload:
+        return b"\x00" * target
+    reps = (target // len(payload)) + 1
+    return (payload * reps)[:target]
+
+
+def resize_media(
+    media: DataFrame, width: int = 32, height: int = 32
+) -> DataFrame:
+    """Resize stage: one narrow Arrow-batched map, payload in →
+    payload out, no shuffle. Constant memory per task (batch iterator)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_type": pdf["media_type"].values,
+                    "payload": [
+                        fake_resize(p, width, height) for p in pdf["payload"]
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame sampling: one input video row fans out to one row per
+    sampled frame (payload sliced per frame) — the mapInPandas contract
+    where output cardinality ≠ input cardinality. Non-video rows pass
+    through as a single frame 0.
+
+    A real implementation decodes with ``av``/ffmpeg and emits every
+    k-th frame; the slicing stand-in keeps batch shape and fan-out
+    semantics identical and deterministic."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            payloads: list[bytes] = []
+            for doc_id, mtype, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mtype == "video" and payload:
+                    n_frames = max(1, len(payload) // every_n_bytes)
+                    for i in range(n_frames):
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        payloads.append(
+                            payload[i * every_n_bytes : (i + 1) * every_n_bytes]
+                        )
+                else:
+                    ids.append(doc_id)
+                    idxs.append(0)
+                    payloads.append(payload)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "payload": payloads}
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)

@@ -128,3 +128,42 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
         embs, queries, k=5, n_cells=8, n_probe=4, seed=42
     ).collect()
     assert {(r.query_id, r.neighbor_id) for r in approx2} == approx_set
+
+
+def test_multimodal_resize_and_frame_sample(spark, sf_dir):
+    from kaggle_data_pipeline_with_aws_spark.operators import multimodal
+    from kaggle_data_pipeline_with_aws_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = multimodal.documents_as_media(docs)
+
+    resized = multimodal.resize_media(media, width=8, height=4)
+    rows = resized.limit(5).collect()
+    assert all(len(r.payload) == 32 for r in rows)
+    assert all(r.width == 8 and r.height == 4 for r in rows)
+
+    frames = multimodal.sample_frames(media, every_n_bytes=64)
+    # videos fan out: more frame rows than media rows; non-video rows
+    # pass through exactly once with frame 0
+    n_media = media.count()
+    assert frames.count() > n_media
+    non_video = media.filter(F.col("media_type") != "video").count()
+    assert (
+        frames.join(
+            media.filter(F.col("media_type") != "video").select("doc_id"),
+            "doc_id",
+        ).count()
+        == non_video
+    )
+    # frame indexes contiguous from 0 per doc
+    from pyspark.sql import functions as SF
+
+    agg = frames.groupBy("doc_id").agg(
+        SF.min("frame_idx").alias("lo"),
+        SF.max("frame_idx").alias("hi"),
+        SF.count("*").alias("n"),
+    )
+    bad = agg.filter(
+        (SF.col("lo") != 0) | (SF.col("n") != SF.col("hi") + 1)
+    ).count()
+    assert bad == 0
