@@ -20,3 +20,12 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark_session():
+    """Alias fixture for property tests (hypothesis forbids reusing
+    function-scoped fixtures across examples; session scope is safe)."""
+    from kaggle_data_pipeline_with_aws_spark.session import get_spark
+
+    return get_spark("tests", shuffle_partitions=8)
