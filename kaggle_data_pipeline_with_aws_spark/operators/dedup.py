@@ -18,7 +18,7 @@ Four families, each expressed as shuffle-conscious DataFrame plans:
   fingerprint; near-dup pairs via banded fingerprint chunks + Hamming
   distance ≤ d.
 
-All hashes use the portable char-fold hash (operators/text.py) when
+All hashes use the portable md5-derived hash (operators/text.py) when
 ``portable=True`` so the DuckDB oracle reproduces them bit-for-bit;
 the scale path flips to ``F.xxhash64``.
 """
