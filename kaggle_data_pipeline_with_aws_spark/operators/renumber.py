@@ -44,20 +44,21 @@ def contiguous_row_number(
 ) -> DataFrame:
     """Add a dense 1..N column defined by a total order.
 
-    ``order_by`` should be a total order (include a unique tie-breaker
+    ``order_by`` must be a total order (include a unique tie-breaker
     key) — same requirement the reference's sort-then-range has
     implicitly via ``(date, match_id)``.
+
+    The persist below is LOAD-BEARING, not an optimization: the count
+    pass and the numbering pass are separate actions, which compile to
+    separate physical plans — ``repartitionByRange`` re-SAMPLES its
+    boundaries per plan, so without a materialization barrier the two
+    passes can see different partition assignments and the offsets
+    won't line up (observed: ~off-by-a-few on 15k rows). Spill-to-disk
+    keeps it viable beyond executor memory.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n, *order_by).sortWithinPartitions(*order_by)
-    # Persisted because two jobs (count pass, numbering pass) must see
-    # the SAME id assignment; DISK spill keeps this viable beyond memory.
-    # (Even on recompute the ids are deterministic — the range partition
-    # + sort fixes both placement and order — but the persist avoids
-    # paying the sort twice.)
-    withid = ranged.withColumn(
-        "__mid", F.monotonically_increasing_id()
-    ).persist()
+    withid = ranged.withColumn("__mid", F.monotonically_increasing_id()).persist()
     pid = F.shiftrightunsigned(F.col("__mid"), _LOCAL_BITS).cast("int")
     local = F.col("__mid").bitwiseAND(F.lit(_LOCAL_MASK))
 
