@@ -206,3 +206,55 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(F.col(text_col)).alias("md5_fingerprint"),
         portable_hash(F.col(text_col)).alias("rolling_hash"),
     )
+
+
+# URL / email / long-digit-run scrubbing patterns for training-data
+# cleaning. Order matters (URLs before bare domains would, etc.); each
+# is a single JVM-side regexp_replace — one codegen'd pass per pattern.
+CLEAN_PATTERNS: list[tuple[str, str]] = [
+    (r"https?://\S+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\d{7,}", "<NUM>"),
+]
+
+
+def clean_text(col: str | Column = "text") -> Column:
+    """PII/noise scrub: URLs, emails, long digit runs → typed
+    placeholder tokens, then whitespace normalization. All
+    regexp_replace — narrow map, no shuffle, scales with splits."""
+    c = col if isinstance(col, Column) else F.col(col)
+    for pat, repl in CLEAN_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def hash_sample(
+    key: str | Column, pct: int, mod: int = 100
+) -> Column:
+    """Deterministic sampling predicate: keep rows where
+    hash(key) % mod < pct. Unlike ``F.rand`` this is reproducible
+    across runs, engines, and retries (a failed task resamples the SAME
+    rows) — the only safe way to sample a 100 TB training corpus that
+    must be re-creatable. Stratify by applying per group."""
+    k = key if isinstance(key, Column) else F.col(key)
+    return F.pmod(portable_hash(k.cast("string")), F.lit(mod)) < pct
+
+
+def vocabulary(
+    df: DataFrame, text_col: str = "text", top_n: int | None = None
+) -> DataFrame:
+    """Corpus vocabulary: token → document frequency + total count.
+    Explode + two-level agg; partial aggregation makes the shuffle
+    carry one row per (partition, token), not per occurrence."""
+    tok = df.select(
+        "doc_id", F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = tok.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    if top_n is not None:
+        vocab = vocab.orderBy(
+            F.col("n_occurrences").desc(), F.col("token").asc()
+        ).limit(top_n)
+    return vocab

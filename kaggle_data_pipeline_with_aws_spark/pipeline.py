@@ -85,21 +85,32 @@ def run_incremental(
             [(n,) for n in new_names], "file_name STRING"
         )
         paths = [os.path.join(landing_dir, n) for n in new_names]
-        raw = read_json_documents(spark, paths, CRICSHEET_MATCH_SCHEMA)
-        # T3: one scan, two consumers.
-        new_matches = flatten.matchwise(raw)
-        new_deliveries = flatten.composite_delivery_key(
-            flatten.deliverywise(raw)
-        )
-        _append_dedup(spark, new_matches, f"{state_dir}/silver_matchwise", ["match_id"])
-        upsert_status(spark, state_dir, new_files_local, MATCHWISE_FLAG)
-        _append_dedup(
-            spark,
-            new_deliveries,
-            f"{state_dir}/silver_deliverywise",
-            ["composite_delivery_key"],
-        )
-        upsert_status(spark, state_dir, new_files_local, DELIVERYWISE_FLAG)
+        # T3: one scan, two consumers — cache the parsed documents so the
+        # matchwise and deliverywise branches don't each re-read the
+        # landing zone (multiline-JSON parse of many small files is the
+        # dominant extract cost; the parsed batch is bounded by
+        # max_files_per_cycle).
+        raw = read_json_documents(
+            spark, paths, CRICSHEET_MATCH_SCHEMA
+        ).cache()
+        try:
+            new_matches = flatten.matchwise(raw)
+            new_deliveries = flatten.composite_delivery_key(
+                flatten.deliverywise(raw)
+            )
+            _append_dedup(
+                spark, new_matches, f"{state_dir}/silver_matchwise", ["match_id"]
+            )
+            upsert_status(spark, state_dir, new_files_local, MATCHWISE_FLAG)
+            _append_dedup(
+                spark,
+                new_deliveries,
+                f"{state_dir}/silver_deliverywise",
+                ["composite_delivery_key"],
+            )
+            upsert_status(spark, state_dir, new_files_local, DELIVERYWISE_FLAG)
+        finally:
+            raw.unpersist()
 
     matches = spark.read.parquet(f"{state_dir}/silver_matchwise")
     deliveries = spark.read.parquet(f"{state_dir}/silver_deliverywise")

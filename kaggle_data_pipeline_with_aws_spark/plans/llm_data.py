@@ -399,3 +399,107 @@ def d15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         embs, queries, k=5, n_cells=16, n_probe=4, seed=42
     )
+
+
+# ---------------------------------------------------------------------------
+# Text cleaning, quality gating, vocabulary, deterministic sampling
+# ---------------------------------------------------------------------------
+@spark_query(
+    "d16_text_clean",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\d{7,}', '<NUM>', 'g'),
+             '\s+', ' ', 'g')) AS clean
+    FROM documents
+    """,
+)
+def d16_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/email/digit-run scrubbing (training-data cleaning): chained
+    JVM-side regexp_replace, one narrow pass."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", text.clean_text("text").alias("clean")
+    )
+
+
+@spark_query(
+    "d17_quality_filter",
+    """
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens
+    FROM feats
+    WHERE n_tokens >= 10 AND n_chars >= 50
+      AND n_chars / n_tokens BETWEEN 3 AND 12
+    """,
+)
+def d17_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality gate a pretraining pipeline runs before tokenizing:
+    keep docs passing length/shape thresholds. Predicates are plain
+    column comparisons — pushable, codegen'd."""
+    d = _docs(spark, sf_dir)
+    tok = text.tokens("text")
+    n_tokens = F.array_size(tok).cast("long")
+    n_chars = F.length("text").cast("long")
+    return (
+        d.select(
+            "doc_id",
+            n_chars.alias("n_chars"),
+            n_tokens.alias("n_tokens"),
+        )
+        .filter(
+            (F.col("n_tokens") >= 10)
+            & (F.col("n_chars") >= 50)
+            & (F.col("n_chars") / F.col("n_tokens")).between(3, 12)
+        )
+    )
+
+
+@spark_query(
+    "d18_vocabulary",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    )
+    SELECT token,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS doc_freq
+    FROM tok
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token ASC
+    LIMIT 100
+    """,
+)
+def d18_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (top-100 by frequency): the tokenizer-training
+    input. countDistinct(doc_id) is the expensive part at scale — it
+    expands to a two-phase agg; partials keep the shuffle bounded."""
+    return text.vocabulary(_docs(spark, sf_dir), top_n=100)
+
+
+@spark_query(
+    "d19_hash_sample",
+    f"""
+    SELECT doc_id, text
+    FROM documents
+    WHERE ({portable_hash_sql("CAST(doc_id AS VARCHAR)")}) % 100 < 10
+    """,
+)
+def d19_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample: hash(key) % 100 < 10.
+    Reproducible across runs/engines/task-retries — unlike rand()-based
+    sampling, a re-run of a failed 100 TB job selects the SAME rows."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", "text").filter(
+        text.hash_sample("doc_id", pct=10)
+    )
