@@ -36,3 +36,42 @@ def s01_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(
         events, timestamp_col="ts", key_col="event_type"
     ).orderBy("window_start", "event_type")
+
+
+@spark_query(
+    "s02_session_windows",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           count(*) AS n_events
+    FROM flagged
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def s02_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with F.session_window (30-min gap) on the events
+    stream shape — the oracle expresses the same semantics as
+    gaps-and-islands SQL (session_end = last event + gap, matching
+    Spark's session_window end)."""
+    from ..streaming.incremental import session_event_counts
+
+    events = load_table(spark, sf_dir, "events")
+    return session_event_counts(
+        events, timestamp_col="ts", key_col="user_id"
+    ).orderBy("user_id", "session_start")

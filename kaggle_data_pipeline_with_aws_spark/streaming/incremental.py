@@ -173,3 +173,36 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def session_event_counts(
+    events: DataFrame,
+    timestamp_col: str = "event_time",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Session-window aggregation: events for a key closer than ``gap``
+    apart merge into one session (dynamic-width windows — the classic
+    clickstream sessionization).
+
+    Streaming form: ``F.session_window`` keeps per-key open-session
+    state, closed by the watermark. Batch form: identical plan, and the
+    semantics are exactly the gaps-and-islands SQL (lag + running flag
+    sum) the oracle uses — so a stateful streaming operator still gets
+    an exact DuckDB check.
+    """
+    return (
+        events.withWatermark(timestamp_col, watermark_delay)
+        .groupBy(
+            F.session_window(timestamp_col, gap).alias("win"),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
