@@ -49,6 +49,7 @@ class PipelineResult:
     n_new_files: int
     matchwise: DataFrame
     deliverywise: DataFrame
+    n_corrupt: int = 0
 
 
 def list_candidate_files(spark: SparkSession, landing_dir: str) -> DataFrame:
@@ -76,6 +77,7 @@ def run_incremental(
     candidates = list_candidate_files(spark, landing_dir)
     new_files = detect_new_files(candidates, ledger, limit=max_files_per_cycle)
     new_names = [r["file_name"] for r in new_files.collect()]
+    n_corrupt = 0
 
     if new_names:
         # Cut lineage: the ledger files this plan read get rewritten by the
@@ -90,9 +92,17 @@ def run_incremental(
         # landing zone (multiline-JSON parse of many small files is the
         # dominant extract cost; the parsed batch is bounded by
         # max_files_per_cycle).
-        raw = read_json_documents(
+        scanned = read_json_documents(
             spark, paths, CRICSHEET_MATCH_SCHEMA
         ).cache()
+        # Malformed documents surface as null-struct rows (PERMISSIVE
+        # scan) with match_id still derived from the filename: exclude
+        # them from both tables but STILL ledger-mark their files below —
+        # a permanently-corrupt file must not be retried forever (the
+        # reference would crash its per-file Lambda and retry on every
+        # cycle). n_corrupt reports them to the caller/notifier.
+        raw = scanned.filter(F.col("info").isNotNull())
+        n_corrupt = scanned.count() - raw.count()
         try:
             new_matches = flatten.matchwise(raw)
             new_deliveries = flatten.composite_delivery_key(
@@ -110,7 +120,7 @@ def run_incremental(
             )
             upsert_status(spark, state_dir, new_files_local, DELIVERYWISE_FLAG)
         finally:
-            raw.unpersist()
+            scanned.unpersist()
 
     matches = spark.read.parquet(f"{state_dir}/silver_matchwise")
     deliveries = spark.read.parquet(f"{state_dir}/silver_deliverywise")
@@ -129,7 +139,9 @@ def run_incremental(
         ["match_number", "innings_number", "over_number", "ball_number"],
         single_file=single_file_csv,
     )
-    return PipelineResult(len(new_names), numbered, published)
+    return PipelineResult(
+        len(new_names), numbered, published, n_corrupt=n_corrupt
+    )
 
 
 def _append_dedup(

@@ -171,3 +171,49 @@ def test_candidate_listing_filters_non_json(spark, landing, tmp_path):
     (d / "readme.txt").write_text("x")
     got = [r["file_name"] for r in list_candidate_files(spark, str(d)).collect()]
     assert got == ["1.json"]
+
+
+def test_corrupt_file_excluded_but_ledger_marked(spark, tmp_path):
+    """A malformed JSON file must not poison either table, must be
+    counted as corrupt, and must be ledger-marked so it is never
+    retried (the reference's per-file Lambda would crash-loop)."""
+    import json
+
+    from kaggle_data_pipeline_with_aws_spark.operators.ledger import (
+        read_ledger,
+    )
+    from kaggle_data_pipeline_with_aws_spark.pipeline import run_incremental
+    from cricket_fixtures import write_fixture_dir
+
+    landing = str(tmp_path / "landing")
+    write_fixture_dir(landing, n_matches=3, seed=5)
+    with open(f"{landing}/999999.json", "w") as f:
+        f.write("{ not valid json at all")
+
+    result = run_incremental(
+        spark,
+        landing,
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        max_files_per_cycle=10,
+    )
+    assert result.n_new_files == 4
+    assert result.n_corrupt == 1
+    assert result.matchwise.count() == 3  # corrupt row excluded
+    assert (
+        result.matchwise.filter("match_id = 999999").count() == 0
+    )
+    ledger = read_ledger(spark, str(tmp_path / "state"))
+    marked = ledger.filter("file_name = '999999.json'").collect()
+    assert len(marked) == 1  # never retried
+
+    # second cycle: nothing new, nothing corrupt, same outputs
+    result2 = run_incremental(
+        spark,
+        landing,
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+    )
+    assert result2.n_new_files == 0
+    assert result2.n_corrupt == 0
+    assert result2.matchwise.count() == 3
