@@ -144,3 +144,34 @@ def test_flatten_degenerate_documents_null_not_throw(spark, tmp_path):
     assert row.team_2 is None
     assert row.player_of_the_match is None
     assert flatten.deliverywise(raw).count() == 0
+
+
+def test_parquet_document_store_roundtrip(spark, tmp_path):
+    from kaggle_data_pipeline_with_aws_spark.sources.document_store import (
+        ParquetDocumentStore,
+    )
+
+    store = ParquetDocumentStore(spark, str(tmp_path / "store"))
+    v1 = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "match_id INT, val STRING"
+    )
+    store.upsert("matchwise", v1, ["match_id"])
+    store.upsert("matchwise", v1, ["match_id"])  # replay converges
+    assert store.read("matchwise").count() == 2
+    v2 = spark.createDataFrame([(2, "Y2")], "match_id INT, val STRING")
+    store.upsert("matchwise", v2, ["match_id"])
+    got = {
+        (r.match_id, r.val) for r in store.read("matchwise").collect()
+    }
+    assert got == {(1, "x"), (2, "Y2")}
+
+
+def test_mongo_document_store_fails_clearly_without_connector(spark):
+    import pytest as _pytest
+
+    from kaggle_data_pipeline_with_aws_spark.sources.document_store import (
+        MongoDocumentStore,
+    )
+
+    with _pytest.raises(RuntimeError, match="mongo-spark-connector"):
+        MongoDocumentStore(spark, "mongodb://localhost", "db")
