@@ -286,3 +286,63 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def ivf_topk_fixed_centroids(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF with a *given* centroid table — the deterministic twin of
+    ``ivf_topk`` (which fits KMeans): assignment = argmax cosine to a
+    centroid, probing = top-n_probe centroids per query, then exact
+    re-rank within probed cells.
+
+    Because the quantizer is data (a DataFrame of (centroid_id, vec)),
+    every step is plain relational algebra — fully oracle-checkable,
+    and exactly the plan shape a pretrained/loaded IVF index uses in
+    production (indexes are fit offline, loaded as a table)."""
+    cents = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__ct")
+    )
+
+    def best_cells(df: DataFrame, out_id: str, vec_out: str, n: int):
+        scored = (
+            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(vec_out))
+            .crossJoin(F.broadcast(cents))
+            .withColumn(
+                "__cscore", F.round(cosine(F.col(vec_out), F.col("__ct")), 6)
+            )
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("__cscore").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            scored.withColumn("__crank", F.row_number().over(w))
+            .filter(F.col("__crank") <= n)
+            .select(out_id, vec_out, "centroid_id")
+        )
+
+    assigned = best_cells(corpus, "neighbor_id", "__cv", 1)
+    probed = best_cells(queries, "query_id", "__qv", n_probe)
+
+    candidates = (
+        assigned.join(F.broadcast(probed), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        candidates.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -503,3 +503,82 @@ def d19_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").filter(
         text.hash_sample("doc_id", pct=10)
     )
+
+
+_DOT_VC = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+    "i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+_NORM_V = _NORM_SQL.format(v="v")
+_NORM_C = _NORM_SQL.format(v="c")
+
+
+@spark_query(
+    "d20_ann_ivf_fixed",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding FROM embeddings
+      WHERE vec_id < 16
+    ),
+    corpus_scored AS (
+      SELECT v.vec_id AS neighbor_id, c.centroid_id,
+             round({_DOT_VC} / ({_NORM_V} * {_NORM_C}), 6) AS cscore
+      FROM embeddings v, cents c
+    ),
+    assigned AS (
+      SELECT neighbor_id, centroid_id FROM (
+        SELECT neighbor_id, centroid_id,
+               row_number() OVER (PARTITION BY neighbor_id
+                   ORDER BY cscore DESC, centroid_id ASC) AS r
+        FROM corpus_scored
+      ) WHERE r = 1
+    ),
+    query_scored AS (
+      SELECT v.vec_id AS query_id, c.centroid_id,
+             round({_DOT_VC} / ({_NORM_V} * {_NORM_C}), 6) AS cscore
+      FROM embeddings v, cents c
+      WHERE v.vec_id < 10
+    ),
+    probed AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT query_id, centroid_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cscore DESC, centroid_id ASC) AS r
+        FROM query_scored
+      ) WHERE r <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.neighbor_id
+      FROM assigned a JOIN probed p ON a.centroid_id = p.centroid_id
+      WHERE a.neighbor_id != p.query_id
+    ),
+    rescored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round({_DOT_SQL} / ({_NORM_SQL.format(v='a')} * {_NORM_SQL.format(v='b')}), 6)
+               AS cos_sim
+      FROM cand
+      JOIN embeddings b ON b.vec_id = cand.query_id
+      JOIN embeddings a ON a.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM rescored
+    ) WHERE rank <= 5
+    """,
+)
+def d20_ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a fixed (loaded-as-data) centroid table: assignment and
+    probing are relational argmax-over-cosine — the production shape of
+    an offline-fitted index, and fully oracle-checked (unlike the
+    KMeans-fit d15)."""
+    embs = _embs(spark, sf_dir)
+    centroids = embs.filter(F.col("vec_id") < 16)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk_fixed_centroids(
+        embs, queries, centroids, k=5, n_probe=2
+    )
