@@ -582,3 +582,59 @@ def d20_ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk_fixed_centroids(
         embs, queries, centroids, k=5, n_probe=2
     )
+
+
+@spark_query(
+    "d21_dedup_keep_first",
+    """
+    SELECT d.doc_id, d.text
+    FROM documents d
+    JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) k
+      ON d.doc_id = k.doc_id
+    """,
+)
+def d21_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale form of exact dedup: shuffle 8-byte content hashes
+    instead of full documents, keep min doc_id per hash, semi-join the
+    survivors back. (The oracle states the semantic — first doc per
+    distinct text — which coincides as long as xxhash64 is
+    collision-free on the corpus; at 64 bits that holds far beyond
+    oracle scale.)"""
+    return dedup.exact_dedup_keep_first(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    )
+
+
+@spark_query(
+    "d22_bpe_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(list_filter(
+             string_split_regex(
+               regexp_replace(
+                 regexp_replace(text, '([0-9]+)', ' \1 ', 'g'),
+                 '([^a-zA-Z0-9_\s]+)', ' \1 ', 'g'),
+               '\s+'),
+             x -> x <> '')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def d22_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: whitespace + digit-run + punctuation
+    boundaries, all regex, JVM-side (the pretraining cost estimator)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", text.bpe_ish_token_count("text").alias("n_bpe_tokens")
+    )
+
+
+@spark_query("d23_frame_sample")
+def d23_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: one video row fans out to one row per
+    sampled frame (mapInPandas with output cardinality != input).
+    Arrow-batch plumbing is the point — rows-only check."""
+    media = multimodal.documents_as_media(_docs(spark, sf_dir))
+    frames = multimodal.sample_frames(media, every_n_bytes=64)
+    return frames.select(
+        "doc_id", "frame_idx", F.octet_length("payload").alias("frame_bytes")
+    )
