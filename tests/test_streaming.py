@@ -200,3 +200,44 @@ def test_running_user_stats_stateful(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_and_batch_pipelines_agree(spark, tmp_path):
+    """The two ledger mechanisms (batch anti-join vs file-source
+    checkpoint) must produce the same matchwise silver table for the
+    same landing zone — the engine's incremental semantics are one
+    contract with two implementations."""
+    landing = str(tmp_path / "landing")
+    write_fixture_dir(landing, n_matches=10, seed=11)
+
+    from kaggle_data_pipeline_with_aws_spark.pipeline import run_incremental
+
+    batch = run_incremental(
+        spark,
+        landing,
+        str(tmp_path / "state"),
+        str(tmp_path / "out_batch"),
+        max_files_per_cycle=10,
+    )
+    batch_rows = [
+        r.asDict()
+        for r in batch.matchwise.drop("match_number")
+        .orderBy("match_id")
+        .collect()
+    ]
+
+    q = stream_extract(
+        spark,
+        landing,
+        str(tmp_path / "out_stream"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=4,
+    )
+    q.awaitTermination()
+    stream_rows = [
+        r.asDict()
+        for r in spark.read.parquet(str(tmp_path / "out_stream/matchwise"))
+        .orderBy("match_id")
+        .collect()
+    ]
+    assert batch_rows == stream_rows
