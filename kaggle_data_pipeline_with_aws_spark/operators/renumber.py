@@ -7,33 +7,60 @@ defined dense sequence over the whole table. The naive Spark translation,
 into ONE partition (Spark must see a global order), which is fine at 3k
 rows and fatal at 100 TB.
 
-Scale path implemented here (two-stage prefix-sum numbering, ONE
-shuffle total):
+Scale path (deterministic range bucketing + per-bucket prefix sum):
 
-1. Range-repartition on the sort keys and sort within each partition —
-   partitions are now globally ordered ranges (partition i's keys all
-   precede partition i+1's). This is the only row-level shuffle.
-2. ``monotonically_increasing_id()`` over the sorted partitions:
-   its layout is ``(partition_id << 33) | in-partition counter``, so
-   the lower 33 bits ARE the local 0-based row number in sorted order —
-   no window function, and crucially no second (hash-partition) shuffle
-   that ``row_number().over(partitionBy(pid))`` would force on the
-   already-range-partitioned data.
-3. A tiny per-partition COUNT (one row per partition) is collected,
-   prefix-summed on the driver, and joined back as a broadcast offset
-   map: ``global = offset[pid] + local + 1``.
+1. One tiny aggregate job computes approximate quantile *boundaries* of
+   the leading sort key (over a column-pruned scan) and bakes them into
+   the plan as literals. Because the boundaries are fixed constants —
+   unlike ``repartitionByRange``, which re-SAMPLES per action — every
+   pass assigns each row to the same order-aligned bucket, so nothing
+   needs to be persisted for cross-action stability.
+2. ``row_number() OVER (PARTITION BY bucket ORDER BY keys)`` numbers
+   rows inside each bucket. This is the only full-row shuffle, and
+   bucket populations are quantile-balanced, so no single task sorts
+   more than ~1/n of the data (vs. the single-partition global window).
+3. Per-bucket counts are prefix-summed into offsets by a window over
+   the tiny (one row per bucket) count table — entirely inside the same
+   plan, no driver collect — and broadcast-joined back:
+   ``global = offset[bucket] + local``.
 
-The only driver-side data is one (pid, count) row per partition —
-O(partitions), never O(rows).
+Non-numeric leading keys get an order-preserving numeric surrogate
+(dates → epoch days, timestamps → microseconds, strings → first 6 UTF-8
+bytes packed into a bigint; ties in the surrogate only merge buckets,
+never reorder them, so correctness is unaffected).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-_LOCAL_BITS = 33  # monotonically_increasing_id: pid << 33 | local counter
-_LOCAL_MASK = (1 << _LOCAL_BITS) - 1
+
+def _order_surrogate(col: Column, dtype: T.DataType) -> Column | None:
+    """A numeric column that is monotone non-decreasing in ``col``'s
+    sort order (ties allowed — equal surrogates land in one bucket and
+    are ordered by the real keys there)."""
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                          T.FloatType, T.DoubleType, T.DecimalType)):
+        return col
+    if isinstance(dtype, T.BooleanType):
+        return col.cast("int")
+    if isinstance(dtype, T.DateType):
+        return F.unix_date(col)
+    if isinstance(dtype, T.TimestampType):
+        return F.unix_micros(col)
+    if isinstance(dtype, T.TimestampNTZType):
+        return F.unix_micros(col.cast("timestamp"))
+    if isinstance(dtype, T.StringType):
+        # Spark compares strings by UTF-8 bytes; pack the first 6 bytes
+        # (right-padded) into a bigint — monotone w.r.t. the string order.
+        return F.conv(
+            F.rpad(F.hex(F.substring(col.cast("binary"), 1, 6)), 12, "0"),
+            16,
+            10,
+        ).cast("bigint")
+    return None
 
 
 def contiguous_row_number(
@@ -47,37 +74,60 @@ def contiguous_row_number(
     ``order_by`` must be a total order (include a unique tie-breaker
     key) — same requirement the reference's sort-then-range has
     implicitly via ``(date, match_id)``.
-
-    The persist below is LOAD-BEARING, not an optimization: the count
-    pass and the numbering pass are separate actions, which compile to
-    separate physical plans — ``repartitionByRange`` re-SAMPLES its
-    boundaries per plan, so without a materialization barrier the two
-    passes can see different partition assignments and the offsets
-    won't line up (observed: ~off-by-a-few on 15k rows). Spill-to-disk
-    keeps it viable beyond executor memory.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *order_by).sortWithinPartitions(*order_by)
-    withid = ranged.withColumn("__mid", F.monotonically_increasing_id()).persist()
-    pid = F.shiftrightunsigned(F.col("__mid"), _LOCAL_BITS).cast("int")
-    local = F.col("__mid").bitwiseAND(F.lit(_LOCAL_MASK))
+    first = order_by[0]
+    fcol = F.col(first) if isinstance(first, str) else first
+    dtype = df.select(fcol.alias("__k")).schema[0].dataType
+    surr = _order_surrogate(fcol, dtype)
+    if surr is None:  # exotic leading key type: correctness-first fallback
+        return _single_window_row_number(df, order_by, out_col)
 
-    # O(partitions) stats → driver prefix sum → broadcast join back.
-    counts = sorted(
-        withid.groupBy(pid.alias("__pid")).count().collect(),
-        key=lambda r: r["__pid"],
+    # One small job: boundary quantiles over a pruned scan. Baked in as
+    # literals ⇒ deterministic bucket assignment across all later passes.
+    probs = [i / n for i in range(1, n)] or [0.5]
+    row = df.select(
+        F.percentile_approx(
+            surr, F.array(*[F.lit(p) for p in probs]), F.lit(10_000)
+        ).alias("__b")
+    ).first()
+    quantiles = row["__b"] if row is not None and row["__b"] is not None else []
+    bounds = sorted({b for b in quantiles if b is not None})
+
+    if bounds:
+        bucket = F.when(surr.isNull(), F.lit(0))  # nulls sort first
+        for i, b in enumerate(bounds):
+            bucket = bucket.when(surr < F.lit(b), F.lit(i))
+        bucket = bucket.otherwise(F.lit(len(bounds)))
+    else:
+        bucket = F.lit(0)
+
+    bucketed = df.withColumn("__bucket", bucket.cast("int"))
+    local = F.row_number().over(
+        Window.partitionBy("__bucket").orderBy(*order_by)
     )
-    offsets, running = {}, 0
-    for row in counts:
-        offsets[row["__pid"]] = running
-        running += row["count"]
-    spark = df.sparkSession
-    offset_df = spark.createDataFrame(
-        [(p, off) for p, off in offsets.items()], "__pid INT, __offset BIGINT"
+    counts = bucketed.groupBy("__bucket").agg(F.count("*").alias("__n"))
+    prefix = (
+        Window.orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__bucket",
+        F.coalesce(F.sum("__n").over(prefix), F.lit(0)).alias("__offset"),
     )
     return (
-        withid.withColumn("__pid", pid)
-        .join(F.broadcast(offset_df), "__pid")
-        .withColumn(out_col, (F.col("__offset") + local + 1).cast("long"))
-        .drop("__pid", "__mid", "__offset")
+        bucketed.withColumn("__local", local)
+        .join(F.broadcast(offsets), "__bucket")
+        .withColumn(out_col, (F.col("__offset") + F.col("__local")).cast("long"))
+        .drop("__bucket", "__local", "__offset")
+    )
+
+
+def _single_window_row_number(
+    df: DataFrame, order_by: list[str | Column], out_col: str
+) -> DataFrame:
+    """Global window fallback (single partition) — only for leading key
+    types with no numeric surrogate; correct at any size, slow at scale."""
+    return df.withColumn(
+        out_col, F.row_number().over(Window.orderBy(*order_by)).cast("long")
     )

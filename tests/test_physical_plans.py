@@ -95,9 +95,11 @@ def test_minhash_banding_single_scan(spark, sf_dir):
     assert "Union" not in plan
 
 
-def test_global_renumber_no_second_shuffle(spark, sf_dir):
-    """W2 scale path: exactly one row-level exchange (the range
-    repartition); the local numbering must not hash-shuffle again."""
+def test_global_renumber_stays_distributed(spark, sf_dir):
+    """W2 scale path: per-bucket numbering with literal boundaries —
+    no global single-partition sort of the data, no persisted
+    intermediate (caching 100 TB is not a plan), and the offset map
+    joins back as a broadcast."""
     from kaggle_data_pipeline_with_aws_spark.operators.renumber import (
         contiguous_row_number,
     )
@@ -105,8 +107,11 @@ def test_global_renumber_no_second_shuffle(spark, sf_dir):
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     out = contiguous_row_number(o, ["o_orderdate", "o_orderkey"])
+    out.collect()  # AQE: final plan shape only exists after execution
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # the only exchanges allowed: the range partitioning (cached parent)
-    # and the broadcast of the offset map
-    assert "rangepartitioning" in plan or "InMemoryTableScan" in plan
-    assert "hashpartitioning" not in plan
+    assert "InMemoryTableScan" not in plan  # nothing persisted
+    assert "rangepartitioning" not in plan  # no per-action boundary resample
+    # the row-level window shuffle partitions by the literal bucket id,
+    # never collapses to a single partition for the full input
+    assert "hashpartitioning(__bucket" in plan
+    assert "BroadcastExchange" in plan  # offset map joins as broadcast
