@@ -52,6 +52,19 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
+    # steady-state warm-up: run every headline plan once at the smallest
+    # scale factor (different directory — the timed pass below still
+    # plans, compiles, and executes the sf target cold). This warms JIT,
+    # codegen caches, and shuffle machinery so the measurement reflects
+    # sustained throughput, not first-query JVM ramp-up.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in names:
+            try:
+                qs[name](spark, warm_dir).count()
+            except Exception:
+                pass
+
     timings: dict[str, float] = {}
     for name in names:
         fn = qs[name]

@@ -339,6 +339,6 @@ def simhash_pairs(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)  # prune before the dedupe shuffle
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
