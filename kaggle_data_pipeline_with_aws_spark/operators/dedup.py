@@ -112,6 +112,39 @@ def shingle_table(
     return sh
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: drop corpus documents sharing any
+    n-word shingle with an evaluation set — the standard guard against
+    test-set leakage into training data.
+
+    Scale shape: eval sets are tiny next to the corpus, so the
+    benchmark shingle set BROADCASTS; the corpus side is one explode +
+    broadcast semi-join + distinct on contaminated ids + broadcast anti
+    join — the 100 TB corpus is never shuffled, only its (small) list
+    of contaminated ids is."""
+    bench_sh = (
+        benchmark.select(
+            F.explode(word_shingles(tokens(text_col), n)).alias("shingle")
+        )
+        .distinct()
+    )
+    corp_sh = corpus.select(
+        id_col, F.explode(word_shingles(tokens(text_col), n)).alias("shingle")
+    )
+    contaminated = (
+        corp_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -110,8 +110,8 @@ def portable_hash60_sql(expr: str) -> str:
     return f"({lo} + ({hi} << 30))"
 
 
-def word_shingles(tok: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles.
+def word_ngrams(tok: Column, n: int = 3) -> Column:
+    """All n-word shingles in order, repeats kept.
 
     Built by zipping the token array with its own shifted slices
     (n-1 chained ``zip_with``) rather than
@@ -128,7 +128,24 @@ def word_shingles(tok: Column, n: int = 3) -> Column:
             F.slice(tok, 1 + off, ln),
             lambda a, b: F.concat_ws(" ", a, b),
         )
-    return F.array_distinct(acc)
+    return acc
+
+
+def word_shingles(tok: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (the dedup/minhash input)."""
+    return F.array_distinct(word_ngrams(tok, n))
+
+
+def repetition_ratio(col: str | Column = "text", n: int = 2) -> Column:
+    """Gopher-style repetition score: 1 − distinct/total word n-grams.
+    High values mean boilerplate/looped text — a standard LLM-corpus
+    quality gate. Pure array expressions: map-side only, no shuffle."""
+    g = word_ngrams(tokens(col), n)
+    total = F.array_size(g)
+    return F.when(
+        total > 0,
+        F.round(F.lit(1.0) - F.array_size(F.array_distinct(g)) / total, 6),
+    ).otherwise(F.lit(0.0))
 
 
 def char_ratio(col: Column, pattern: str) -> Column:
@@ -236,6 +253,28 @@ def hash_sample(
     across runs, engines, and retries (a failed task resamples the SAME
     rows) — the only safe way to sample a 100 TB training corpus that
     must be re-creatable. Stratify by applying per group."""
+    k = key if isinstance(key, Column) else F.col(key)
+    return F.pmod(portable_hash(k.cast("string")), F.lit(mod)) < pct
+
+
+def stratified_hash_sample(
+    key: str | Column,
+    strata: str | Column,
+    rates: dict[str, int],
+    default_pct: int,
+    mod: int = 100,
+) -> Column:
+    """Per-stratum deterministic sampling predicate — e.g. keep 30% of
+    English but 10% of every other language. Same reproducibility
+    contract as ``hash_sample``; the per-row rate is a codegen'd CASE
+    over the stratum column, so the whole predicate evaluates inside
+    the scan stage."""
+    s = strata if isinstance(strata, Column) else F.col(strata)
+    pct: Column | None = None
+    for value, rate in rates.items():
+        cond = s == value
+        pct = F.when(cond, rate) if pct is None else pct.when(cond, rate)
+    pct = F.lit(default_pct) if pct is None else pct.otherwise(default_pct)
     k = key if isinstance(key, Column) else F.col(key)
     return F.pmod(portable_hash(k.cast("string")), F.lit(mod)) < pct
 

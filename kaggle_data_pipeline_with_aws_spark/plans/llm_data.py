@@ -638,3 +638,111 @@ def d23_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", F.octet_length("payload").alias("frame_bytes")
     )
+
+
+_SHINGLE_CTE = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks
+    )"""
+
+
+@spark_query(
+    "d24_decontaminate",
+    f"""{_SHINGLE_CTE},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+    bad AS (
+      SELECT DISTINCT doc_id FROM sh
+      WHERE doc_id >= 20 AND shingle IN (SELECT shingle FROM bench)
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def d24_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with id < 20 stand in for the
+    held-out eval set; any corpus doc sharing a 3-word shingle with it
+    is dropped (test-set-leakage guard). The eval shingle set
+    broadcasts — the corpus is never shuffled."""
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") >= 20)
+    benchmark = d.filter(F.col("doc_id") < 20)
+    return dedup.decontaminate(corpus, benchmark).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@spark_query(
+    "d25_repetition_ratio",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS g
+      FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN len(g) > 0
+                THEN round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 6)
+                ELSE 0.0 END AS repetition
+    FROM bg
+    """,
+)
+def d25_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rule: 1 − distinct/total word
+    bigrams per doc. Pure array expressions — evaluates in the scan
+    stage, nothing shuffles."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", text.repetition_ratio("text", n=2).alias("repetition")
+    )
+
+
+@spark_query(
+    "d26_stratified_sample",
+    f"""
+    SELECT doc_id, lang, text
+    FROM documents
+    WHERE ({portable_hash_sql("CAST(doc_id AS VARCHAR)")}) % 100
+          < (CASE WHEN lang = 'en' THEN 30 ELSE 10 END)
+    """,
+)
+def d26_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: 30% of English, 10% of every
+    other language — the language-rebalancing step of corpus curation,
+    reproducible across runs/engines/task retries (unlike rand())."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", "lang", "text").filter(
+        text.stratified_hash_sample("doc_id", "lang", {"en": 30}, 10)
+    )
+
+
+_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@spark_query(
+    "d27_source_lang_matrix",
+    f"""
+    SELECT source,
+           {", ".join(
+               f"CAST(sum(CASE WHEN lang = '{l}' THEN 1 ELSE 0 END) AS BIGINT)"
+               f" AS {l}" for l in _LANGS
+           )}
+    FROM documents
+    GROUP BY source
+    """,
+)
+def d27_source_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition matrix: source × language counts via
+    groupBy().pivot() with explicit pivot values (no extra pass to
+    discover them — at scale, value discovery is a full shuffle)."""
+    d = _docs(spark, sf_dir)
+    pivoted = d.groupBy("source").pivot("lang", _LANGS).count()
+    return pivoted.select(
+        "source",
+        *[F.coalesce(F.col(l), F.lit(0)).alias(l) for l in _LANGS],
+    )

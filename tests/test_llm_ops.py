@@ -167,3 +167,64 @@ def test_multimodal_resize_and_frame_sample(spark, sf_dir):
         (SF.col("lo") != 0) | (SF.col("n") != SF.col("hi") + 1)
     ).count()
     assert bad == 0
+
+
+def test_decontaminate_drops_leaked_docs(spark):
+    """A corpus doc sharing any 3-shingle with the benchmark must go;
+    docs sharing nothing must survive — and the corpus side must never
+    shuffle (broadcast semi + anti joins only)."""
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (100, "prefix the quick brown fox tail"),  # leaked shingle
+            (101, "completely unrelated sentence about spark engines"),
+            (102, "another clean document with no overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = dedup.decontaminate(corpus, bench)
+    assert sorted(r["doc_id"] for r in out.collect()) == [101, 102]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_ratio_flags_boilerplate(spark):
+    from kaggle_data_pipeline_with_aws_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham spam ham"),  # 2 distinct bigrams
+            (2, "all words here are fully distinct tokens"),
+            (3, "one"),  # no bigrams -> 0.0 by definition
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["rep"]
+        for r in df.select(
+            "doc_id", T.repetition_ratio("text").alias("rep")
+        ).collect()
+    }
+    assert got[1] > 0.6 and got[2] == 0.0 and got[3] == 0.0
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from kaggle_data_pipeline_with_aws_spark.operators import text as T
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    pred = T.stratified_hash_sample("doc_id", "lang", {"en": 50}, 10)
+    kept = docs.filter(pred).groupBy("lang").count().collect()
+    total = dict(
+        (r["lang"], r["count"]) for r in docs.groupBy("lang").count().collect()
+    )
+    rates = {r["lang"]: r["count"] / total[r["lang"]] for r in kept}
+    assert 0.35 < rates["en"] < 0.65
+    for lang, rate in rates.items():
+        if lang != "en":
+            assert rate < 0.25, (lang, rate)
+    # determinism: same predicate, same rows
+    a = sorted(r["doc_id"] for r in docs.filter(pred).collect())
+    b = sorted(r["doc_id"] for r in docs.filter(pred).collect())
+    assert a == b
