@@ -674,3 +674,115 @@ def q27_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", (F.col("__pos") + 1).cast("long").alias("token_pos"), "token"
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join — point-in-time enrichment (operators/asof.py). Spark has no
+# native ASOF; ours is the union + carry-forward window composition with a
+# single shuffle on the key. DuckDB's native ASOF LEFT JOIN is the oracle.
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q28_asof_join",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    r AS (
+      SELECT user_id, ts, CAST(max(value) AS DOUBLE) AS pvalue
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT l.event_id, l.user_id, l.ts, r.pvalue AS pvalue_asof
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q28_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")  # dedupe equal timestamps -> deterministic
+        .agg(F.max("value").alias("pvalue"))
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", ts_col="ts", payload_cols=["pvalue"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP — multi-granularity aggregate (hypertable-rollup shape): per
+# (type, hour), per type, and grand total in ONE pass (partial aggs for
+# every grouping set share the scan).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q29_rollup_hourly",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           count(*) AS n, CAST(sum(value) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP(event_type, date_trunc('hour', ts))
+    """,
+)
+def q29_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "hour", F.date_trunc("hour", "ts")
+    )
+    return ev.rollup("event_type", "hour").agg(
+        F.count("*").alias("n"), F.sum("value").alias("total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Running per-key cumulative sum — the W-family beyond row_number: frame-
+# bounded window agg, single hash shuffle on the key.
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q30_running_total",
+    """
+    SELECT event_id, user_id, ts,
+           round(CAST(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 6) AS running_value
+    FROM events
+    """,
+)
+def q30_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LAG — inter-event gaps per key (sessionization's building block).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q31_lag_gap",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(date_diff('second',
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+             ts) AS BIGINT) AS gap_s
+    FROM events
+    """,
+)
+def q31_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return ev.select(
+        "event_id", "user_id", "ts",
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev))
+        .cast("long")
+        .alias("gap_s"),
+    )
