@@ -746,3 +746,32 @@ def d27_source_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         *[F.coalesce(F.col(l), F.lit(0)).alias(l) for l in _LANGS],
     )
+
+
+@spark_query(
+    "d28_kmv_distinct",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    h AS (
+      SELECT DISTINCT {portable_hash_sql("token")} AS hh FROM tok
+      ORDER BY hh LIMIT 256
+    )
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           max(hh) AS kth_min_hash,
+           round((count(*) - 1) * {HASH_MOD}.0 / max(hh), 6) AS est_distinct
+    FROM h
+    """,
+)
+def d28_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token estimate via the KMV sketch (operators/sketch.py):
+    deterministic with the portable hash, so — unlike HyperLogLog — the
+    estimate itself is oracle-checkable bit-for-bit. Scale: map-side
+    hash + per-partition top-k merge, nothing data-sized moves."""
+    from ..operators.sketch import kmv_distinct_estimate
+
+    tok = _docs(spark, sf_dir).select(
+        F.explode(text.tokens("text")).alias("token")
+    )
+    return kmv_distinct_estimate(tok, "token", k=256)

@@ -786,3 +786,45 @@ def q31_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval-containment) join — no equality key. Bucketized rewrite
+# (operators/interval.py) turns the nested-loop shape into a hash equi-join
+# on time buckets; the oracle states the plain theta-join semantics.
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q32_range_join",
+    """
+    WITH i AS (
+      SELECT event_id AS signup_id, ts AS start_ts,
+             ts + INTERVAL 300 SECOND AS end_ts
+      FROM events WHERE event_type = 'signup'
+    ),
+    p AS (
+      SELECT event_id AS error_id, ts FROM events WHERE event_type = 'error'
+    )
+    SELECT p.error_id, i.signup_id
+    FROM p JOIN i ON p.ts BETWEEN i.start_ts AND i.end_ts
+    """,
+)
+def q32_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.interval import interval_point_join
+
+    ev = _t(spark, sf_dir, "events")
+    intervals = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("end_ts"),
+    )
+    points = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "ts"
+    )
+    return interval_point_join(
+        points,
+        intervals,
+        ts_col="ts",
+        start_col="start_ts",
+        end_col="end_ts",
+        bucket_width_s=300,
+    ).select("error_id", "signup_id")
