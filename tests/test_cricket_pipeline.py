@@ -217,3 +217,42 @@ def test_corrupt_file_excluded_but_ledger_marked(spark, tmp_path):
     assert result2.n_new_files == 0
     assert result2.n_corrupt == 0
     assert result2.matchwise.count() == 3
+
+
+def test_published_csv_golden_format(spark, tmp_path, landing):
+    """Byte-level publish parity with the reference artifact
+    (matchwise_data.csv): exact 17-column header in order, one CSV
+    object (single_file mode), rows globally ordered with contiguous
+    match_number from 1, nulls as empty fields, floats with a decimal
+    point — the conventions pandas to_csv used (convert...py:63-75)."""
+    import csv as csvmod
+    import glob
+
+    run_incremental(
+        spark,
+        landing,
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        max_files_per_cycle=20,
+        single_file_csv=True,
+    )
+    parts = glob.glob(str(tmp_path / "out/matchwise_data/part-*.csv"))
+    assert len(parts) == 1  # the reference publishes ONE S3 object
+    with open(parts[0], newline="") as f:
+        lines = f.read().splitlines()
+    header = lines[0]
+    assert header == (
+        "match_number,match_id,date,event_name,ground_name,ground_city,"
+        "team_1,team_2,toss_winner,toss_decision,team_1_total_runs,"
+        "team_2_total_runs,winner,margin_runs,margin_wickets,"
+        "winning_method,player_of_the_match"
+    )
+    rows = list(csvmod.reader(lines[1:]))
+    # contiguous 1..N numbering in file order (order IS the artifact)
+    assert [r[0] for r in rows] == [str(i) for i in range(1, len(rows) + 1)]
+    # dates render ISO yyyy-mm-dd like the reference CSV
+    assert all(len(r[2]) == 10 and r[2][4] == "-" for r in rows)
+    # margin columns: empty when absent, decimal-pointed when present
+    margins = [r[13] for r in rows] + [r[14] for r in rows]
+    assert any(m == "" for m in margins)
+    assert all(m == "" or "." in m for m in margins)
