@@ -775,3 +775,93 @@ def d28_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(text.tokens("text")).alias("token")
     )
     return kmv_distinct_estimate(tok, "token", k=256)
+
+
+@spark_query(
+    "d29_label_centroids",
+    """
+    SELECT label, CAST(i - 1 AS INT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_v
+    FROM embeddings, range(1, 65) AS t(i)
+    GROUP BY label, i
+    """,
+)
+def d29_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (the class-centroid table an IVF/kNN
+    classifier trains from): posexplode the vector → one (label, dim)
+    partial-agg — the shuffle carries 64 rows per (partition, label),
+    never the vectors themselves."""
+    e = _embs(spark, sf_dir)
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("v"), 6).alias("centroid_v"),
+        )
+    )
+
+
+@spark_query(
+    "d30_tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def d30_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the keyword/topic profile of
+    the corpus. df is doc-count-distinct (two-phase agg); idf joins
+    back BROADCAST (vocabulary-sized); top-k is a per-doc window, no
+    global sort."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(text.tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
