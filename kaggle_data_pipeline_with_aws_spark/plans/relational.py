@@ -828,3 +828,98 @@ def q32_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         end_col="end_ts",
         bucket_width_s=300,
     ).select("error_id", "signup_id")
+
+
+# ---------------------------------------------------------------------------
+# Resample to a fixed grid + forward fill — the hypertable/gap-fill op.
+# Grid = per-key hourly sequence(min..max); reading = last value in the
+# hour; gaps carry the previous reading forward (last ignoreNulls window).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q33_resample_ffill",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    readings AS (SELECT user_id, hour, value FROM hourly WHERE rn = 1),
+    bounds AS (
+      SELECT user_id, min(hour) AS h0, max(hour) AS h1
+      FROM readings GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    )
+    SELECT g.user_id, g.hour,
+           round(last_value(r.value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 6) AS value_ffill
+    FROM grid g LEFT JOIN readings r
+      ON g.user_id = r.user_id AND g.hour = r.hour
+    """,
+)
+def q33_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    w_pick = Window.partitionBy("user_id", hour).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    readings = (
+        ev.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("user_id", hour.alias("hour"), "value")
+    )
+    grid = (
+        readings.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(readings, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.round(
+                F.last("value", ignorenulls=True).over(w_fill), 6
+            ).alias("value_ffill"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated percentiles per group (sort-agg family): Spark
+# percentile() == DuckDB quantile_cont.
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q34_group_percentiles",
+    """
+    SELECT event_type,
+           round(CAST(quantile_cont(value, 0.5)  AS DOUBLE), 6) AS p50,
+           round(CAST(quantile_cont(value, 0.9)  AS DOUBLE), 6) AS p90,
+           round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q34_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
