@@ -75,3 +75,36 @@ def s02_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_event_counts(
         events, timestamp_col="ts", key_col="user_id"
     ).orderBy("user_id", "session_start")
+
+
+@spark_query(
+    "s03_first_arrival_dedup",
+    """
+    SELECT event_id, user_id, event_type, ts
+    FROM (
+      SELECT event_id, user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def s03_first_arrival_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7's record-stream face: first arrival per (user, type) wins —
+    the deterministic batch statement of what
+    ``streaming/incremental.py::dedup_within_watermark`` enforces
+    incrementally (watermark-bounded state, exactly-once per key within
+    the lateness horizon; state expiry is what makes it viable on an
+    unbounded stream). Batch form: per-key min-(ts, id) via window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
