@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.readers import spread_for_compute
 from .text import HASH_MOD, portable_hash, tokens, word_shingles
 
 # Fixed affine minhash parameters (a, b) — odd multipliers, generated
@@ -97,7 +98,7 @@ def shingle_table(
     ``max_shingle_doc_freq`` removes shingles appearing in more than N
     docs (stop-shingles): they blow up the self-join quadratically and
     carry no dedup signal — the skew mitigation at 100 TB."""
-    sh = df.select(
+    sh = spread_for_compute(df).select(
         "doc_id",
         F.explode(word_shingles(tokens(text_col), n)).alias("shingle"),
     )
@@ -299,7 +300,9 @@ def simhash_fingerprints(
     as Σ (vote_b > 0) << b. Single shuffle (the groupBy), all codegen."""
     from .text import portable_hash60
 
-    tok = df.select("doc_id", F.explode(tokens(text_col)).alias("token"))
+    tok = spread_for_compute(df).select(
+        "doc_id", F.explode(tokens(text_col)).alias("token")
+    )
     weighted = tok.groupBy("doc_id", "token").agg(F.count("*").alias("w"))
     token_hash = (
         portable_hash60(F.col("token"))

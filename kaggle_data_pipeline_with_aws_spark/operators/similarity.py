@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.readers import spread_for_compute
+
 # Fixed seeded hyperplane constants: per plane, per dimension pseudo-
 # random ±1 derived from a hash — deterministic, no runtime RNG.
 NUM_PLANES = 16
@@ -60,7 +62,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    c = corpus.select(
+    c = spread_for_compute(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
     scored = (
@@ -90,6 +92,7 @@ def near_duplicate_pairs(
 
     Brute-force form for exactness at oracle scale; the LSH variant
     (``hyperplane_lsh_topk``'s bucketing) is the 100 TB path."""
+    embeddings = spread_for_compute(embeddings)
     a = embeddings.select(
         F.col(id_col).alias("id_1"), F.col(vec_col).alias("__a")
     )
@@ -262,7 +265,7 @@ def ivf_topk(
     assign1 = _nearest_cells_udf(centroids, 1)
     probe = _nearest_cells_udf(centroids, n_probe)
 
-    c = corpus.select(
+    c = spread_for_compute(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     ).withColumn(
         "cell_id", F.try_element_at(assign1(F.col("__cv")), F.lit(1))

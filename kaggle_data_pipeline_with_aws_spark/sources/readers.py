@@ -89,3 +89,24 @@ def read_json_documents(
 
 def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.schema(schema).option("header", True).csv(path)
+
+
+def spread_for_compute(df: DataFrame) -> DataFrame:
+    """Unsplittable-input guard for compute-heavy operators.
+
+    A small table stored as one single-row-group parquet file scans as
+    ONE partition no matter how many cores exist (parquet cannot split
+    below a row group), serializing every map-side stage built on it —
+    fatal for per-row-expensive ops (hashing every shingle, scoring
+    every vector). When the scan cannot feed even half the cluster,
+    round-robin repartition to full parallelism; the shuffle moves only
+    the small input, and the expensive derived work (explodes, hashes,
+    dot products) then runs wide. At real scale the input has plenty of
+    partitions and this is a no-op, so plans are untouched exactly when
+    the data is big enough not to need help.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
