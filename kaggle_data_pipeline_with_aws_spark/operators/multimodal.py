@@ -86,8 +86,13 @@ DECODERS: dict[str, Callable[[bytes, str], dict[str, Any]]] = {
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Manufacture a media table from the documents table: utf-8 payload
     bytes + typed metadata. Stands in for a real (id, binary, meta)
-    ingest; schema and partitioning match the real thing."""
-    return docs.select(
+    ingest; schema and partitioning match the real thing. Spread before
+    the downstream Pandas-UDF stages: Arrow batches inherit the scan's
+    partitioning, so an unsplittable single-file scan would serialize
+    every decode."""
+    from ..sources.readers import spread_for_compute
+
+    return spread_for_compute(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
