@@ -205,7 +205,10 @@ def _minhash_sig_sql() -> str:
     )"""
 
 
-def _minhash_pairs_oracle(threshold: float = 0.5) -> str:
+def _minhash_pairs_cte(threshold: float = 0.5) -> str:
+    """The full WITH-chain ending in ``pairs(doc_id_1, doc_id_2,
+    est_jaccard)`` — shared by the pair query (d07) and the
+    connected-components query (d31)."""
     band_selects = []
     for bi in range(LSH_BANDS):
         cols = [f"h{i}" for i in range(bi * LSH_ROWS, (bi + 1) * LSH_ROWS)]
@@ -222,14 +225,22 @@ def _minhash_pairs_oracle(threshold: float = 0.5) -> str:
       SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
       FROM bands a JOIN bands b
         ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_id_1, doc_id_2,
+             round(CAST({matches} AS DOUBLE) / {NUM_HASHES}, 6) AS est_jaccard
+      FROM cand
+      JOIN sigs sa ON cand.doc_id_1 = sa.doc_id
+      JOIN sigs sb ON cand.doc_id_2 = sb.doc_id
+      WHERE round(CAST({matches} AS DOUBLE) / {NUM_HASHES}, 6) >= {threshold}
+    )"""
+
+
+def _minhash_pairs_oracle(threshold: float = 0.5) -> str:
+    return (
+        _minhash_pairs_cte(threshold)
+        + "\n    SELECT doc_id_1, doc_id_2, est_jaccard FROM pairs"
     )
-    SELECT doc_id_1, doc_id_2,
-           round(CAST({matches} AS DOUBLE) / {NUM_HASHES}, 6) AS est_jaccard
-    FROM cand
-    JOIN sigs sa ON cand.doc_id_1 = sa.doc_id
-    JOIN sigs sb ON cand.doc_id_2 = sb.doc_id
-    WHERE round(CAST({matches} AS DOUBLE) / {NUM_HASHES}, 6) >= {threshold}
-    """
 
 
 @spark_query("d07_minhash_lsh", _minhash_pairs_oracle())
@@ -865,3 +876,42 @@ def d30_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+def _components_oracle() -> str:
+    """Transitive closure (recursive CTE) over the minhash near-dup
+    pairs — DuckDB states the fixpoint declaratively; Spark computes it
+    by iterated joins (operators/components.py)."""
+    cte = _minhash_pairs_cte(0.5).replace("WITH toks", "WITH RECURSIVE toks", 1)
+    return f"""{cte},
+    nodes AS (
+      SELECT doc_id_1 AS node FROM pairs
+      UNION SELECT doc_id_2 FROM pairs
+    ),
+    edges AS (
+      SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+      UNION SELECT doc_id_2, doc_id_1 FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS node, min(b) AS component
+    FROM reach GROUP BY a
+    """
+
+
+@spark_query("d31_dedup_components", _components_oracle())
+def d31_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over the minhash-LSH
+    near-dup edges via iterative min-label propagation (2 shuffles per
+    round over (node, label) pairs only; near-dup graphs are small
+    dense cliques so the fixpoint lands in 2-3 rounds). The oracle is
+    the recursive-CTE transitive closure of the same edges."""
+    from ..operators.components import connected_components
+
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.5, portable=True
+    )
+    return connected_components(pairs)

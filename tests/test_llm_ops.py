@@ -228,3 +228,22 @@ def test_stratified_sample_rates_and_determinism(spark):
     a = sorted(r["doc_id"] for r in docs.filter(pred).collect())
     b = sorted(r["doc_id"] for r in docs.filter(pred).collect())
     assert a == b
+
+
+def test_connected_components_multi_hop_chain(spark):
+    """A 5-node chain (diameter 4) must collapse to one component —
+    exercises the fixpoint loop past a single propagation round — plus
+    a disjoint pair and an isolated edge."""
+    from kaggle_data_pipeline_with_aws_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21)],
+        ["doc_id_1", "doc_id_2"],
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
