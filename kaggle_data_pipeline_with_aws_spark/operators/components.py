@@ -46,6 +46,7 @@ def connected_components(
         .cache()
     )
     labels = nodes.withColumn("component", F.col("node"))
+    cached_prev = None
 
     for _ in range(max_iterations):
         neighbor_min = (
@@ -76,6 +77,9 @@ def connected_components(
             .limit(1)
             .count()
         )
+        if cached_prev is not None:  # superseded round's cache
+            cached_prev.unpersist()
+        cached_prev = new_labels
         labels = new_labels
         if changed == 0:
             break
