@@ -256,3 +256,31 @@ def test_published_csv_golden_format(spark, tmp_path, landing):
     margins = [r[13] for r in rows] + [r[14] for r in rows]
     assert any(m == "" for m in margins)
     assert all(m == "" or "." in m for m in margins)
+
+
+def test_ingest_extract_zip_lands_only_json(spark, tmp_path):
+    """S1/S2: archive extraction keeps only *.json members, flattens
+    nested paths, and lands files the schema'd scan can read."""
+    import json as jsonmod
+    import zipfile
+
+    from kaggle_data_pipeline_with_aws_spark.ingest import extract_zip
+    from cricket_fixtures import write_fixture_dir
+
+    src = tmp_path / "src"
+    write_fixture_dir(str(src), n_matches=3, seed=7)
+    zip_path = str(tmp_path / "t20s.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for name in sorted(os.listdir(src)):
+            zf.write(os.path.join(src, name), f"nested/dir/{name}")
+        zf.writestr("README.txt", "not data")
+        zf.writestr("nested/notes.csv", "a,b")
+
+    landing = str(tmp_path / "landing")
+    landed = extract_zip(zip_path, landing)
+    assert landed == sorted(n for n in os.listdir(src) if n.endswith(".json"))
+    assert sorted(os.listdir(landing)) == landed  # staging dir cleaned up
+
+    raw = read_json_documents(spark, landing, CRICSHEET_MATCH_SCHEMA)
+    assert raw.count() == 3
+    assert raw.filter(F.col("info").isNotNull()).count() == 3
