@@ -115,3 +115,23 @@ def test_global_renumber_stays_distributed(spark, sf_dir):
     # never collapses to a single partition for the full input
     assert "hashpartitioning(__bucket" in plan
     assert "BroadcastExchange" in plan  # offset map joins as broadcast
+
+
+def test_spread_for_compute_noop_on_many_files(spark, tmp_path):
+    """The unsplittable-scan guard must disappear exactly when the data
+    is big enough not to need it: a many-file input keeps its scan
+    partitioning, a single-file input gets repartitioned."""
+    from kaggle_data_pipeline_with_aws_spark.sources.readers import (
+        spread_for_compute,
+    )
+
+    many = str(tmp_path / "many")
+    spark.range(10000).repartition(24).write.parquet(many)
+    df_many = spark.read.parquet(many)
+    assert spread_for_compute(df_many) is df_many  # untouched plan
+
+    one = str(tmp_path / "one")
+    spark.range(10000).coalesce(1).write.parquet(one)
+    df_one = spark.read.parquet(one)
+    out = df_one if spread_for_compute(df_one) is df_one else "spread"
+    assert out == "spread"
