@@ -57,8 +57,16 @@ def main() -> None:
     # plans, compiles, and executes the sf target cold). This warms JIT,
     # codegen caches, and shuffle machinery so the measurement reflects
     # sustained throughput, not first-query JVM ramp-up.
-    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
-    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+    base = os.path.dirname(sf_dir.rstrip("/"))
+    warm_dir = next(
+        (
+            d
+            for d in (os.path.join(base, f"sf{s}") for s in ("0.001", "0.01"))
+            if os.path.isdir(d) and os.path.abspath(d) != os.path.abspath(sf_dir)
+        ),
+        None,
+    )
+    if warm_dir:
         for name in names:
             try:
                 qs[name](spark, warm_dir).count()
