@@ -923,3 +923,48 @@ def q34_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
         F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) window aggregate — F.window with a slide < length
+# fans each event into length/slide windows; the oracle states the same
+# fan-out as an explicit two-start unnest.
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q35_sliding_window",
+    """
+    WITH fanned AS (
+      SELECT event_type, value,
+             unnest([
+               CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP),
+               CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS TIMESTAMP)
+             ]) AS window_start
+      FROM events
+    )
+    SELECT window_start, event_type,
+           count(*) AS n, round(CAST(sum(value) AS DOUBLE), 6) AS total_value
+    FROM fanned
+    GROUP BY 1, 2
+    """,
+)
+def q35_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows every 30 minutes: each event lands in exactly 2
+    windows (those starting at its 30-min bucket and the one before).
+    The shuffle carries partially-aggregated (window, type) rows — the
+    2× fan-out happens map-side, pre-combine."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
