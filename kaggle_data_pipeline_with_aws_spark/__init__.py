@@ -12,10 +12,15 @@ for 100 TB scale rather than single-Lambda execution.
 Layout:
     session       SparkSession factory (AQE, shuffle sizing, UTC, Arrow)
     schemas       explicit StructTypes for every table (SURVEY §1.3)
-    sources/      readers (parquet/csv/json landing zone, gated Mongo)
-    operators/    flatten / ledger / renumber / dedup / similarity / text
+    ingest        raw-zone zip fetch/extract with atomic landing (S1/S2)
+    sources/      readers + sinks (parquet/csv/json zone, gated Mongo,
+                  document store, compaction, spread_for_compute guard)
+    operators/    flatten / ledger / renumber / dedup / similarity /
+                  text / asof / interval / sketch / components / skew /
+                  multimodal
     functions/    scalar column-expression helpers (SURVEY §2.8)
-    plans/        analytical query suite + TPC-H-shaped operator queries
+    plans/        q01-q35 relational + d01-d31 LLM-data + s01-s03
+                  streaming faces, each with a DuckDB oracle twin
     streaming/    incremental file-source pipeline (SURVEY §2.9)
     materialize   EP3: renumber + enrich-join + sorted CSV/parquet output
     pipeline      the EP1→EP3 DAG as one driver program
