@@ -915,3 +915,40 @@ def d31_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), threshold=0.5, portable=True
     )
     return connected_components(pairs)
+
+
+@spark_query(
+    "d32_char_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS c,
+             length(text) AS n
+      FROM documents WHERE length(text) > 0
+    ),
+    freq AS (
+      SELECT doc_id, c, n, count(*) AS k FROM chars
+      WHERE c <> '' GROUP BY doc_id, c, n
+    )
+    SELECT doc_id,
+           round(-sum((CAST(k AS DOUBLE) / n) * log2(CAST(k AS DOUBLE) / n)), 6)
+             AS char_entropy
+    FROM freq GROUP BY doc_id
+    """,
+)
+def d32_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the per-doc character distribution — low
+    entropy flags degenerate/repetitive text (the cheap complement to
+    the n-gram repetition rule). Explode chars → (doc, char) partial
+    counts → one entropy agg; both shuffles carry counted rows, never
+    characters."""
+    d = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    chars = d.select(
+        "doc_id",
+        F.explode(F.split("text", "")).alias("c"),
+        F.length("text").alias("n"),
+    ).filter(F.col("c") != "")
+    freq = chars.groupBy("doc_id", "c", "n").agg(F.count("*").alias("k"))
+    p = F.col("k").cast("double") / F.col("n")
+    return freq.groupBy("doc_id").agg(
+        F.round(-F.sum(p * F.log2(p)), 6).alias("char_entropy")
+    )
