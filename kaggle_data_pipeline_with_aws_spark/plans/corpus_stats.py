@@ -1,0 +1,339 @@
+"""Corpus-statistics operator suite — the second wave of LLM-data-pipeline
+extensions (SURVEY.md §8 "beyond-reference" table): language-model-style
+scoring, chunking for training-window packing, source mixing, cross-lingual
+vocabulary analysis, prefix-containment dedup, and a distribution-bucketing
+relational query.
+
+Scale notes shared by every plan here: the only corpus-global state any
+query builds (the unigram model in d33, the per-language vocabulary sizes
+in d36, the 1-row token total) is vocabulary-sized or smaller and is
+broadcast back — the document-sized side never shuffles twice. No Python
+UDFs; everything is built-in column expressions inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import text
+from ..sources.readers import load_table
+from .registry import spark_query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# d33 — unigram log-probability scoring.
+# The classic cheap LM-quality proxy: score each document by the mean
+# log2-probability of its tokens under the corpus's own unigram
+# distribution (low = rare/garbled text, high = stereotypical text).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "d33_unigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+    counts AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+    total AS (SELECT count(*) AS total FROM t)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(log2(CAST(cnt AS DOUBLE) / total)), 6) AS avg_logprob
+    FROM t JOIN counts USING (term), total
+    GROUP BY doc_id
+    """,
+)
+def d33_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-prob per document. Two aggregations over the
+    exploded token stream, but the model that joins back (term → count)
+    is vocabulary-sized → broadcast; the 1-row grand total rides along
+    the same way. At 100 TB the token explode is the only big shuffle
+    and it is partial-agg'd map-side on (doc_id)."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(text.tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    counts = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = tok.agg(F.count("*").alias("total"))
+    return (
+        tok.join(F.broadcast(counts), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log2(F.col("cnt").cast("double") / F.col("total"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d34 — fixed-size token chunking (training-window packing).
+# ---------------------------------------------------------------------------
+_CHUNK = 32
+
+
+@spark_query(
+    "d34_chunk_documents",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(range(0, CAST(ceil(len(t) / {_CHUNK}.0) AS BIGINT))) AS i
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(
+             t[CAST(i*{_CHUNK}+1 AS BIGINT):CAST(i*{_CHUNK}+{_CHUNK} AS BIGINT)],
+             ' ') AS chunk_text,
+           len(t[CAST(i*{_CHUNK}+1 AS BIGINT):CAST(i*{_CHUNK}+{_CHUNK} AS BIGINT)])
+             AS chunk_tokens
+    FROM idx
+    """,
+)
+def d34_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into fixed 32-token chunks with a per-doc
+    ordinal — the packing step before sequence training. Pure explode
+    over a generated index array + slice: narrow (no shuffle at all),
+    embarrassingly parallel, and the chunk ordinal is per-document so
+    no global coordination is needed at any scale."""
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", text.tokens("text").alias("t"))
+    n_chunks = F.ceil(F.array_size("t") / F.lit(float(_CHUNK))).cast("long")
+    idx = t.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("i"),
+    )
+    chunk = F.slice(
+        F.col("t"), (F.col("i") * _CHUNK + 1).cast("int"), F.lit(_CHUNK)
+    )
+    return idx.select(
+        "doc_id",
+        F.col("i").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.array_size(chunk).cast("long").alias("chunk_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d35 — deterministic weighted source mixing.
+# Curriculum/mixture sampling: each source s is kept at a rate derived
+# from its id (srcN → (N % 5 + 1)/10, i.e. 10%..50%), decided by a
+# portable content hash so the sample is reproducible on any engine.
+# ---------------------------------------------------------------------------
+_MIX_SALT = "mix|"
+
+
+@spark_query(
+    "d35_source_mixing",
+    f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {text.portable_hash_sql("'" + _MIX_SALT + "' || CAST(doc_id AS VARCHAR)", 1000)}
+          < (CAST(substr(source, 4) AS INT) % 5 + 1) * 100
+    """,
+)
+def d35_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted per-source downsampling with a deterministic keep rule
+    (hash(doc_id) mod 1000 < rate·1000) — the mixture step that turns N
+    raw sources into a training blend. A pure filter: pushes to the
+    scan, no shuffle, and the decision is row-local so it scales
+    linearly and replays identically (idempotent re-runs)."""
+    d = _docs(spark, sf_dir)
+    bucket = text.portable_hash(
+        F.concat(F.lit(_MIX_SALT), F.col("doc_id").cast("string")), 1000
+    )
+    rate_millis = (
+        F.substring("source", 4, 10).cast("int") % 5 + 1
+    ) * 100
+    return d.filter(bucket < rate_millis).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# d36 — cross-language vocabulary overlap (pairwise Jaccard).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "d36_lang_vocab_overlap",
+    """
+    WITH tok AS (
+      SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    v AS (SELECT lang, term FROM tok WHERE term <> ''),
+    sizes AS (SELECT lang, count(*) AS sz FROM v GROUP BY lang),
+    inter AS (
+      SELECT a.lang AS lang_1, b.lang AS lang_2, count(*) AS n_common
+      FROM v a JOIN v b ON a.term = b.term AND a.lang < b.lang
+      GROUP BY a.lang, b.lang
+    )
+    SELECT lang_1, lang_2, n_common,
+           round(CAST(n_common AS DOUBLE)
+                 / (s1.sz + s2.sz - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.lang = lang_1
+    JOIN sizes s2 ON s2.lang = lang_2
+    """,
+)
+def d36_lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard similarity between per-language vocabularies —
+    the corpus-analysis view of how much surface form languages share.
+    The distinct (lang, term) vocabulary is the only shuffled set; the
+    language-pair intersection is a self-join on term (vocab-sized, not
+    corpus-sized), and the per-language sizes broadcast back to a
+    10-row result regardless of corpus scale."""
+    d = _docs(spark, sf_dir)
+    v = (
+        d.select("lang", F.explode(text.tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    sizes = v.groupBy("lang").agg(F.count("*").alias("sz"))
+    a = v.select(F.col("lang").alias("lang_1"), "term")
+    b = v.select(F.col("lang").alias("lang_2"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("lang_1") < F.col("lang_2"))
+        .groupBy("lang_1", "lang_2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.select(F.col("lang").alias("lang_1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("lang").alias("lang_2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(F.broadcast(s1), "lang_1")
+        .join(F.broadcast(s2), "lang_2")
+        .select(
+            "lang_1",
+            "lang_2",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d37 — prefix-containment dedup candidates.
+# Catches truncation duplicates (one doc is a leading fragment of
+# another) that exact-hash dedup (d01) misses because the hashes differ.
+# ---------------------------------------------------------------------------
+_PFX_BUCKET = 16
+
+
+@spark_query(
+    "d37_prefix_containment",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text, substr(text, 1, {_PFX_BUCKET}) AS b FROM documents
+      WHERE length(text) >= {_PFX_BUCKET}
+    )
+    SELECT a.doc_id AS short_id, l.doc_id AS long_id
+    FROM d a JOIN d l ON a.b = l.b
+    WHERE starts_with(l.text, a.text)
+      AND (length(l.text) > length(a.text)
+           OR (length(l.text) = length(a.text) AND a.doc_id < l.doc_id))
+    """,
+)
+def d37_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs (short, long) where the short document's full text is a
+    prefix of the long one (ties broken by id so equal texts emit one
+    direction). The equi-join key is the first 16 chars, so candidate
+    groups are tiny prefix buckets — the quadratic compare never sees
+    more than a bucket, and the bucket join shuffles on a short fixed-
+    width key. A longer bucket (or a bucketed table) tightens it
+    further at 100 TB; Catalyst keeps the startswith residual as a
+    post-join filter.
+
+    Scope: documents shorter than the 16-char bucket are excluded — a
+    sub-bucket text's bucket equals its whole text and can never equi-
+    match a full bucket, so rather than silently missing those pairs
+    the operator filters them out explicitly. (At scale, sub-16-char
+    docs are a tiny set to handle with a broadcast pass if needed.)"""
+    d = _docs(spark, sf_dir).filter(F.length("text") >= _PFX_BUCKET)
+    a = d.select(
+        F.col("doc_id").alias("short_id"),
+        F.col("text").alias("short_text"),
+        F.substring("text", 1, _PFX_BUCKET).alias("b"),
+    )
+    l = d.select(
+        F.col("doc_id").alias("long_id"),
+        F.col("text").alias("long_text"),
+        F.substring("text", 1, _PFX_BUCKET).alias("b"),
+    )
+    same_len_ordered = (
+        F.length("long_text") == F.length("short_text")
+    ) & (F.col("short_id") < F.col("long_id"))
+    return (
+        a.join(l, "b")
+        .filter(
+            F.col("long_text").startswith(F.col("short_text"))
+            & ((F.length("long_text") > F.length("short_text")) | same_len_ordered)
+        )
+        .select("short_id", "long_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q37 — ntile distribution bucketing (A2-A5 family; the notebook's
+# share-of-total analyses generalized to quantile buckets).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q37_customer_value_quartiles",
+    """
+    WITH totals AS (
+      SELECT o_custkey, sum(o_totalprice) AS total
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT c_mktsegment, total,
+             ntile(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY total, o_custkey) AS quartile
+      FROM totals JOIN customer ON c_custkey = o_custkey
+    )
+    SELECT c_mktsegment, CAST(quartile AS BIGINT) AS quartile,
+           count(*) AS n_customers,
+           round(avg(total), 2) AS avg_total
+    FROM ranked GROUP BY c_mktsegment, quartile
+    """,
+)
+def q37_customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value quartiles per market segment: aggregate
+    order totals, ntile(4) within each segment (deterministic — the
+    window orders by (total, custkey)), then the per-bucket profile.
+    The window partitions by segment so it parallelizes across
+    segments; the pre-aggregation shrinks the windowed set to one row
+    per customer before any sort."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    totals = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("total")
+    )
+    joined = totals.join(
+        customer.select("c_custkey", "c_mktsegment"),
+        totals.o_custkey == customer.c_custkey,
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("total", "o_custkey")
+    ranked = joined.select(
+        "c_mktsegment", "total", F.ntile(4).over(w).alias("quartile")
+    )
+    return ranked.groupBy(
+        "c_mktsegment", F.col("quartile").cast("long").alias("quartile")
+    ).agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("total"), 2).alias("avg_total"),
+    )

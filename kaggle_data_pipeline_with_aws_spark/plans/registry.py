@@ -39,4 +39,5 @@ def load_all() -> None:
     from . import relational  # noqa: F401
     from . import llm_data  # noqa: F401
     from . import cricket_analytics  # noqa: F401
+    from . import corpus_stats  # noqa: F401
     from . import streaming_plans  # noqa: F401

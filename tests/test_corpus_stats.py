@@ -1,0 +1,131 @@
+"""Semantic tests for the corpus-statistics suite (plans/corpus_stats.py)
+on constructed data — hand-computable expectations that complement the
+DuckDB oracle value checks:
+
+- chunking reassembles to the original text and sizes are exact
+- unigram log-prob matches a hand-computed tiny corpus
+- source mixing is deterministic, a subset, and follows the hash rule
+- vocabulary Jaccard matches a constructed overlap
+- prefix containment finds truncations, honors the tie-break, and
+  excludes sub-bucket texts by declared scope
+- ntile quartiles are balanced within each segment
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kaggle_data_pipeline_with_aws_spark.operators import text
+from kaggle_data_pipeline_with_aws_spark.plans import corpus_stats
+from kaggle_data_pipeline_with_aws_spark.plans.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", f"src{i % 3}", len(t)) for i, t in enumerate(rows)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+
+
+def test_chunking_reassembles_and_sizes(spark, monkeypatch):
+    toks = [f"w{i}" for i in range(70)]
+    df = _docs_df(spark, [" ".join(toks), "solo"])
+    monkeypatch.setattr(corpus_stats, "_docs", lambda s, d: df)
+    out = corpus_stats.d34_chunk_documents(spark, SF).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c0 = sorted(by_doc[0], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_tokens"] for r in c0] == [32, 32, 6]
+    assert " ".join(r["chunk_text"] for r in c0) == " ".join(toks)
+    assert [r["chunk_idx"] for r in c0] == [0, 1, 2]
+    (c1,) = by_doc[1]
+    assert (c1["chunk_idx"], c1["chunk_text"], c1["chunk_tokens"]) == (0, "solo", 1)
+
+
+def test_unigram_logprob_hand_computed(spark, monkeypatch):
+    # corpus tokens: a a b c  → p(a)=1/2, p(b)=p(c)=1/4
+    df = _docs_df(spark, ["a a b", "c"])
+    monkeypatch.setattr(corpus_stats, "_docs", lambda s, d: df)
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in corpus_stats.d33_unigram_logprob(spark, SF).collect()
+    }
+    expect0 = (math.log2(0.5) * 2 + math.log2(0.25)) / 3
+    assert out[0][0] == 3
+    assert abs(out[0][1] - round(expect0, 6)) < 1e-9
+    assert out[1] == (1, round(math.log2(0.25), 6))
+
+
+def test_source_mixing_rule_and_determinism(spark):
+    q = QUERIES["d35_source_mixing"]
+    kept = {r["doc_id"]: r["source"] for r in q(spark, SF).collect()}
+    assert kept, "mixture should keep some rows"
+    again = {r["doc_id"]: r["source"] for r in q(spark, SF).collect()}
+    assert kept == again
+    # replay the keep rule row-by-row on the full table
+    full = (
+        corpus_stats._docs(spark, SF)
+        .select(
+            "doc_id",
+            "source",
+            text.portable_hash(
+                F.concat(F.lit("mix|"), F.col("doc_id").cast("string")), 1000
+            ).alias("h"),
+            ((F.substring("source", 4, 10).cast("int") % 5 + 1) * 100).alias("r"),
+        )
+        .collect()
+    )
+    expected = {r["doc_id"]: r["source"] for r in full if r["h"] < r["r"]}
+    assert kept == expected
+
+
+def test_lang_vocab_overlap_constructed(spark, monkeypatch):
+    rows = [
+        (0, "a b c", "en", "src0", 5),
+        (1, "b c d", "fr", "src1", 5),
+        (2, "x y", "de", "src2", 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    monkeypatch.setattr(corpus_stats, "_docs", lambda s, d: df)
+    out = {
+        (r["lang_1"], r["lang_2"]): (r["n_common"], r["jaccard"])
+        for r in corpus_stats.d36_lang_vocab_overlap(spark, SF).collect()
+    }
+    assert out[("en", "fr")] == (2, 0.5)  # {b,c} / {a,b,c,d}
+    assert ("de", "en") not in out and ("en", "de") not in out  # no overlap → no row
+
+
+def test_prefix_containment_semantics(spark, monkeypatch):
+    rows = [
+        "alpha beta gamma delta",        # 0: long
+        "alpha beta gamma",               # 1: proper prefix of 0
+        "alpha beta gamma",               # 2: equal text to 1 → one direction
+        "totally different words here",   # 3: unrelated
+        "alpha bet",                      # 4: sub-bucket (<16 chars) → out of scope
+    ]
+    df = _docs_df(spark, rows)
+    monkeypatch.setattr(corpus_stats, "_docs", lambda s, d: df)
+    pairs = {
+        (r["short_id"], r["long_id"])
+        for r in corpus_stats.d37_prefix_containment(spark, SF).collect()
+    }
+    assert pairs == {(1, 0), (2, 0), (1, 2)}
+
+
+def test_customer_quartiles_balanced(spark):
+    out = QUERIES["q37_customer_value_quartiles"](spark, SF).collect()
+    by_seg = {}
+    for r in out:
+        by_seg.setdefault(r["c_mktsegment"], {})[r["quartile"]] = r["n_customers"]
+    assert by_seg
+    for seg, buckets in by_seg.items():
+        assert set(buckets) == {1, 2, 3, 4}, (seg, buckets)
+        counts = list(buckets.values())
+        assert max(counts) - min(counts) <= 1, (seg, buckets)
