@@ -25,6 +25,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -336,4 +340,191 @@ def q37_customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n_customers"),
         F.round(F.avg("total"), 2).alias("avg_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d38 — per-label embedding diversity via the variance identity.
+# Mean pairwise squared L2 distance E||x−y||² = 2·Σ_d Var_pop(x_d):
+# an O(n·d) aggregate instead of the O(n²·d) pairwise expansion.
+# ---------------------------------------------------------------------------
+@spark_query(
+    "d38_embedding_diversity",
+    """
+    WITH e AS (
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    pv AS (SELECT label, d, var_pop(v) AS pv FROM e GROUP BY label, d),
+    n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+    SELECT CAST(label AS BIGINT) AS label, n_vecs,
+           round(2 * sum(pv), 6) AS diversity
+    FROM pv JOIN n USING (label)
+    GROUP BY label, n_vecs
+    """,
+)
+def d38_embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How spread out is each label's embedding cluster? Computed via
+    the identity E||x−y||² = 2·Σ_d Var(x_d), so the whole statistic is
+    one posexplode + two partial-aggregating groupBys — linear in rows,
+    never materializing a pair. At 100 TB the shuffle carries only
+    (label, dim) moment partials: 10 labels × 64 dims regardless of
+    corpus size."""
+    e = _emb(spark, sf_dir)
+    exploded = e.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("d", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    pv = exploded.groupBy("label", "d").agg(F.var_pop("v").alias("pv"))
+    n = e.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count("*").alias("n_vecs")
+    )
+    return (
+        pv.groupBy("label")
+        .agg(F.round(2 * F.sum("pv"), 6).alias("diversity"))
+        .join(F.broadcast(n), "label")
+        .select("label", "n_vecs", "diversity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d39 — int8 scalar quantization of the embedding column.
+# The storage/serving compression step: per-dimension [min, max] range
+# over the corpus, each value mapped to an 8-bit code.
+# ---------------------------------------------------------------------------
+@spark_query(
+    "d39_embedding_quantize",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             unnest(range(0, len(embedding))) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    stats AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY dim)
+    SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+           CAST(CASE WHEN mx > mn
+                THEN least(floor((v - mn) / (mx - mn) * 256), 255)
+                ELSE 0 END AS BIGINT) AS code
+    FROM e JOIN stats USING (dim)
+    """,
+)
+def d39_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization: codes = floor((v − min_d)/(max_d −
+    min_d) · 256) clamped to [0, 255]. The per-dimension stats table is
+    64 rows → broadcast back; the value pass is then shuffle-free and
+    row-local. All arithmetic is IEEE double on both engines, so codes
+    are bit-exact reproducible — a requirement for a quantized index
+    that multiple systems must agree on."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    stats = e.groupBy("dim").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    code = F.when(
+        F.col("mx") > F.col("mn"),
+        F.least(
+            F.floor((F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 256),
+            F.lit(255),
+        ),
+    ).otherwise(0)
+    return (
+        e.join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            F.col("dim").cast("long").alias("dim"),
+            code.cast("long").alias("code"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q38 — percent_rank ladder (supplier revenue standing within nation).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q38_supplier_revenue_rank",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, n_name, revenue,
+           round(percent_rank() OVER (PARTITION BY n_name
+                 ORDER BY revenue, s_suppkey), 6) AS pct_rank
+    FROM rev
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    """,
+)
+def q38_supplier_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each supplier's revenue percentile within its nation. Revenue is
+    rounded to cents BEFORE ranking so the sort key is engine-stable
+    (raw double sums can differ in the last ulp and swap near-ties);
+    (revenue, suppkey) makes the order total. The rank window
+    partitions by nation → parallel across nations, and it ranks the
+    pre-aggregated supplier rollup, not raw lineitems."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue")
+    )
+    joined = rev.join(
+        F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        rev.l_suppkey == F.col("s_suppkey"),
+    ).join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    w = Window.partitionBy("n_name").orderBy("revenue", "s_suppkey")
+    return joined.select(
+        "s_suppkey",
+        "n_name",
+        "revenue",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q39 — correlated-subquery shape: orders above their customer's mean.
+# The classic `WHERE price > (SELECT avg(...) ... same customer)`
+# decorrelated into a window aggregate — one pass, no rejoin.
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q39_orders_above_customer_avg",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             round(avg(o_totalprice) OVER (PARTITION BY o_custkey), 6)
+               AS cust_avg,
+             count(*) OVER (PARTITION BY o_custkey) AS n_orders
+      FROM orders
+    )
+    WHERE n_orders >= 2 AND o_totalprice > cust_avg
+    """,
+)
+def q39_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced above their own customer's average order value —
+    the correlated-scalar-subquery pattern, decorrelated into a single
+    window aggregate so the fact table is read once and shuffled once
+    (by customer). Single-order customers are excluded (their order
+    equals the mean by construction)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.round(F.avg("o_totalprice").over(w), 6).alias("cust_avg"),
+            F.count("*").over(w).alias("n_orders"),
+        )
+        .filter((F.col("n_orders") >= 2) & (F.col("o_totalprice") > F.col("cust_avg")))
+        .drop("n_orders")
     )

@@ -129,3 +129,70 @@ def test_customer_quartiles_balanced(spark):
         assert set(buckets) == {1, 2, 3, 4}, (seg, buckets)
         counts = list(buckets.values())
         assert max(counts) - min(counts) <= 1, (seg, buckets)
+
+
+def test_embedding_diversity_variance_identity(spark, monkeypatch):
+    # label 0: [0,0] and [2,0] → E||x−y||² (x,y independent) = 2·Σvar = 2
+    rows = [(0, [0.0, 0.0], 0), (1, [2.0, 0.0], 0), (2, [1.0, 1.0], 7)]
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    monkeypatch.setattr(corpus_stats, "_emb", lambda s, d: df)
+    out = {
+        r["label"]: (r["n_vecs"], r["diversity"])
+        for r in corpus_stats.d38_embedding_diversity(spark, SF).collect()
+    }
+    assert out[0] == (2, 2.0)
+    assert out[7] == (1, 0.0)  # singleton cluster has zero spread
+
+
+def test_embedding_quantize_range_and_boundaries(spark, monkeypatch):
+    rows = [(0, [0.0, -1.0], 0), (1, [1.0, 1.0], 0), (2, [0.5, 0.0], 0)]
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    monkeypatch.setattr(corpus_stats, "_emb", lambda s, d: df)
+    codes = {
+        (r["vec_id"], r["dim"]): r["code"]
+        for r in corpus_stats.d39_embedding_quantize(spark, SF).collect()
+    }
+    # dim 0 range [0,1]: min→0, max→clamped 255, mid 0.5→128
+    assert codes[(0, 0)] == 0 and codes[(1, 0)] == 255 and codes[(2, 0)] == 128
+    # dim 1 range [-1,1]: -1→0, 1→255, 0→128
+    assert codes[(0, 1)] == 0 and codes[(1, 1)] == 255 and codes[(2, 1)] == 128
+    assert all(0 <= c <= 255 for c in codes.values())
+
+
+def test_supplier_rank_bounds(spark):
+    out = QUERIES["q38_supplier_revenue_rank"](spark, SF).collect()
+    assert out
+    by_nation = {}
+    for r in out:
+        by_nation.setdefault(r["n_name"], []).append(r["pct_rank"])
+    for nation, ranks in by_nation.items():
+        assert min(ranks) == 0.0, nation          # lowest supplier ranks 0
+        assert all(0.0 <= x <= 1.0 for x in ranks)
+        if len(ranks) > 1:
+            assert max(ranks) == 1.0, nation      # highest ranks 1
+
+
+def test_orders_above_customer_avg_replay(spark):
+    out = QUERIES["q39_orders_above_customer_avg"](spark, SF)
+    rows = out.collect()
+    assert rows
+    assert all(r["o_totalprice"] > r["cust_avg"] for r in rows)
+    # replay: recompute per-customer averages by groupBy and compare keys
+    orders = corpus_stats._t(spark, SF, "orders")
+    avgs = {
+        r["o_custkey"]: (r["a"], r["n"])
+        for r in orders.groupBy("o_custkey")
+        .agg(F.avg("o_totalprice").alias("a"), F.count("*").alias("n"))
+        .collect()
+    }
+    expected = {
+        r["o_orderkey"]
+        for r in orders.collect()
+        if avgs[r["o_custkey"]][1] >= 2
+        and r["o_totalprice"] > round(avgs[r["o_custkey"]][0], 6)
+    }
+    assert {r["o_orderkey"] for r in rows} == expected
