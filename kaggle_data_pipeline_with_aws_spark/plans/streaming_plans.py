@@ -108,3 +108,28 @@ def s03_first_arrival_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type", "ts")
     )
+
+
+@spark_query(
+    "s04_click_view_attribution",
+    """
+    SELECT a.event_id AS left_id, b.event_id AS right_id,
+           a.user_id AS user_id,
+           date_diff('microsecond', b.ts, a.ts) AS gap_us
+    FROM events a JOIN events b ON a.user_id = b.user_id
+    WHERE a.event_type = 'click' AND b.event_type = 'view'
+      AND b.ts >= a.ts - INTERVAL 2 HOUR AND b.ts <= a.ts
+    """,
+)
+def s04_click_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join semantics as a query: every click
+    paired with the same user's views from the preceding 2 hours
+    (streaming/incremental.py::correlate_event_pairs run in batch mode,
+    where the watermarks are no-ops and the plan is a plain range
+    join). The streaming execution of the SAME plan — watermark-bounded
+    join state, AvailableNow drain — is covered in
+    tests/test_streaming.py."""
+    from ..streaming.incremental import correlate_event_pairs
+
+    events = load_table(spark, sf_dir, "events")
+    return correlate_event_pairs(events)

@@ -206,3 +206,64 @@ def session_event_counts(
             "n_events",
         )
     )
+
+
+def correlate_event_pairs(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "view",
+    key_col: str = "user_id",
+    timestamp_col: str = "ts",
+    id_col: str = "event_id",
+    lookback: str = "2 hours",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: pair each ``left_type`` event with
+    the same key's ``right_type`` events from the preceding ``lookback``
+    window (the attribution/funnel primitive — "which views preceded
+    this click?").
+
+    Streaming form: both sides carry watermarks and the join condition
+    bounds event time on both ends, which is exactly what lets Spark
+    expire join state (an unconstrained stream-stream join would buffer
+    both streams forever). Batch form: ``withWatermark`` is a no-op and
+    the same plan is a plain range join — so the stateful operator
+    still gets an exact DuckDB oracle on the events table.
+
+    At scale the join shuffles both sides on ``key_col`` only; the time
+    predicate is a post-shuffle residual, and state size is bounded by
+    rate × lookback per key, independent of stream history length.
+
+    Reference analog: the SQS-triggered cascade (SURVEY §2.9 T3-T5)
+    correlates "file landed" to "extract done" events by file id;
+    this generalizes that to event-time correlation.
+    """
+    left = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col(id_col).alias("left_id"),
+            F.col(key_col).alias("key"),
+            F.col(timestamp_col).alias("left_ts"),
+        )
+        .withWatermark("left_ts", watermark_delay)
+    )
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col(id_col).alias("right_id"),
+            F.col(key_col).alias("key"),
+            F.col(timestamp_col).alias("right_ts"),
+        )
+        .withWatermark("right_ts", watermark_delay)
+    )
+    cond = (
+        (left["key"] == right["key"])
+        & (right["right_ts"] >= left["left_ts"] - F.expr(f"INTERVAL {lookback}"))
+        & (right["right_ts"] <= left["left_ts"])
+    )
+    return left.join(right, cond).select(
+        "left_id",
+        "right_id",
+        left["key"].alias(key_col),
+        (F.unix_micros("left_ts") - F.unix_micros("right_ts")).alias("gap_us"),
+    )

@@ -241,3 +241,38 @@ def test_streaming_and_batch_pipelines_agree(spark, tmp_path):
         .collect()
     ]
     assert batch_rows == stream_rows
+
+
+def test_correlate_event_pairs_stream_vs_batch(spark, tmp_path):
+    from kaggle_data_pipeline_with_aws_spark.streaming.incremental import (
+        correlate_event_pairs,
+    )
+
+    src = str(tmp_path / "events")
+    _write_events(src, _event_rows(120))
+    kwargs = dict(
+        left_type="click",
+        right_type="view",
+        timestamp_col="event_time",
+        lookback="50 minutes",
+        watermark_delay="10 minutes",
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+    q = run_stream_to_memory(
+        correlate_event_pairs(stream, **kwargs), "pairs_stream"
+    )
+    q.awaitTermination()
+    got = {
+        (r.left_id, r.right_id, r.user_id, r.gap_us)
+        for r in spark.sql("SELECT * FROM pairs_stream").collect()
+    }
+    batch = correlate_event_pairs(
+        spark.read.schema(EVENT_SCHEMA).json(src), **kwargs
+    )
+    expected = {
+        (r.left_id, r.right_id, r.user_id, r.gap_us) for r in batch.collect()
+    }
+    assert got, "fixture should produce click←view pairs"
+    assert got == expected
+    # every pair respects the interval bound: 0 ≤ gap ≤ 50 min
+    assert all(0 <= g <= 50 * 60 * 1_000_000 for (_, _, _, g) in got)
