@@ -528,3 +528,92 @@ def q39_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter((F.col("n_orders") >= 2) & (F.col("o_totalprice") > F.col("cust_avg")))
         .drop("n_orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# q40 — EXISTS subquery as a left-semi join.
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q40_customers_with_urgent_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def q40_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`WHERE EXISTS (...)` expressed as a LEFT SEMI join — the probe
+    side never duplicates (a customer with five urgent orders appears
+    once, with no distinct needed) and Spark only ships the join key of
+    the subquery side. The urgent-order filter pushes into the orders
+    scan before the shuffle."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return customer.join(urgent, "c_custkey", "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41 — CUBE with grouping_id (all margin combinations in one pass).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q41_status_priority_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus)*2 + grouping(o_orderpriority) AS BIGINT)
+             AS gid,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q41_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four margin combinations of (status, priority) in one CUBE
+    pass — Spark expands the grouping sets inside a single partial+
+    final hash aggregate instead of four scans + union. ``grouping_id``
+    disambiguates a real NULL group key from a rolled-up margin (the
+    standard CUBE pitfall)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid", "n_orders", "sum_price"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42 — INTERSECT: retained customers across consecutive years.
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q42_retained_customers",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def q42_retained_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in both 1995 and 1996 — INTERSECT, which Spark
+    plans as an aggregate + semi join on the deduplicated key sets (no
+    full cross-year materialization). The year filters prune at the
+    scan; at 100 TB with date-partitioned orders this reads exactly two
+    year partitions."""
+    orders = _t(spark, sf_dir, "orders")
+    y = F.year("o_orderdate")
+    a = orders.filter(y == 1995).select("o_custkey")
+    b = orders.filter(y == 1996).select("o_custkey")
+    return a.intersect(b)

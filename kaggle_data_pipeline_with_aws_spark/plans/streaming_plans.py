@@ -133,3 +133,33 @@ def s04_click_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return correlate_event_pairs(events)
+
+
+@spark_query(
+    "s05_unattributed_clicks",
+    """
+    SELECT a.event_id AS left_id, a.user_id AS user_id
+    FROM events a
+    WHERE a.event_type = 'click' AND NOT EXISTS (
+      SELECT 1 FROM events b
+      WHERE b.event_type = 'view' AND b.user_id = a.user_id
+        AND b.ts >= a.ts - INTERVAL 2 HOUR AND b.ts <= a.ts
+    )
+    """,
+)
+def s05_unattributed_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complement of s04: clicks with NO view from the same user in
+    the preceding 2 hours. Expressed as the LEFT OUTER interval join
+    filtered to null matches — the form that also runs as a streaming
+    query (stream-stream left-outer joins emit the unmatched row once
+    the watermark closes its window; a direct anti join is not
+    streamable). The oracle states the same thing as NOT EXISTS."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.incremental import correlate_event_pairs
+
+    events = load_table(spark, sf_dir, "events")
+    pairs = correlate_event_pairs(events, how="left_outer")
+    return pairs.filter(F.col("right_id").isNull()).select(
+        "left_id", "user_id"
+    )

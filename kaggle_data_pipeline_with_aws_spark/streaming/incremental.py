@@ -217,6 +217,7 @@ def correlate_event_pairs(
     id_col: str = "event_id",
     lookback: str = "2 hours",
     watermark_delay: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: pair each ``left_type`` event with
     the same key's ``right_type`` events from the preceding ``lookback``
@@ -237,6 +238,11 @@ def correlate_event_pairs(
     Reference analog: the SQS-triggered cascade (SURVEY §2.9 T3-T5)
     correlates "file landed" to "extract done" events by file id;
     this generalizes that to event-time correlation.
+
+    ``how="left_outer"`` keeps unmatched left events with null
+    right_id/gap_us — also streamable (Spark emits the null row once
+    the watermark passes the join window), which is how the
+    "unattributed clicks" face (s05) runs incrementally.
     """
     left = (
         events.filter(F.col("event_type") == left_type)
@@ -261,7 +267,7 @@ def correlate_event_pairs(
         & (right["right_ts"] >= left["left_ts"] - F.expr(f"INTERVAL {lookback}"))
         & (right["right_ts"] <= left["left_ts"])
     )
-    return left.join(right, cond).select(
+    return left.join(right, cond, how).select(
         "left_id",
         "right_id",
         left["key"].alias(key_col),

@@ -19,7 +19,9 @@ from pyspark.sql import functions as F
 
 from kaggle_data_pipeline_with_aws_spark.operators import text
 from kaggle_data_pipeline_with_aws_spark.plans import corpus_stats
-from kaggle_data_pipeline_with_aws_spark.plans.registry import QUERIES
+from kaggle_data_pipeline_with_aws_spark.plans.registry import QUERIES, load_all
+
+load_all()
 
 SF = "/root/testdata/sf0.001"
 
@@ -196,3 +198,62 @@ def test_orders_above_customer_avg_replay(spark):
         and r["o_totalprice"] > round(avgs[r["o_custkey"]][0], 6)
     }
     assert {r["o_orderkey"] for r in rows} == expected
+
+
+def test_semi_join_no_duplicates_and_plan(spark):
+    df = QUERIES["q40_customers_with_urgent_orders"](spark, SF)
+    rows = df.collect()
+    keys = [r["c_custkey"] for r in rows]
+    assert len(keys) == len(set(keys))  # semi join never duplicates the probe side
+    assert "LeftSemi" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cube_margins_reconcile(spark):
+    rows = QUERIES["q41_status_priority_cube"](spark, SF).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert set(by_gid) == {0, 1, 2, 3}
+    (total,) = by_gid[3]
+    assert total["n_orders"] == sum(r["n_orders"] for r in by_gid[0])
+    for margin_gid in (1, 2):
+        assert total["n_orders"] == sum(r["n_orders"] for r in by_gid[margin_gid])
+
+
+def test_intersect_is_subset_of_both_years(spark):
+    import pyspark.sql.functions as _F
+
+    retained = {
+        r["o_custkey"] for r in QUERIES["q42_retained_customers"](spark, SF).collect()
+    }
+    assert retained
+    orders = corpus_stats._t(spark, SF, "orders")
+    y95 = {
+        r["o_custkey"]
+        for r in orders.filter(_F.year("o_orderdate") == 1995)
+        .select("o_custkey").distinct().collect()
+    }
+    y96 = {
+        r["o_custkey"]
+        for r in orders.filter(_F.year("o_orderdate") == 1996)
+        .select("o_custkey").distinct().collect()
+    }
+    assert retained == (y95 & y96)
+
+
+def test_attribution_faces_partition_clicks(spark):
+    import pyspark.sql.functions as _F
+
+    attributed = {
+        r["left_id"] for r in QUERIES["s04_click_view_attribution"](spark, SF).collect()
+    }
+    unattributed = {
+        r["left_id"] for r in QUERIES["s05_unattributed_clicks"](spark, SF).collect()
+    }
+    events = corpus_stats._t(spark, SF, "events")
+    clicks = {
+        r["event_id"]
+        for r in events.filter(_F.col("event_type") == "click").collect()
+    }
+    assert attributed | unattributed == clicks
+    assert attributed & unattributed == set()
