@@ -61,3 +61,27 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def streaming_scale_conf() -> dict[str, str]:
+    """Session conf for large-state streaming jobs.
+
+    The default HDFSBackedStateStore keeps every key in executor heap —
+    fine for the reference-scale workload (≤10 files/cycle), fatal for
+    100 TB streams with billions of live keys (sessionization, dedup,
+    stream-stream joins). RocksDB keeps state on local SSD with a block
+    cache, and changelog checkpointing ships per-batch deltas instead of
+    re-uploading full SST files.
+
+    Apply via ``get_spark(extra_conf=streaming_scale_conf())`` (or
+    ``spark.conf.set`` before starting the query — the provider is read
+    at query start, per query).
+    """
+    return {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb"
+        ".changelogCheckpointing.enabled": "true",
+    }

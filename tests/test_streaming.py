@@ -276,3 +276,42 @@ def test_correlate_event_pairs_stream_vs_batch(spark, tmp_path):
     assert got == expected
     # every pair respects the interval bound: 0 ≤ gap ≤ 50 min
     assert all(0 <= g <= 50 * 60 * 1_000_000 for (_, _, _, g) in got)
+
+
+def test_rocksdb_state_store_provider(spark, tmp_path):
+    """streaming_scale_conf actually engages RocksDB: the stateful agg
+    produces identical results and the query's state-operator metrics
+    are RocksDB ones (heap provider reports loadedMapCacheHitCount
+    instead)."""
+    from kaggle_data_pipeline_with_aws_spark.session import streaming_scale_conf
+
+    src = str(tmp_path / "events")
+    _write_events(src, _event_rows(60))
+    before = {
+        k: spark.conf.get(k, None) for k in streaming_scale_conf()
+    }
+    for k, v in streaming_scale_conf().items():
+        spark.conf.set(k, v)
+    try:
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+        counts = windowed_event_counts(stream)
+        q = run_stream_to_memory(counts, "rocksdb_counts", output_mode="complete")
+        q.awaitTermination()
+        progress = q.lastProgress
+        metrics = progress["stateOperators"][0]["customMetrics"]
+        assert any(k.startswith("rocksdb") for k in metrics), metrics.keys()
+        got = {
+            (r.window_start, r.event_type): r.n_events
+            for r in spark.sql("SELECT * FROM rocksdb_counts").collect()
+        }
+        batch = windowed_event_counts(spark.read.schema(EVENT_SCHEMA).json(src))
+        expected = {
+            (r.window_start, r.event_type): r.n_events for r in batch.collect()
+        }
+        assert got == expected
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
