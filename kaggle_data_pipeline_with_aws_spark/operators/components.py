@@ -85,3 +85,78 @@ def connected_components(
             break
     adj.unpersist()
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "doc_id_1",
+    dst: str = "doc_id_2",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the undirected pair graph — fixed-iteration power
+    method as repeated join + aggregate (the canonical iterative-
+    algorithm shape on DataFrames).
+
+    Per iteration: one join of (node, rank) onto the symmetrized edge
+    list, one groupBy on the destination — both shuffles carry (node,
+    rank/degree) pairs only. Ranks are cached per round and the
+    superseded round unpersisted, so lineage stays one-iteration deep
+    (without the cache, iteration k would recompute 1..k-1). The node
+    count is a single O(1)-to-driver job. For billion-node graphs the
+    same loop runs unchanged; only shuffle partitioning needs sizing.
+
+    Returns (node, pagerank) with rank rounded to 1e-6 for cross-engine
+    reproducibility (sum association differs between engines).
+    """
+    e = edges.cache()  # nodes + adj both derive from it: one pipeline run
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .union(e.select(F.col(dst).alias("node")))
+        .distinct()
+        .cache()
+    )
+    adj = (
+        e.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(e.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .cache()
+    )
+    deg = adj.groupBy("a").agg(F.count("*").alias("deg")).cache()
+    # Materializing node count also populates the caches, so the
+    # edge-generation pipeline upstream runs exactly once.
+    n = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contribs = (
+            adj.join(ranks.withColumnRenamed("node", "a"), "a")
+            .join(deg, "a")
+            .select(
+                F.col("b").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+        )
+        incoming = contribs.groupBy("node").agg(
+            (F.lit((1 - damping) / n) + F.lit(damping) * F.sum("c")).alias(
+                "rank"
+            )
+        )
+        new_ranks = (
+            nodes.join(incoming, "node", "left")
+            .select(
+                "node",
+                F.coalesce("rank", F.lit((1 - damping) / n)).alias("rank"),
+            )
+        )
+        # Eager localCheckpoint: materializes the round AND truncates
+        # lineage. Plain cache keeps the full logical plan, so analyzer/
+        # optimizer time grows every round even when data is cached;
+        # without any action at all the final collect re-derives the
+        # edge pipeline multiplicatively. (On a cluster with flaky
+        # executors prefer reliable checkpoints to a checkpoint dir.)
+        ranks = new_ranks.localCheckpoint(eager=True)
+    adj.unpersist()
+    nodes.unpersist()
+    deg.unpersist()
+    e.unpersist()
+    return ranks.select("node", F.round("rank", 6).alias("pagerank"))

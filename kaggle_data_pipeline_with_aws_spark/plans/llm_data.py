@@ -952,3 +952,59 @@ def d32_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return freq.groupBy("doc_id").agg(
         F.round(-F.sum(p * F.log2(p)), 6).alias("char_entropy")
     )
+
+
+def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
+    """Fixed-iteration PageRank unrolled to one CTE per power-method
+    step (recursive CTEs can't aggregate in the recursive term, so the
+    loop is generated instead). Numeric literals are emitted from the
+    same Python doubles the Spark side uses, keeping both engines on
+    identical IEEE operations."""
+    # Every CTE is MATERIALIZED: DuckDB inlines plain CTEs per reference,
+    # which makes the unrolled power iteration exponential in depth (r5
+    # inlines r4 inlines r3 ... each dragging the whole pair pipeline).
+    sql = f"""{_minhash_pairs_cte(0.5)},
+    nodes AS MATERIALIZED (
+      SELECT doc_id_1 AS node FROM pairs
+      UNION SELECT doc_id_2 FROM pairs
+    ),
+    g AS MATERIALIZED (
+      SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+      UNION SELECT doc_id_2, doc_id_1 FROM pairs
+    ),
+    deg AS MATERIALIZED (SELECT a, count(*) AS deg FROM g GROUP BY a),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS MATERIALIZED (
+      SELECT node, CAST(1.0 AS DOUBLE) / n AS rank FROM nodes, nn)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+    r{i} AS MATERIALIZED (
+      SELECT nd.node,
+             CAST({(1 - damping)!r} AS DOUBLE) / max(nn.n)
+               + {damping!r} * coalesce(sum(r.rank / d.deg), 0) AS rank
+      FROM nodes nd
+      LEFT JOIN g ON g.b = nd.node
+      LEFT JOIN r{i - 1} r ON r.node = g.a
+      LEFT JOIN deg d ON d.a = g.a
+      CROSS JOIN nn
+      GROUP BY nd.node
+    )"""
+    return sql + f"""
+    SELECT node, round(rank, 6) AS pagerank FROM r{iterations}
+    """
+
+
+@spark_query("d40_pagerank", _pagerank_oracle())
+def d40_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the minhash near-dup graph — which
+    documents sit at the center of duplicate clusters (the canonical
+    representative-picking signal beyond min-id). Iterative power
+    method as per-round join+agg (operators/components.py::pagerank);
+    the oracle is the same five steps unrolled as CTEs, value-exact to
+    1e-6."""
+    from ..operators.components import pagerank
+
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.5, portable=True
+    )
+    return pagerank(pairs)

@@ -247,3 +247,22 @@ def test_connected_components_multi_hop_chain(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_pagerank_star_and_triangle(spark):
+    from kaggle_data_pipeline_with_aws_spark.operators.components import pagerank
+
+    # star: 0 is the hub of 1..4; triangle: 10-11-12 all symmetric
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (10, 11), (11, 12), (10, 12)],
+        "doc_id_1 LONG, doc_id_2 LONG",
+    )
+    ranks = {r["node"]: r["pagerank"] for r in pagerank(edges).collect()}
+    assert set(ranks) == {0, 1, 2, 3, 4, 10, 11, 12}
+    # hub dominates its spokes, spokes are symmetric
+    assert ranks[0] > ranks[1]
+    assert ranks[1] == ranks[2] == ranks[3] == ranks[4]
+    # symmetric triangle: equal ranks
+    assert ranks[10] == ranks[11] == ranks[12]
+    # no dangling nodes → total probability mass is conserved
+    assert abs(sum(ranks.values()) - 1.0) < 1e-4
