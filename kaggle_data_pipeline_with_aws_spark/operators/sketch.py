@@ -45,3 +45,86 @@ def kmv_distinct_estimate(
             (F.count("*") - 1) * F.lit(float(HASH_MOD)) / F.max("__h"), 6
         ).alias("est_distinct"),
     )
+
+
+def countmin_table(
+    df: DataFrame,
+    col: str | Column,
+    depth: int = 3,
+    width: int = 512,
+    salt: str = "cm",
+) -> DataFrame:
+    """Count-min sketch of ``col``'s frequency distribution as a
+    (row, bucket, n) table — ``depth × width`` counters, built with the
+    portable hash so the sketch (and every estimate read from it) is
+    bit-identical across engines.
+
+    One explode to (row_j, bucket_j) per value and a single groupBy:
+    the shuffle carries at most depth·width counter partials per map
+    task regardless of input size — the sketch is the classic
+    fixed-memory answer to "frequencies of a 100 TB stream". Sketches
+    of different partitions/streams merge by adding counters
+    (sum-mergeable, same as the streaming use)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                F.pmod(
+                    portable_hash(
+                        F.concat(F.lit(f"{salt}{j}|"), c.cast("string"))
+                    ),
+                    F.lit(width),
+                ).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("rb"))
+        .select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    col: str = "term",
+    depth: int = 3,
+    width: int = 512,
+    salt: str = "cm",
+) -> DataFrame:
+    """Point-query the sketch for each candidate value: est = min over
+    rows of the candidate's counter (the count-min guarantee: est ≥
+    true count, overshoot bounded by collisions). The sketch table is
+    depth·width rows → broadcast; candidates join it row-locally."""
+    probes = candidates.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        F.pmod(
+                            portable_hash(
+                                F.concat(
+                                    F.lit(f"{salt}{j}|"),
+                                    F.col(col).cast("string"),
+                                )
+                            ),
+                            F.lit(width),
+                        ).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("*", "rb.row", "rb.bucket").drop("rb")
+    other = [c for c in candidates.columns]
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(*other)
+        .agg(F.min("n").alias("est_count"))
+    )

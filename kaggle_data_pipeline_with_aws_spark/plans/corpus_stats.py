@@ -617,3 +617,122 @@ def q42_retained_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = orders.filter(y == 1995).select("o_custkey")
     b = orders.filter(y == 1996).select("o_custkey")
     return a.intersect(b)
+
+
+# ---------------------------------------------------------------------------
+# q43 — ordered funnel (view → click → purchase, first-touch).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q43_event_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, count(*) AS n_users FROM v
+    UNION ALL SELECT 'click', count(*) FROM c
+    UNION ALL SELECT 'purchase', count(*) FROM p
+    """,
+)
+def q43_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch conversion funnel: users whose first view precedes a
+    later click precedes a later purchase, counted per stage. Each
+    stage is one filtered aggregation joined to the (user, ts) frontier
+    of the previous stage — the frontier shrinks monotonically, and at
+    scale each broadcastable frontier turns the next stage into scan +
+    broadcast join + partial agg (no event-table shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"), F.count("*").alias("n_users")
+        )
+    return stage("view", v).union(stage("click", c)).union(stage("purchase", p))
+
+
+# ---------------------------------------------------------------------------
+# d41 — count-min sketch heavy hitters.
+# ---------------------------------------------------------------------------
+_CM_DEPTH, _CM_WIDTH = 3, 512
+
+
+def _cm_bucket_sql(term_expr: str, row_expr: str = "row") -> str:
+    return (
+        "("
+        + text.portable_hash_sql(
+            f"'cm' || CAST({row_expr} AS VARCHAR) || '|' || {term_expr}"
+        )
+        + f" % {_CM_WIDTH})"
+    )
+
+
+@spark_query(
+    "d41_countmin_heavy_hitters",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    t AS (SELECT term FROM toks WHERE term <> ''),
+    expl AS (SELECT term, unnest(range(0, {_CM_DEPTH})) AS row FROM t),
+    cm AS (
+      SELECT row, {_cm_bucket_sql('term')} AS bucket, count(*) AS n
+      FROM expl GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT term, count(*) AS true_count FROM t GROUP BY term
+      ORDER BY true_count DESC, term ASC LIMIT 20
+    ),
+    probes AS (
+      SELECT term, true_count, unnest(range(0, {_CM_DEPTH})) AS row FROM top
+    )
+    SELECT p.term, p.true_count, min(cm.n) AS est_count
+    FROM probes p JOIN cm
+      ON cm.row = p.row AND cm.bucket = {_cm_bucket_sql('p.term', 'p.row')}
+    GROUP BY p.term, p.true_count
+    """,
+)
+def d41_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (3×512 counters, portable hash) point-queried
+    for the exact top-20 terms: (term, true_count, est_count). The
+    sketch is fixed-memory however large the corpus — the operators in
+    operators/sketch.py also merge by counter addition for streams.
+    The oracle rebuilds the identical sketch in SQL, so estimates are
+    bit-exact, not just statistically close."""
+    from ..operators.sketch import countmin_estimate, countmin_table
+
+    tok = _docs(spark, sf_dir).select(
+        F.explode(text.tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    cm = countmin_table(tok, "term", _CM_DEPTH, _CM_WIDTH)
+    top = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("term").asc())
+        .limit(20)
+    )
+    return countmin_estimate(cm, top, "term", _CM_DEPTH, _CM_WIDTH)

@@ -257,3 +257,48 @@ def test_attribution_faces_partition_clicks(spark):
     }
     assert attributed | unattributed == clicks
     assert attributed & unattributed == set()
+
+
+def test_funnel_monotone_and_ordering(spark, monkeypatch):
+    out = {r["stage"]: r["n_users"] for r in QUERIES["q43_event_funnel"](spark, SF).collect()}
+    assert set(out) == {"view", "click", "purchase"}
+    assert out["view"] >= out["click"] >= out["purchase"]
+    # ordering semantics on constructed events: user 1 converts in order,
+    # user 2 clicked BEFORE viewing → never reaches the click stage
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0, ""),
+        (2, "2024-01-01 10:05:00", 1, "click", 0.0, ""),
+        (3, "2024-01-01 10:10:00", 1, "purchase", 0.0, ""),
+        (4, "2024-01-01 09:00:00", 2, "click", 0.0, ""),
+        (5, "2024-01-01 09:30:00", 2, "view", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    monkeypatch.setattr(corpus_stats, "_t", lambda s, d, n: df)
+    got = {r["stage"]: r["n_users"] for r in corpus_stats.q43_event_funnel(spark, SF).collect()}
+    assert got == {"view": 2, "click": 1, "purchase": 1}
+
+
+def test_countmin_guarantee_and_merge(spark):
+    rows = QUERIES["d41_countmin_heavy_hitters"](spark, SF).collect()
+    assert len(rows) == 20
+    # the count-min guarantee: estimate never undershoots
+    assert all(r["est_count"] >= r["true_count"] for r in rows)
+    # sketches merge by counter addition: sketch(A ∪ B) == sketch(A) + sketch(B)
+    from kaggle_data_pipeline_with_aws_spark.operators.sketch import countmin_table
+
+    words = spark.createDataFrame(
+        [(w,) for w in ["a", "b", "a", "c", "b", "a"]], "term STRING"
+    )
+    half1 = spark.createDataFrame([(w,) for w in ["a", "b", "a"]], "term STRING")
+    half2 = spark.createDataFrame([(w,) for w in ["c", "b", "a"]], "term STRING")
+    full = {(r["row"], r["bucket"]): r["n"] for r in countmin_table(words, "term").collect()}
+    s1 = {(r["row"], r["bucket"]): r["n"] for r in countmin_table(half1, "term").collect()}
+    s2 = {(r["row"], r["bucket"]): r["n"] for r in countmin_table(half2, "term").collect()}
+    merged = {}
+    for d in (s1, s2):
+        for k, v in d.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == full
