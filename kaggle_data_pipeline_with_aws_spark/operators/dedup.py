@@ -193,6 +193,54 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """Ordered pairs where doc_1's shingle set is (mostly) CONTAINED in
+    doc_2's: containment = |A∩B| / |A| ≥ threshold.
+
+    Jaccard misses sub-document duplication — a paragraph pasted into a
+    much larger page scores low Jaccard but containment ≈ 1. This is
+    the standard asymmetric complement for curation dedup. Same
+    candidate-bounding self-join on shared shingles as
+    ``ngram_jaccard_pairs``; only the normalizer changes (the contained
+    side's own shingle count, broadcast back).
+    """
+    sh = shingle_table(df, text_col, n, max_shingle_doc_freq).cache()
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("contained_id"),
+            F.col("b.doc_id").alias("container_id"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.select(
+        F.col("doc_id").alias("contained_id"),
+        F.col("n_shingles").alias("n_contained"),
+    )
+    return (
+        inter.join(F.broadcast(ca), "contained_id")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common") / F.col("n_contained"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("contained_id", "container_id", "n_common", "containment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -736,3 +736,115 @@ def d41_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return countmin_estimate(cm, top, "term", _CM_DEPTH, _CM_WIDTH)
+
+
+# ---------------------------------------------------------------------------
+# d42 — shingle containment (asymmetric near-dup: sub-document dup).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "d42_shingle_containment",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+             count(*) AS n_common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT contained_id, container_id, n_common,
+           round(CAST(n_common AS DOUBLE) / ca.n, 6) AS containment
+    FROM inter JOIN cnt ca ON inter.contained_id = ca.doc_id
+    WHERE round(CAST(n_common AS DOUBLE) / ca.n, 6) >= 0.9
+    """,
+)
+def d42_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication: doc A's shingles ≥90% inside doc B.
+    Jaccard (d06) misses a paragraph pasted into a bigger page; the
+    asymmetric containment score is the curation-standard complement
+    (operators/dedup.py::shingle_containment_pairs)."""
+    from ..operators import dedup
+
+    return dedup.shingle_containment_pairs(
+        _docs(spark, sf_dir), threshold=0.9
+    )
+
+
+# ---------------------------------------------------------------------------
+# d43 — fuzzy leading-text match (bounded edit distance).
+# ---------------------------------------------------------------------------
+_FZ_BUCKET, _FZ_HEAD, _FZ_MAXDIST = 8, 32, 4
+
+
+@spark_query(
+    "d43_fuzzy_prefix_match",
+    f"""
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, {_FZ_HEAD}) AS head,
+             substr(text, 1, {_FZ_BUCKET}) AS b
+      FROM documents WHERE length(text) >= {_FZ_BUCKET}
+    )
+    SELECT a.doc_id AS doc_id_1, l.doc_id AS doc_id_2,
+           CAST(levenshtein(a.head, l.head) AS BIGINT) AS edit_dist
+    FROM d a JOIN d l ON a.b = l.b AND a.doc_id < l.doc_id
+    WHERE levenshtein(a.head, l.head) <= {_FZ_MAXDIST}
+    """,
+)
+def d43_fuzzy_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc pairs whose leading 32 chars are within edit distance 4 —
+    the typo-tolerant variant of prefix dedup (d37). Levenshtein is
+    O(len²) per pair, so the plan bounds candidates FIRST with an
+    8-char exact-bucket equi-join; the DP runs only inside buckets as a
+    post-join residual. Same filter-before-compute shape as the LSH
+    dedup family."""
+    d = _docs(spark, sf_dir).filter(F.length("text") >= _FZ_BUCKET)
+    a = d.select(
+        F.col("doc_id").alias("doc_id_1"),
+        F.substring("text", 1, _FZ_HEAD).alias("head_1"),
+        F.substring("text", 1, _FZ_BUCKET).alias("b"),
+    )
+    l = d.select(
+        F.col("doc_id").alias("doc_id_2"),
+        F.substring("text", 1, _FZ_HEAD).alias("head_2"),
+        F.substring("text", 1, _FZ_BUCKET).alias("b"),
+    )
+    return (
+        a.join(l, "b")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .withColumn(
+            "edit_dist",
+            F.levenshtein("head_1", "head_2").cast("long"),
+        )
+        .filter(F.col("edit_dist") <= _FZ_MAXDIST)
+        .select("doc_id_1", "doc_id_2", "edit_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q44 — EXCEPT: churned customers (completes the set-op family).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q44_churned_customers",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def q44_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers who ordered in 1995 but not in 1996 — EXCEPT, planned
+    as a distinct + left-anti join on the key sets. Pairs with q42
+    (INTERSECT) to close out the set-operation family; same two-
+    partition pruned scan shape."""
+    orders = _t(spark, sf_dir, "orders")
+    y = F.year("o_orderdate")
+    a = orders.filter(y == 1995).select("o_custkey")
+    b = orders.filter(y == 1996).select("o_custkey")
+    return a.subtract(b)

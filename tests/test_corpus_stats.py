@@ -302,3 +302,50 @@ def test_countmin_guarantee_and_merge(spark):
         for k, v in d.items():
             merged[k] = merged.get(k, 0) + v
     assert merged == full
+
+
+def test_containment_asymmetric_vs_jaccard(spark, monkeypatch):
+    # doc 1 = a paragraph of doc 0 (fully contained); doc 2 unrelated.
+    base = "one two three four five six seven eight nine ten"
+    rows = [base + " extra tail words continue on and on", base,
+            "completely different content with no overlap at all"]
+    df = _docs_df(spark, rows)
+    monkeypatch.setattr(corpus_stats, "_docs", lambda s, d: df)
+    out = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in corpus_stats.d42_shingle_containment(spark, SF).collect()
+    }
+    assert out[(1, 0)] == 1.0        # every shingle of 1 appears in 0
+    assert (0, 1) not in out         # but 0 is NOT contained in 1
+    assert all(k[0] != 2 and k[1] != 2 for k in out)
+
+
+def test_fuzzy_prefix_includes_exact_prefix_pairs(spark):
+    fuzzy = {
+        (r["doc_id_1"], r["doc_id_2"]): r["edit_dist"]
+        for r in QUERIES["d43_fuzzy_prefix_match"](spark, SF).collect()
+    }
+    exact = {
+        tuple(sorted((r["short_id"], r["long_id"])))
+        for r in QUERIES["d37_prefix_containment"](spark, SF).collect()
+    }
+    assert exact, "fixture should contain prefix pairs"
+    # a doc that is a ≥32-char prefix of another has identical heads → dist 0
+    for pair in exact:
+        assert fuzzy.get(pair, 99) == 0, pair
+    assert all(0 <= d <= 4 for d in fuzzy.values())
+
+
+def test_set_ops_partition_1995_customers(spark):
+    import pyspark.sql.functions as _F
+
+    retained = {r["o_custkey"] for r in QUERIES["q42_retained_customers"](spark, SF).collect()}
+    churned = {r["o_custkey"] for r in QUERIES["q44_churned_customers"](spark, SF).collect()}
+    orders = corpus_stats._t(spark, SF, "orders")
+    y95 = {
+        r["o_custkey"]
+        for r in orders.filter(_F.year("o_orderdate") == 1995)
+        .select("o_custkey").distinct().collect()
+    }
+    assert retained | churned == y95
+    assert retained & churned == set()
