@@ -848,3 +848,111 @@ def q44_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = orders.filter(y == 1995).select("o_custkey")
     b = orders.filter(y == 1996).select("o_custkey")
     return a.subtract(b)
+
+
+# ---------------------------------------------------------------------------
+# d44 — bigram conditional log-probability (the LM-scoring ladder's
+# second rung: P(w_i | w_{i-1}) instead of P(w_i)).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "d44_bigram_logprob",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS bigram,
+             unnest(list_transform(range(1, len(t)), i -> t[i])) AS prev
+      FROM toks WHERE len(t) >= 2
+    ),
+    bc AS (SELECT bigram, count(*) AS bn FROM bg GROUP BY bigram),
+    pc AS (SELECT prev, count(*) AS pn FROM bg GROUP BY prev)
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(avg(log2(CAST(bn AS DOUBLE) / pn)), 6) AS avg_logprob
+    FROM bg JOIN bc USING (bigram) JOIN pc USING (prev)
+    GROUP BY doc_id
+    """,
+)
+def d44_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean conditional bigram log-prob per document: P(w_i|w_{i-1}) =
+    c(w_{i-1} w_i) / c(w_{i-1} as a bigram head), estimated from the
+    corpus itself. Both model tables (bigram counts and head counts)
+    are vocabulary²-bounded but near-vocabulary-sized in practice →
+    broadcast back over the bigram stream; one shuffle for the per-doc
+    aggregate. The slice+zip_with shingle trick (operators/dedup.py)
+    builds bigrams without interpreted per-index lambdas."""
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", text.tokens("text").alias("t")).filter(
+        F.array_size("t") >= 2
+    )
+    # bigrams = zip of t[0..n-2] with t[1..n-1]; prev = the head token
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.array_size("t") - 1),
+                F.slice("t", 2, F.array_size("t") - 1),
+                lambda a, b: F.struct(
+                    F.concat_ws(" ", a, b).alias("bigram"), a.alias("prev")
+                ),
+            )
+        ).alias("z"),
+    ).select("doc_id", "z.bigram", "z.prev")
+    bc = bg.groupBy("bigram").agg(F.count("*").alias("bn"))
+    pc = bg.groupBy("prev").agg(F.count("*").alias("pn"))
+    return (
+        bg.join(F.broadcast(bc), "bigram")
+        .join(F.broadcast(pc), "prev")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log2(F.col("bn").cast("double") / F.col("pn"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q45 — percentile winsorization (robust clipping, complements the
+# z-score filter q36 which drops rows instead of clamping them).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q45_winsorize_lengths",
+    """
+    WITH p AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.05) AS p05,
+             quantile_cont(n_chars, 0.95) AS p95
+      FROM documents GROUP BY lang
+    )
+    SELECT doc_id, lang, n_chars,
+           round(greatest(p05, least(p95, CAST(n_chars AS DOUBLE))), 6)
+             AS clipped
+    FROM documents JOIN p USING (lang)
+    """,
+)
+def q45_winsorize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize document lengths to each language's [p05, p95]:
+    outliers are clamped, not dropped (vs q36's z-score filter). The
+    per-language percentile table is one row per language → broadcast
+    back; clipping is then row-local. Spark's exact ``percentile``
+    matches DuckDB's ``quantile_cont`` interpolation bit-for-bit
+    (same linear rule), so the clamp bounds agree across engines."""
+    d = _docs(spark, sf_dir)
+    p = d.groupBy("lang").agg(
+        F.percentile("n_chars", 0.05).alias("p05"),
+        F.percentile("n_chars", 0.95).alias("p95"),
+    )
+    return d.join(F.broadcast(p), "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(
+            F.greatest(
+                "p05", F.least("p95", F.col("n_chars").cast("double"))
+            ),
+            6,
+        ).alias("clipped"),
+    )

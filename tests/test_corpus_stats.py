@@ -349,3 +349,34 @@ def test_set_ops_partition_1995_customers(spark):
     }
     assert retained | churned == y95
     assert retained & churned == set()
+
+
+def test_bigram_logprob_hand_computed(spark, monkeypatch):
+    # corpus bigrams: "a b", "a c" → both follow head "a" (seen twice)
+    # → P(b|a) = P(c|a) = 1/2 → avg log2 = -1 for each doc
+    df = _docs_df(spark, ["a b", "a c", "x"])  # "x" has no bigram → no row
+    monkeypatch.setattr(corpus_stats, "_docs", lambda s, d: df)
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in corpus_stats.d44_bigram_logprob(spark, SF).collect()
+    }
+    assert out == {0: (1, -1.0), 1: (1, -1.0)}
+
+
+def test_winsorize_clamps_only_outliers(spark):
+    rows = QUERIES["q45_winsorize_lengths"](spark, SF).collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        clipped = [r["clipped"] for r in rs]
+        lo, hi = min(clipped), max(clipped)
+        for r in rs:
+            assert lo <= r["clipped"] <= hi
+            if lo < r["n_chars"] < hi:  # strictly inside → untouched
+                assert r["clipped"] == r["n_chars"]
+        # something actually got clamped at each edge (5% tails exist)
+        assert any(r["clipped"] == lo and r["n_chars"] < lo for r in rs) or any(
+            r["n_chars"] == lo for r in rs
+        )
