@@ -956,3 +956,75 @@ def q45_winsorize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("clipped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q46 — EWMA smoothing over an event stream (bounded-window Horner fold).
+# ---------------------------------------------------------------------------
+_EWMA_ALPHA, _EWMA_WINDOW = 0.5, 5
+
+
+@spark_query(
+    "q46_ewma_values",
+    f"""
+    SELECT event_id, user_id, ts,
+           round(
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), l),
+                         (acc, v) -> acc * {_EWMA_ALPHA} + v)
+             / ((1 - pow({_EWMA_ALPHA}, len(l))) / (1 - {_EWMA_ALPHA})),
+             6) AS ewma
+    FROM (
+      SELECT event_id, user_id, ts,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {_EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW)
+               AS l
+      FROM events
+    )
+    """,
+)
+def q46_ewma_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event
+    values over the trailing 5 events. True EWMA is a per-row
+    recurrence (not a plain window aggregate in either engine); the
+    bounded-window form collects the frame and evaluates the weighted
+    sum as one left fold — Horner's rule gives Σ v_j·α^(m-1-j) without
+    materializing weights. Identical fold order on both engines →
+    bit-comparable before the final rounding. The frame is 5 values, so
+    the collected array cost is constant per row."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_WINDOW - 1), 0)
+    )
+    l = F.collect_list("value").over(w)
+    fold = F.aggregate(
+        l, F.lit(0.0), lambda acc, v: acc * _EWMA_ALPHA + v
+    )
+    norm = (1 - F.pow(F.lit(_EWMA_ALPHA), F.size(l))) / (1 - _EWMA_ALPHA)
+    return ev.select(
+        "event_id", "user_id", "ts", F.round(fold / norm, 6).alias("ewma")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q47 — equal-width histogram (per-language length distribution).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q47_length_histogram",
+    """
+    SELECT lang, CAST(floor(n_chars / 50) AS BIGINT) * 50 AS bucket_lo,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def q47_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length histogram in 50-char buckets per language — the profiling
+    primitive behind every length-filter threshold choice. Bucketing is
+    row-local math, then one partial+final count agg on (lang, bucket):
+    the shuffle carries only the (tiny) histogram, not documents."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy(
+        "lang",
+        (F.floor(F.col("n_chars") / 50).cast("long") * 50).alias("bucket_lo"),
+    ).agg(F.count("*").alias("n_docs"))

@@ -380,3 +380,31 @@ def test_winsorize_clamps_only_outliers(spark):
         assert any(r["clipped"] == lo and r["n_chars"] < lo for r in rs) or any(
             r["n_chars"] == lo for r in rs
         )
+
+
+def test_ewma_hand_computed(spark, monkeypatch):
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, ""),
+        (2, "2024-01-01 10:01:00", 1, "view", 2.0, ""),
+        (3, "2024-01-01 10:02:00", 1, "view", 4.0, ""),
+        (9, "2024-01-01 10:00:00", 2, "view", 7.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    monkeypatch.setattr(corpus_stats, "_t", lambda s, d, n: df)
+    out = {r["event_id"]: r["ewma"] for r in corpus_stats.q46_ewma_values(spark, SF).collect()}
+    # [1]: 1.0; [1,2]: (1*0.5+2)/1.5; [1,2,4]: ((0.5+2)*0.5+4)/1.75
+    assert out[1] == 1.0
+    assert out[2] == round(2.5 / 1.5, 6)
+    assert out[3] == round(5.25 / 1.75, 6)
+    assert out[9] == 7.0  # other user's window starts fresh
+
+
+def test_length_histogram_totals(spark):
+    rows = QUERIES["q47_length_histogram"](spark, SF).collect()
+    assert rows
+    assert all(r["bucket_lo"] % 50 == 0 for r in rows)
+    total = sum(r["n_docs"] for r in rows)
+    assert total == corpus_stats._docs(spark, SF).count()
