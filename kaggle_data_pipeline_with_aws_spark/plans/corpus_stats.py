@@ -1028,3 +1028,132 @@ def q47_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (F.floor(F.col("n_chars") / 50).cast("long") * 50).alias("bucket_lo"),
     ).agg(F.count("*").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# q48 — semi-structured extraction: JSON payload column → typed stats.
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q48_json_payload_stats",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+             AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q48_json_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract the typed field from the JSON ``props`` payload and
+    aggregate it per event type — the semi-structured-column pattern
+    (the reference's S3/S7 JSON parsing, generalized to a per-row
+    payload). ``get_json_object`` evaluates JVM-side inside codegen; at
+    scale prefer parsing ONCE into a struct column (``from_json`` at
+    ingest) over re-parsing per query — this query is the probe face."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q49 — unpivot / melt (wide measures → long form).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q49_unpivot_order_measures",
+    """
+    WITH wide AS (
+      SELECT o_orderstatus,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             round(sum(o_totalprice), 2) AS sum_price,
+             round(avg(o_totalprice), 2) AS avg_price
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, 'n_orders' AS measure, n_orders AS value FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'sum_price', sum_price FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'avg_price', avg_price FROM wide
+    """,
+)
+def q49_unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse of pivot (d27): per-status wide measures melted into
+    (status, measure, value) long form with ``DataFrame.unpivot`` —
+    Spark plans it as a single Expand over the aggregated (tiny) wide
+    table, not one scan per measure; the oracle states the same thing
+    as UNION ALL."""
+    orders = _t(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"],
+        ["n_orders", "sum_price", "avg_price"],
+        "measure",
+        "value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# d45 — per-label medoid (the representative embedding).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "d45_label_medoids",
+    """
+    WITH e AS (
+      SELECT vec_id, label,
+             unnest(range(1, len(embedding) + 1)) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    c AS (SELECT label, d, avg(v) AS cv FROM e GROUP BY label, d),
+    dist AS (
+      SELECT e.vec_id, e.label, sum((e.v - c.cv) * (e.v - c.cv)) AS d2
+      FROM e JOIN c ON c.label = e.label AND c.d = e.d
+      GROUP BY e.vec_id, e.label
+    )
+    SELECT CAST(label AS BIGINT) AS label, vec_id AS medoid_id,
+           round(d2, 6) AS dist2
+    FROM (
+      SELECT label, vec_id, d2,
+             row_number() OVER (PARTITION BY label
+                 ORDER BY d2, vec_id) AS rn
+      FROM dist
+    ) WHERE rn = 1
+    """,
+)
+def d45_label_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The representative vector per label: the member closest to its
+    label centroid (centroid-nearest medoid) — semantic dedup's "keep
+    one per cluster" decision. Centroids (10 labels × 64 dims) come
+    from one partial-agg pass and broadcast back; distances are one
+    more partial agg; the final argmin is a per-label window over one
+    row per vector. Ties break on vec_id so the pick is deterministic
+    across engines."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("d", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    c = e.groupBy("label", "d").agg(F.avg("v").alias("cv"))
+    dist = (
+        e.join(F.broadcast(c), ["label", "d"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum((F.col("v") - F.col("cv")) ** 2).alias("d2"))
+    )
+    w = Window.partitionBy("label").orderBy("d2", "vec_id")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "label",
+            F.col("vec_id").alias("medoid_id"),
+            F.round("d2", 6).alias("dist2"),
+        )
+    )

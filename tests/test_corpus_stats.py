@@ -408,3 +408,48 @@ def test_length_histogram_totals(spark):
     assert all(r["bucket_lo"] % 50 == 0 for r in rows)
     total = sum(r["n_docs"] for r in rows)
     assert total == corpus_stats._docs(spark, SF).count()
+
+
+def test_json_extraction_replay(spark):
+    import json as _json
+
+    out = {
+        r["event_type"]: (r["n_events"], r["sum_k"])
+        for r in QUERIES["q48_json_payload_stats"](spark, SF).collect()
+    }
+    ev = corpus_stats._t(spark, SF, "events").select("event_type", "props").collect()
+    expected = {}
+    for r in ev:
+        n, s = expected.get(r["event_type"], (0, 0))
+        expected[r["event_type"]] = (n + 1, s + _json.loads(r["props"])["k"])
+    assert out == expected
+
+
+def test_unpivot_round_trips_wide_measures(spark):
+    rows = QUERIES["q49_unpivot_order_measures"](spark, SF).collect()
+    statuses = {r["o_orderstatus"] for r in rows}
+    assert len(rows) == 3 * len(statuses)
+    long = {(r["o_orderstatus"], r["measure"]): r["value"] for r in rows}
+    # n_orders measure must reconcile with a direct count
+    orders = corpus_stats._t(spark, SF, "orders")
+    counts = {
+        r["o_orderstatus"]: r["n"]
+        for r in orders.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()
+    }
+    for st, n in counts.items():
+        assert long[(st, "n_orders")] == float(n)
+
+
+def test_label_medoid_constructed(spark, monkeypatch):
+    rows = [(0, [0.0, 0.0], 0), (1, [1.0, 0.0], 0), (2, [10.0, 0.0], 0),
+            (3, [5.0, 5.0], 1)]
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    monkeypatch.setattr(corpus_stats, "_emb", lambda s, d: df)
+    out = {
+        r["label"]: r["medoid_id"]
+        for r in corpus_stats.d45_label_medoids(spark, SF).collect()
+    }
+    # centroid of label 0 is (11/3, 0); vec 1 at x=1 is the closest member
+    assert out == {0: 1, 1: 3}
