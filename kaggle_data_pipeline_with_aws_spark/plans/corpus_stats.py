@@ -1157,3 +1157,60 @@ def d45_label_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("d2", 6).alias("dist2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q50 — MAD robust outliers (median absolute deviation).
+# The robust complement to q36's z-score filter: median/MAD are immune
+# to the very outliers being hunted (a single 10^9-char doc shifts a
+# mean+stddev fence, not a median+MAD one).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q50_mad_outliers",
+    """
+    WITH med AS (
+      SELECT lang, quantile_cont(n_chars, 0.5) AS med
+      FROM documents GROUP BY lang
+    ),
+    mad AS (
+      SELECT lang,
+             quantile_cont(abs(n_chars - med), 0.5) AS mad, med
+      FROM documents JOIN med USING (lang)
+      GROUP BY lang, med
+    )
+    SELECT doc_id, lang, n_chars,
+           round(0.6745 * (n_chars - med) / mad, 6) AS robust_z
+    FROM documents JOIN mad USING (lang)
+    WHERE mad > 0
+      AND abs(round(0.6745 * (n_chars - med) / mad, 6)) > 1.2
+    """,
+)
+def q50_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length outliers by modified z-score: 0.6745·(x−median)/MAD >
+    threshold, per language. (Canonical cut for normal data is 3.5; the
+    bounded-uniform synthetic lengths cap robust_z below ~1.8, so the
+    demo fence is 1.2 — the threshold is the only tunable.) Two exact-percentile passes (median, then median
+    of absolute deviations) — each produces a languages-sized table
+    that broadcasts back, so the document side is scanned twice and
+    shuffled never. Spark ``percentile`` and DuckDB ``quantile_cont``
+    share the interpolation rule, so the fences agree exactly."""
+    d = _docs(spark, sf_dir)
+    med = d.groupBy("lang").agg(F.percentile("n_chars", 0.5).alias("med"))
+    mad = (
+        d.join(F.broadcast(med), "lang")
+        .groupBy("lang", "med")
+        .agg(
+            F.percentile(F.abs(F.col("n_chars") - F.col("med")), 0.5)
+            .alias("mad")
+        )
+    )
+    rz = F.round(
+        0.6745 * (F.col("n_chars") - F.col("med")) / F.col("mad"), 6
+    )
+    return (
+        d.join(F.broadcast(mad), "lang")
+        .filter(F.col("mad") > 0)
+        .withColumn("robust_z", rz)
+        .filter(F.abs(F.col("robust_z")) > 1.2)
+        .select("doc_id", "lang", "n_chars", "robust_z")
+    )

@@ -453,3 +453,25 @@ def test_label_medoid_constructed(spark, monkeypatch):
     }
     # centroid of label 0 is (11/3, 0); vec 1 at x=1 is the closest member
     assert out == {0: 1, 1: 3}
+
+
+def test_mad_outliers_robust_fence(spark):
+    rows = QUERIES["q50_mad_outliers"](spark, SF).collect()
+    assert rows
+    assert all(abs(r["robust_z"]) > 1.2 for r in rows)
+    # |robust_z| is strictly monotone in |x − median| (fixed med/mad per
+    # lang), so every flagged doc must deviate farther from the median
+    # than every unflagged doc of the same language
+    import statistics
+
+    d = corpus_stats._docs(spark, SF).select("doc_id", "lang", "n_chars").collect()
+    by_lang = {}
+    for r in d:
+        by_lang.setdefault(r["lang"], []).append(r)
+    flagged = {r["doc_id"] for r in rows}
+    for lang, docs in by_lang.items():
+        med = statistics.median(x["n_chars"] for x in docs)
+        dev_f = [abs(x["n_chars"] - med) for x in docs if x["doc_id"] in flagged]
+        dev_u = [abs(x["n_chars"] - med) for x in docs if x["doc_id"] not in flagged]
+        if dev_f:
+            assert min(dev_f) > max(dev_u), lang
