@@ -1214,3 +1214,123 @@ def q50_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("robust_z")) > 1.2)
         .select("doc_id", "lang", "n_chars", "robust_z")
     )
+
+
+# ---------------------------------------------------------------------------
+# d46 — n-gram novelty: how much NEW surface form each doc contributes.
+# ---------------------------------------------------------------------------
+@spark_query(
+    "d46_ngram_novelty",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks WHERE len(t) >= 2
+    ),
+    first_seen AS (SELECT bigram, min(doc_id) AS first_doc FROM bg GROUP BY bigram)
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_novel,
+           round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 6) AS novelty
+    FROM bg JOIN first_seen USING (bigram)
+    GROUP BY doc_id
+    """,
+)
+def d46_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of its distinct bigrams that
+    FIRST appear in it (ingestion order = doc_id). High-novelty docs
+    add new surface form to the corpus; near-zero novelty marks
+    recombinations of existing text — the incremental-curation signal
+    that complements pairwise dedup. The first-occurrence table is one
+    min-aggregate over the bigram stream (vocabulary-bounded →
+    broadcast back); no pairwise work anywhere."""
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", text.tokens("text").alias("t")).filter(
+        F.array_size("t") >= 2
+    )
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.array_size("t") - 1),
+                F.slice("t", 2, F.array_size("t") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
+    ).distinct()
+    first_seen = bg.groupBy("bigram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        bg.join(F.broadcast(first_seen), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            novel.alias("n_novel"),
+            F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q51 — sessionized conversion rate (session windows → per-user rate).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q51_session_conversion",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, session_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM flagged GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           count(*) AS n_sessions,
+           sum(converted) AS n_converted,
+           round(CAST(sum(converted) AS DOUBLE) / count(*), 6)
+             AS conversion_rate
+    FROM sessions GROUP BY user_id
+    """,
+)
+def q51_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate per user over 30-minute-gap sessions: sessionize
+    with ``F.session_window`` (the same operator behind s02, so the
+    streaming path shares this exact plan), mark sessions containing a
+    purchase, aggregate per user. Two shuffles total: the session
+    grouping and the per-user rollup; the oracle states sessionization
+    as gaps-and-islands SQL."""
+    ev = _t(spark, sf_dir, "events")
+    sessions = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("converted").alias("n_converted"),
+        F.round(
+            F.sum("converted").cast("double") / F.count("*"), 6
+        ).alias("conversion_rate"),
+    )

@@ -475,3 +475,30 @@ def test_mad_outliers_robust_fence(spark):
         dev_u = [abs(x["n_chars"] - med) for x in docs if x["doc_id"] not in flagged]
         if dev_f:
             assert min(dev_f) > max(dev_u), lang
+
+
+def test_ngram_novelty_ordering_semantics(spark, monkeypatch):
+    # doc 0 introduces "a b"; doc 1 repeats it and adds "b c"; doc 2 is
+    # a pure copy of doc 0 → zero novelty
+    df = _docs_df(spark, ["a b", "a b c", "a b"])
+    monkeypatch.setattr(corpus_stats, "_docs", lambda s, d: df)
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["n_novel"], r["novelty"])
+        for r in corpus_stats.d46_ngram_novelty(spark, SF).collect()
+    }
+    assert out[0] == (1, 1, 1.0)
+    assert out[1] == (2, 1, 0.5)
+    assert out[2] == (1, 0, 0.0)
+
+
+def test_session_conversion_bounds_and_totals(spark):
+    rows = QUERIES["q51_session_conversion"](spark, SF).collect()
+    assert rows
+    assert all(0.0 <= r["conversion_rate"] <= 1.0 for r in rows)
+    assert all(r["n_converted"] <= r["n_sessions"] for r in rows)
+    # session totals reconcile with the standalone sessionizer (s02)
+    s02 = QUERIES["s02_session_windows"](spark, SF).collect()
+    n_sessions = {}
+    for r in s02:
+        n_sessions[r["user_id"]] = n_sessions.get(r["user_id"], 0) + 1
+    assert {r["user_id"]: r["n_sessions"] for r in rows} == n_sessions
