@@ -19,8 +19,9 @@ Layout:
                   text / asof / interval / sketch / components / skew /
                   multimodal
     functions/    scalar column-expression helpers (SURVEY §2.8)
-    plans/        q01-q35 relational + d01-d31 LLM-data + s01-s03
-                  streaming faces, each with a DuckDB oracle twin
+    plans/        q01-q51 relational + d01-d46 LLM-data + s01-s05
+                  streaming faces (102 registered queries, 97 with a
+                  DuckDB oracle twin; see plans/registry.py)
     streaming/    incremental file-source pipeline (SURVEY §2.9)
     materialize   EP3: renumber + enrich-join + sorted CSV/parquet output
     pipeline      the EP1→EP3 DAG as one driver program
