@@ -83,3 +83,76 @@ def test_word_shingles_match_python_model(spark_session, texts):
             if g not in want:
                 want.append(g)
         assert sh == want, f"text={t!r}"
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(ascii_text.filter(lambda s: s.strip()), min_size=1, max_size=90),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_chunking_reassembles_any_corpus(spark_session, docs):
+    """d34 invariant: chunk texts concatenate back to the exact token
+    stream and every chunk except the last is full-width."""
+    from kaggle_data_pipeline_with_aws_spark.plans import corpus_stats
+
+    df = spark_session.createDataFrame(
+        [(i, " ".join(toks), "en", "src0", 0) for i, toks in enumerate(docs)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    orig = corpus_stats._docs
+    corpus_stats._docs = lambda s, d: df
+    try:
+        out = corpus_stats.d34_chunk_documents(spark_session, "ignored").collect()
+    finally:
+        corpus_stats._docs = orig
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, toks in enumerate(docs):
+        # whitespace-split semantics: split(" ") of the joined text
+        expected = " ".join(toks).split(" ")
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        assert [r["chunk_idx"] for r in chunks] == list(range(len(chunks)))
+        assert " ".join(r["chunk_text"] for r in chunks) == " ".join(expected)
+        for r in chunks[:-1]:
+            assert r["chunk_tokens"] == 32
+        assert 1 <= chunks[-1]["chunk_tokens"] <= 32
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_ewma_stays_within_window_bounds(spark_session, values):
+    """q46 invariant: a convex combination of the trailing window never
+    leaves [min(window), max(window)]."""
+    from kaggle_data_pipeline_with_aws_spark.plans import corpus_stats
+
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", 1, "view", v, "")
+        for i, v in enumerate(values)
+    ]
+    df = spark_session.createDataFrame(
+        rows,
+        "event_id LONG, ts STRING, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    orig = corpus_stats._t
+    corpus_stats._t = lambda s, d, n: df
+    try:
+        out = {
+            r["event_id"]: r["ewma"]
+            for r in corpus_stats.q46_ewma_values(spark_session, "ignored").collect()
+        }
+    finally:
+        corpus_stats._t = orig
+    for i in range(len(values)):
+        window = values[max(0, i - 4) : i + 1]
+        assert min(window) - 1e-6 <= out[i] <= max(window) + 1e-6, (i, window, out[i])
