@@ -1334,3 +1334,60 @@ def q51_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("converted").cast("double") / F.count("*"), 6
         ).alias("conversion_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q52 — skyline / Pareto frontier (earliest date, highest price).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q52_pareto_orders",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_orderdate, o_totalprice,
+             CAST(epoch(o_orderdate) / 86400 AS BIGINT) AS day
+      FROM orders
+    ),
+    m AS (
+      SELECT o_orderkey, o_orderdate, o_totalprice,
+             max(o_totalprice) OVER (ORDER BY day
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS max_before,
+             max(o_totalprice) OVER (PARTITION BY day) AS max_same_day
+      FROM o
+    )
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM m
+    WHERE (max_before IS NULL OR max_before < o_totalprice)
+      AND max_same_day <= o_totalprice
+    """,
+)
+def q52_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto frontier of orders on (earlier date, higher price): an
+    order survives iff no strictly-earlier order matches its price and
+    no same-day order beats it. The textbook skyline is an O(n²)
+    NOT-EXISTS self-join; for a 2-D skyline a running-max window over
+    the date order answers the same question in O(n log n) — one range
+    sort, no join. (k-D skylines need the block-nested partition trick;
+    2-D is the common monitoring case.)"""
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        (F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("day"),
+    )
+    w_before = (
+        Window.orderBy("day").rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_day = Window.partitionBy("day")
+    m = o.select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.max("o_totalprice").over(w_before).alias("max_before"),
+        F.max("o_totalprice").over(w_day).alias("max_same_day"),
+    )
+    return m.filter(
+        (F.col("max_before").isNull() | (F.col("max_before") < F.col("o_totalprice")))
+        & (F.col("max_same_day") <= F.col("o_totalprice"))
+    ).select("o_orderkey", "o_orderdate", "o_totalprice")

@@ -502,3 +502,25 @@ def test_session_conversion_bounds_and_totals(spark):
     for r in s02:
         n_sessions[r["user_id"]] = n_sessions.get(r["user_id"], 0) + 1
     assert {r["user_id"]: r["n_sessions"] for r in rows} == n_sessions
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    rows = QUERIES["q52_pareto_orders"](spark, SF).collect()
+    got = {r["o_orderkey"] for r in rows}
+    assert got
+    orders = [
+        (r["o_orderkey"], r["o_orderdate"], r["o_totalprice"])
+        for r in corpus_stats._t(spark, SF, "orders").collect()
+    ]
+    # brute-force dominance: (earlier-or-equal date, higher-or-equal
+    # price, strictly better in one)
+    expected = set()
+    for k, d, p in orders:
+        dominated = any(
+            d2 <= d and p2 >= p and (d2 < d or p2 > p)
+            for k2, d2, p2 in orders
+            if k2 != k
+        )
+        if not dominated:
+            expected.add(k)
+    assert got == expected
