@@ -1365,10 +1365,13 @@ def q52_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Pareto frontier of orders on (earlier date, higher price): an
     order survives iff no strictly-earlier order matches its price and
     no same-day order beats it. The textbook skyline is an O(n²)
-    NOT-EXISTS self-join; for a 2-D skyline a running-max window over
-    the date order answers the same question in O(n log n) — one range
-    sort, no join. (k-D skylines need the block-nested partition trick;
-    2-D is the common monitoring case.)"""
+    NOT-EXISTS self-join; this plan first collapses to one row per DAY
+    (partial-agg max), runs the running-max window over that — a table
+    bounded by the date domain, never by data volume, so the window's
+    single partition holds thousands of rows at 100 TB, not trillions —
+    and broadcasts the per-day fences back for a row-local filter. (A
+    direct ``Window.orderBy(day)`` over the fact table would collapse
+    ALL rows to one partition — the renumber-operator anti-pattern.)"""
     orders = _t(spark, sf_dir, "orders")
     o = orders.select(
         "o_orderkey",
@@ -1376,18 +1379,21 @@ def q52_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         (F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("day"),
     )
-    w_before = (
-        Window.orderBy("day").rangeBetween(Window.unboundedPreceding, -1)
+    day_max = o.groupBy("day").agg(F.max("o_totalprice").alias("max_same_day"))
+    w_before = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    fences = day_max.select(
+        "day",
+        "max_same_day",
+        F.max("max_same_day").over(w_before).alias("max_before"),
     )
-    w_day = Window.partitionBy("day")
-    m = o.select(
-        "o_orderkey",
-        "o_orderdate",
-        "o_totalprice",
-        F.max("o_totalprice").over(w_before).alias("max_before"),
-        F.max("o_totalprice").over(w_day).alias("max_same_day"),
+    return (
+        o.join(F.broadcast(fences), "day")
+        .filter(
+            (
+                F.col("max_before").isNull()
+                | (F.col("max_before") < F.col("o_totalprice"))
+            )
+            & (F.col("max_same_day") <= F.col("o_totalprice"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
     )
-    return m.filter(
-        (F.col("max_before").isNull() | (F.col("max_before") < F.col("o_totalprice")))
-        & (F.col("max_same_day") <= F.col("o_totalprice"))
-    ).select("o_orderkey", "o_orderdate", "o_totalprice")
