@@ -1397,3 +1397,152 @@ def q52_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_orderdate", "o_totalprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# d47 — histogram-sketch quantiles (mergeable approximate percentiles).
+# Completes the sketch trio: KMV (d28, distinct), count-min (d41,
+# frequency), histogram (quantiles) — all deterministic, all mergeable
+# by counter addition, all oracle-checkable bit-for-bit.
+# ---------------------------------------------------------------------------
+@spark_query(
+    "d47_histogram_quantiles",
+    """
+    WITH h AS (
+      SELECT lang, CAST(floor(n_chars / 50) AS BIGINT) AS b,
+             count(*) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT lang, b, n,
+             sum(n) OVER (PARTITION BY lang ORDER BY b
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER (PARTITION BY lang) AS total
+      FROM h
+    ),
+    hit AS (
+      SELECT lang, min(b) AS qb FROM c
+      WHERE cum >= 0.5 * total GROUP BY lang
+    )
+    SELECT c.lang,
+           CAST(qb * 50 AS DOUBLE) +
+           50.0 * (0.5 * c.total - (c.cum - c.n)) / c.n AS est_median
+    FROM c JOIN hit ON c.lang = hit.lang AND c.b = hit.qb
+    """,
+)
+def d47_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-language median from the 50-char histogram
+    (uniform-within-bucket interpolation). The sketch is the histogram
+    itself — fixed memory, sum-mergeable across partitions/streams, and
+    the estimate is a deterministic function of the counters, so the
+    oracle checks it exactly (vs engine-specific t-digest/HLL, which
+    never cross-check). Error is bounded by the bucket width."""
+    d = _docs(spark, sf_dir)
+    h = d.groupBy(
+        "lang", F.floor(F.col("n_chars") / 50).cast("long").alias("b")
+    ).agg(F.count("*").alias("n"))
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("lang")
+    c = h.select(
+        "lang",
+        "b",
+        "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).alias("total"),
+    )
+    hit = (
+        c.filter(F.col("cum") >= 0.5 * F.col("total"))
+        .groupBy("lang")
+        .agg(F.min("b").alias("qb"))
+        .select(F.col("lang").alias("__hl"), "qb")
+    )
+    return (
+        c.join(
+            F.broadcast(hit),
+            (F.col("lang") == F.col("__hl")) & (F.col("b") == F.col("qb")),
+        )
+        .select(
+            "lang",
+            (
+                (F.col("qb") * 50).cast("double")
+                + 50.0
+                * (0.5 * F.col("total") - (F.col("cum") - F.col("n")))
+                / F.col("n")
+            ).alias("est_median"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d48 — windowed KMV: distinct users per day, sketch vs exact.
+# ---------------------------------------------------------------------------
+_KMV_K = 64
+
+
+@spark_query(
+    "d48_daily_distinct_kmv",
+    f"""
+    WITH e AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             user_id,
+             {text.portable_hash_sql("'kmv|' || CAST(user_id AS VARCHAR)")} AS h
+      FROM events
+    ),
+    d AS (SELECT DISTINCT day, h FROM e),
+    ranked AS (
+      SELECT day, h,
+             row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+      FROM d
+    ),
+    sk AS (
+      SELECT day, count(*) AS k, max(h) AS kth
+      FROM ranked WHERE rn <= {_KMV_K} GROUP BY day
+    ),
+    exact AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     count(DISTINCT user_id) AS exact_distinct
+              FROM events GROUP BY 1)
+    SELECT day, exact_distinct, k,
+           round((k - 1) * {text.HASH_MOD}.0 / kth, 6) AS est_distinct
+    FROM sk JOIN exact USING (day)
+    """,
+)
+def d48_daily_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per day, estimated by a per-window KMV sketch
+    (k=64 minimum hash values) next to the exact count. The windowed
+    form is what a streaming rollup keeps: per window, k hashes —
+    mergeable by taking the k smallest of a union, so late data and
+    partial re-aggregation compose. Per-day top-k is a bounded window
+    (rows = distinct users per day); the estimate is deterministic via
+    the portable hash, hence exactly oracle-checkable."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        text.portable_hash(
+            F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))
+        ).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("day").orderBy("h")
+    sk = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("day")
+        .agg(F.count("*").alias("k"), F.max("h").alias("kth"))
+    )
+    exact = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        sk.join(exact, "day")
+        .select(
+            "day",
+            "exact_distinct",
+            "k",
+            F.round(
+                (F.col("k") - 1) * F.lit(float(text.HASH_MOD)) / F.col("kth"), 6
+            ).alias("est_distinct"),
+        )
+    )

@@ -524,3 +524,34 @@ def test_pareto_frontier_matches_bruteforce(spark):
         if not dominated:
             expected.add(k)
     assert got == expected
+
+
+def test_histogram_median_tracks_exact(spark):
+    est = {
+        r["lang"]: r["est_median"]
+        for r in QUERIES["d47_histogram_quantiles"](spark, SF).collect()
+    }
+    assert est
+    import statistics
+
+    d = corpus_stats._docs(spark, SF).select("lang", "n_chars").collect()
+    by_lang = {}
+    for r in d:
+        by_lang.setdefault(r["lang"], []).append(r["n_chars"])
+    for lang, xs in by_lang.items():
+        true_med = statistics.median(xs)
+        # bucket width is 50 → estimate within one bucket of truth
+        assert abs(est[lang] - true_med) <= 50, (lang, est[lang], true_med)
+
+
+def test_daily_kmv_estimate_quality_and_saturation(spark):
+    rows = QUERIES["d48_daily_distinct_kmv"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["k"] <= 64
+        if r["k"] < 64:
+            # sketch not saturated: it saw every distinct hash → the
+            # estimate is irrelevant, the exact path is k itself
+            assert r["k"] == r["exact_distinct"]
+        else:
+            assert abs(r["est_distinct"] - r["exact_distinct"]) / r["exact_distinct"] < 0.5
