@@ -383,9 +383,55 @@ def d12_minhash_lsh_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spark_query("d13_ann_lsh")
+def _hyperplane_sig_sql(num_planes: int = 16, dim: int = 64) -> str:
+    """The signature expression with the ±1 plane matrix baked in as
+    literals — the planes are deterministic (similarity._plane_sign), so
+    the whole LSH pipeline gets an exact oracle, not just a rows check."""
+    from ..operators.similarity import _plane_sign
+
+    terms = []
+    for pl in range(num_planes):
+        signs = ", ".join(
+            "1.0" if _plane_sign(pl, j) else "-1.0" for j in range(dim)
+        )
+        proj = (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * CAST(([{signs}])[i] AS DOUBLE))), "
+            f"(acc, x) -> acc + x)"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << pl} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _d13_oracle() -> str:
+    return f"""
+    WITH s AS (
+      SELECT vec_id, embedding, {_hyperplane_sig_sql()} AS sig FROM embeddings
+    ),
+    cand AS (
+      SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+             round({_DOT_SQL} / ({_NORM_SQL.format(v='a')} * {_NORM_SQL.format(v='b')}), 6)
+               AS cos_sim
+      FROM s a, s b
+      WHERE b.vec_id < 10 AND a.vec_id != b.vec_id
+        AND bit_count(xor(CAST(a.sig AS BIGINT), CAST(b.sig AS BIGINT))) <= 4
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM cand
+    )
+    SELECT * FROM ranked WHERE rank <= 5
+    """
+
+
+@spark_query("d13_ann_lsh", _d13_oracle())
 def d13_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-k (recall < 1 by construction)."""
+    """Hyperplane-LSH approximate top-k (recall < 1 by construction —
+    but the candidate set itself is deterministic: the ±1 planes are
+    seeded constants, so the oracle rebuilds the identical signatures,
+    Hamming pre-filter and cosine ranking in SQL)."""
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 10)
     return similarity.hyperplane_lsh_topk(embs, queries, k=5)
