@@ -437,11 +437,36 @@ def d13_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hyperplane_lsh_topk(embs, queries, k=5)
 
 
-@spark_query("d14_simhash_pairs")
+def _d14_oracle() -> str:
+    """The banded-candidate semantic stated directly: Hamming ≤ 8 AND at
+    least one 15-bit chunk agrees (4 chunks over a 60-bit fingerprint
+    can ALL differ at Hamming 8, so chunk agreement is part of the
+    operator's contract, not just a plan detail)."""
+    fp_cte = _simhash_oracle().replace(
+        "SELECT doc_id, ", "SELECT doc_id, ", 1
+    )
+    chunk_eq = " OR ".join(
+        f"((a.simhash >> {ci * 15}) & 32767) = ((b.simhash >> {ci * 15}) & 32767)"
+        for ci in range(4)
+    )
+    return f"""
+    WITH fp AS ({fp_cte})
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM fp a, fp b
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= 8
+      AND ({chunk_eq})
+    """
+
+
+@spark_query("d14_simhash_pairs", _d14_oracle())
 def d14_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, Hamming ≤ 8 via banded chunks. The pair
-    set is deterministic but the banding shortcut is the point of the
-    plan; checked rows-only (d08 oracle-checks the fingerprints)."""
+    """SimHash near-dup pairs, Hamming ≤ 8 via banded chunks. The
+    portable fingerprints (d08) make the whole pair pipeline exactly
+    oracle-checkable: the SQL states the banded semantic (≥1 chunk
+    equal ∧ Hamming ≤ 8) as a direct quadratic filter, while the Spark
+    plan reaches the same set through chunk-equality buckets."""
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
 
 
