@@ -1546,3 +1546,129 @@ def d48_daily_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_distinct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d49 — weighted sampling without replacement (Efraimidis–Spirakis).
+# ---------------------------------------------------------------------------
+_WS_K = 50
+
+
+@spark_query(
+    "d49_weighted_sample",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln(CAST({text.portable_hash_sql("'ws|' || CAST(doc_id AS VARCHAR)")} + 1
+                AS DOUBLE) / {text.HASH_MOD + 1}) / n_chars AS es_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, round(es_key, 6) AS es_key,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT doc_id, n_chars, es_key,
+             row_number() OVER (ORDER BY es_key DESC, doc_id) AS rnk
+      FROM keyed
+    ) WHERE rnk <= {_WS_K}
+    """,
+)
+def d49_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (Efraimidis–Spirakis A-ES):
+    per row, key = ln(u)/w with u a deterministic hash-uniform in
+    (0, 1]; the k largest keys ARE a weighted sample without
+    replacement. One scan + TakeOrderedAndProject (per-partition top-k,
+    k·partitions rows merge) — no shuffle of the data, reproducible
+    replays because u comes from the portable hash, and weights (here
+    doc length) can be any positive column. The canonical distributed
+    answer to "sample 1M docs from 100 TB proportionally to length"."""
+    d = _docs(spark, sf_dir).filter(F.col("n_chars") > 0)
+    u = (
+        text.portable_hash(
+            F.concat(F.lit("ws|"), F.col("doc_id").cast("string"))
+        )
+        + 1
+    ).cast("double") / F.lit(float(text.HASH_MOD + 1))
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        (F.log(u) / F.col("n_chars")).alias("es_key"),
+    )
+    w = Window.orderBy(F.col("es_key").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _WS_K)
+        .select("doc_id", "n_chars", F.round("es_key", 6).alias("es_key"), "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d50 — PMI collocations (statistically-bound word pairs).
+# ---------------------------------------------------------------------------
+_PMI_MIN_COUNT = 30
+
+
+@spark_query(
+    "d50_pmi_collocations",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS bigram,
+             unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+             unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+      FROM toks WHERE len(t) >= 2
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM bg),
+    bc AS (SELECT bigram, w1, w2, count(*) AS bn FROM bg
+           GROUP BY bigram, w1, w2 HAVING count(*) >= {_PMI_MIN_COUNT}),
+    c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY w1),
+    c2 AS (SELECT w2, count(*) AS n2 FROM bg GROUP BY w2)
+    SELECT bigram, bn,
+           round(log2((bn / total) / ((n1 / total) * (n2 / total))), 6) AS pmi
+    FROM bc JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+    """,
+)
+def d50_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent word pairs — PMI ≫ 0
+    marks collocations (pairs bound tighter than chance), the standard
+    phrase-mining signal. Three aggregates over one bigram stream; the
+    unigram position marginals are vocabulary-sized → broadcast; the
+    min-count floor keeps the output to statistically meaningful pairs
+    (PMI of rare pairs is noise)."""
+    d = _docs(spark, sf_dir)
+    t = d.select(text.tokens("text").alias("t")).filter(
+        F.array_size("t") >= 2
+    )
+    bg = t.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.array_size("t") - 1),
+                F.slice("t", 2, F.array_size("t") - 1),
+                lambda a, b: F.struct(
+                    F.concat_ws(" ", a, b).alias("bigram"),
+                    a.alias("w1"),
+                    b.alias("w2"),
+                ),
+            )
+        ).alias("z")
+    ).select("z.bigram", "z.w1", "z.w2")
+    n = bg.agg(F.count("*").cast("double").alias("total"))
+    bc = (
+        bg.groupBy("bigram", "w1", "w2")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") >= _PMI_MIN_COUNT)
+    )
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("n1"))
+    c2 = bg.groupBy("w2").agg(F.count("*").alias("n2"))
+    p_b = F.col("bn") / F.col("total")
+    p_12 = (F.col("n1") / F.col("total")) * (F.col("n2") / F.col("total"))
+    return (
+        bc.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bigram",
+            "bn",
+            F.round(F.log2(p_b / p_12), 6).alias("pmi"),
+        )
+    )

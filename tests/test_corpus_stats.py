@@ -555,3 +555,32 @@ def test_daily_kmv_estimate_quality_and_saturation(spark):
             assert r["k"] == r["exact_distinct"]
         else:
             assert abs(r["est_distinct"] - r["exact_distinct"]) / r["exact_distinct"] < 0.5
+
+
+def test_weighted_sample_determinism_and_bias(spark):
+    q = QUERIES["d49_weighted_sample"]
+    s1 = [(r["doc_id"], r["rnk"]) for r in q(spark, SF).collect()]
+    s2 = [(r["doc_id"], r["rnk"]) for r in q(spark, SF).collect()]
+    assert s1 == s2 and len(s1) == 50
+    # weighting bias: sampled docs should skew longer than the corpus
+    sampled = {d for d, _ in s1}
+    docs = corpus_stats._docs(spark, SF).select("doc_id", "n_chars").collect()
+    mean_all = sum(r["n_chars"] for r in docs) / len(docs)
+    mean_sampled = sum(r["n_chars"] for r in docs if r["doc_id"] in sampled) / 50
+    assert mean_sampled > mean_all
+
+
+def test_pmi_identifies_constructed_collocation(spark, monkeypatch):
+    # "strong coffee" always adjacent; "tea" pairs uniformly with fillers
+    rows = []
+    for i in range(40):
+        rows.append(f"strong coffee filler{i % 4}")
+    df = _docs_df(spark, rows)
+    monkeypatch.setattr(corpus_stats, "_docs", lambda s, d: df)
+    import kaggle_data_pipeline_with_aws_spark.plans.corpus_stats as cs
+
+    monkeypatch.setattr(cs, "_PMI_MIN_COUNT", 10)
+    out = {r["bigram"]: r["pmi"] for r in cs.d50_pmi_collocations(spark, SF).collect()}
+    assert "strong coffee" in out
+    # P(strong coffee)=P(strong)=P(coffee as w2) → PMI = log2(1/P) > 0
+    assert out["strong coffee"] > 0
