@@ -1549,6 +1549,40 @@ def d48_daily_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q53 — rolling median (robust smoothing; the median twin of q46's EWMA).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q53_rolling_median",
+    f"""
+    SELECT event_id, user_id, ts,
+           round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN {_EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW),
+             6) AS rolling_median
+    FROM events
+    """,
+)
+def q53_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median of each user's trailing 5 event values —
+    the robust-smoothing twin of q46 (a single spike moves an EWMA,
+    not a median). ``percentile`` runs as a true window aggregate over
+    the bounded frame, partitioned per user, and its interpolation rule
+    matches DuckDB's ``quantile_cont`` exactly."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_WINDOW - 1), 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.percentile("value", 0.5).over(w), 6).alias("rolling_median"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # d49 — weighted sampling without replacement (Efraimidis–Spirakis).
 # ---------------------------------------------------------------------------
 _WS_K = 50

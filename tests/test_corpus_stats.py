@@ -584,3 +584,22 @@ def test_pmi_identifies_constructed_collocation(spark, monkeypatch):
     assert "strong coffee" in out
     # P(strong coffee)=P(strong)=P(coffee as w2) → PMI = log2(1/P) > 0
     assert out["strong coffee"] > 0
+
+
+def test_rolling_median_within_window_bounds(spark, monkeypatch):
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, ""),
+        (2, "2024-01-01 10:01:00", 1, "view", 100.0, ""),
+        (3, "2024-01-01 10:02:00", 1, "view", 2.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    monkeypatch.setattr(corpus_stats, "_t", lambda s, d, n: df)
+    out = {
+        r["event_id"]: r["rolling_median"]
+        for r in corpus_stats.q53_rolling_median(spark, SF).collect()
+    }
+    # the spike at event 2 barely moves the median (robustness), unlike a mean
+    assert out == {1: 1.0, 2: 50.5, 3: 2.0}

@@ -112,6 +112,25 @@ SHOWCASE: list[tuple[str, str]] = [
         " same condition that lets streaming mode expire join state at the"
         " watermark.",
     ),
+    (
+        "q52_pareto_orders",
+        "Skyline without the O(n²) self-join: per-day partial-agg max, a"
+        " global window over the DAY-sized table only, and the fences"
+        " broadcast back — no full-table SinglePartition exchange.",
+    ),
+    (
+        "d49_weighted_sample",
+        "Efraimidis-Spirakis weighted sampling compiles to"
+        " TakeOrderedAndProject: per-partition top-k, k·partitions rows to"
+        " merge — Catalyst's rank-limit pushdown keeps the row_number"
+        " window on the 50 survivors.",
+    ),
+    (
+        "d41_countmin_heavy_hitters",
+        "The count-min sketch is a partial-aggregated groupBy on (row,"
+        " bucket) — at most depth×width counter rows per map task — and"
+        " point queries join it back as a broadcast.",
+    ),
 ]
 
 
