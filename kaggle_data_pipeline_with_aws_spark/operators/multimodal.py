@@ -229,3 +229,61 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             )
 
     return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+PATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("patch_row", T.LongType()),
+        T.StructField("patch_col", T.LongType()),
+        T.StructField("patch_w", T.LongType()),
+        T.StructField("patch_h", T.LongType()),
+    ]
+)
+
+
+def extract_patches(
+    media: DataFrame, patch: int = 16, decoder: str = "fake"
+) -> DataFrame:
+    """ViT-style patch grid per image: one input row fans out to
+    ceil(w/p)·ceil(h/p) output rows — the 1:N Arrow batch shape (vs the
+    1:1 of ``extract_features``). Edge patches carry their clipped
+    dimensions. Non-image rows are dropped inside the iterator, so the
+    filter costs no extra pass. The real decoder would also emit pixel
+    tensors; the stub stops at geometry, which is what the downstream
+    partitioning/packing logic consumes."""
+    decode = DECODERS[decoder]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple[int, int, int, int, int]] = []
+            for doc_id, payload, mtype in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mtype != "image":
+                    continue
+                feats = decode(payload, mtype)
+                w, h = feats["width"], feats["height"]
+                for pr in range((h + patch - 1) // patch):
+                    for pc in range((w + patch - 1) // patch):
+                        rows.append(
+                            (
+                                doc_id,
+                                pr,
+                                pc,
+                                min(patch, w - pc * patch),
+                                min(patch, h - pr * patch),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "patch_row",
+                    "patch_col",
+                    "patch_w",
+                    "patch_h",
+                ],
+            )
+
+    return media.mapInPandas(run, PATCH_SCHEMA)

@@ -371,6 +371,46 @@ def d11_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media, decoder="fake")
 
 
+@spark_query(
+    "d51_image_patches",
+    """
+    WITH m AS (
+      SELECT doc_id, octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    g AS (
+      SELECT doc_id,
+             CAST(64 + n % 64 AS BIGINT) AS w,
+             CAST(64 + (n * 7) % 64 AS BIGINT) AS h
+      FROM m
+    ),
+    pr AS (
+      SELECT doc_id, w, h,
+             unnest(range(0, CAST(ceil(h / 16.0) AS BIGINT))) AS patch_row
+      FROM g
+    ),
+    pc AS (
+      SELECT doc_id, w, h, patch_row,
+             unnest(range(0, CAST(ceil(w / 16.0) AS BIGINT))) AS patch_col
+      FROM pr
+    )
+    SELECT doc_id, CAST(patch_row AS BIGINT) AS patch_row,
+           CAST(patch_col AS BIGINT) AS patch_col,
+           least(16, w - patch_col * 16) AS patch_w,
+           least(16, h - patch_row * 16) AS patch_h
+    FROM pc
+    """,
+)
+def d51_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-prep patch grid over the image rows of the media table — the
+    1:N Arrow fan-out shape through mapInPandas (one image → dozens of
+    patch rows, batches built inside the iterator). The oracle
+    recomputes the deterministic fake-decode geometry and the grid in
+    SQL, so the whole fan-out is value-checked, not just row-counted."""
+    media = multimodal.documents_as_media(_docs(spark, sf_dir))
+    return multimodal.extract_patches(media, patch=16, decoder="fake")
+
+
 # ---------------------------------------------------------------------------
 # Scale-path variants — probabilistic / engine-specific hashes: rows-only.
 # ---------------------------------------------------------------------------

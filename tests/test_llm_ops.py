@@ -266,3 +266,28 @@ def test_pagerank_star_and_triangle(spark):
     assert ranks[10] == ranks[11] == ranks[12]
     # no dangling nodes → total probability mass is conserved
     assert abs(sum(ranks.values()) - 1.0) < 1e-4
+
+
+def test_patch_grid_geometry(spark):
+    from kaggle_data_pipeline_with_aws_spark.operators import multimodal
+    from kaggle_data_pipeline_with_aws_spark.sources.readers import load_table
+
+    media = multimodal.documents_as_media(load_table(spark, SF, "documents"))
+    patches = multimodal.extract_patches(media, patch=16, decoder="fake").collect()
+    feats = {
+        r["doc_id"]: (r["width"], r["height"])
+        for r in multimodal.extract_features(media, decoder="fake").collect()
+        if r["media_type"] == "image"
+    }
+    by_doc = {}
+    for r in patches:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(feats)
+    for doc_id, (w, h) in feats.items():
+        ps = by_doc[doc_id]
+        n_rows = (h + 15) // 16
+        n_cols = (w + 15) // 16
+        assert len(ps) == n_rows * n_cols
+        # patch areas tile the image exactly
+        assert sum(p["patch_w"] * p["patch_h"] for p in ps) == w * h
+        assert all(1 <= p["patch_w"] <= 16 and 1 <= p["patch_h"] <= 16 for p in ps)
