@@ -73,14 +73,21 @@ def main() -> None:
             except Exception:
                 pass
 
+    # Two timed passes, per-query MIN: a single pass is hostage to
+    # whatever else the machine is doing in that instant (GC, another
+    # process's burst); the min over repetitions is the standard
+    # noise-robust point estimate for sustained throughput.
     timings: dict[str, float] = {}
-    for name in names:
-        fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    for _rep in range(2):
+        for name in names:
+            fn = qs[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            elapsed = round(time.time() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
+            print(f"# {name}: {elapsed}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
