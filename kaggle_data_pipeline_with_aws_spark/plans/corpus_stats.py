@@ -1549,6 +1549,57 @@ def d48_daily_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d52 — per-source KL divergence from the corpus token distribution.
+# The drift monitor: which source's language deviates most from the
+# blend (new crawl gone wrong, wrong-language source, template spam).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "d52_source_kl_divergence",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    t AS (SELECT source, term FROM tok WHERE term <> ''),
+    sc AS (SELECT source, term, count(*) AS sn FROM t GROUP BY source, term),
+    stot AS (SELECT source, count(*) AS st FROM t GROUP BY source),
+    cc AS (SELECT term, count(*) AS cn FROM t GROUP BY term),
+    ctot AS (SELECT count(*) AS ct FROM t)
+    SELECT source,
+           round(sum((CAST(sn AS DOUBLE) / st)
+                     * log2((CAST(sn AS DOUBLE) / st)
+                            / (CAST(cn AS DOUBLE) / ct))), 6) AS kl_bits
+    FROM sc JOIN stot USING (source) JOIN cc USING (term) CROSS JOIN ctot
+    GROUP BY source
+    """,
+)
+def d52_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source ‖ corpus) over unigram distributions, in bits — the
+    standard distribution-shift monitor for a multi-source blend. (KL is
+    finite here by construction: every source term is in the corpus
+    distribution.) Both models are vocabulary-sized aggregates; the
+    corpus model broadcasts back onto the per-source counts, and the
+    divergence is one partial-agg sum per source — the whole monitor is
+    two passes over the token stream at any corpus size."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "source", F.explode(text.tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    sc = tok.groupBy("source", "term").agg(F.count("*").alias("sn"))
+    stot = tok.groupBy("source").agg(F.count("*").alias("st"))
+    cc = tok.groupBy("term").agg(F.count("*").alias("cn"))
+    ctot = tok.agg(F.count("*").alias("ct"))
+    p_s = F.col("sn").cast("double") / F.col("st")
+    p_c = F.col("cn").cast("double") / F.col("ct")
+    return (
+        sc.join(F.broadcast(stot), "source")
+        .join(F.broadcast(cc), "term")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("source")
+        .agg(F.round(F.sum(p_s * F.log2(p_s / p_c)), 6).alias("kl_bits"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # q53 — rolling median (robust smoothing; the median twin of q46's EWMA).
 # ---------------------------------------------------------------------------
 @spark_query(

@@ -603,3 +603,25 @@ def test_rolling_median_within_window_bounds(spark, monkeypatch):
     }
     # the spike at event 2 barely moves the median (robustness), unlike a mean
     assert out == {1: 1.0, 2: 50.5, 3: 2.0}
+
+
+def test_kl_divergence_nonneg_and_detects_outlier_source(spark, monkeypatch):
+    # sources A and B share the corpus language; source C is disjoint
+    rows = [
+        (0, "x y x y", "en", "A", 7),
+        (1, "x y y x", "en", "A", 7),
+        (2, "y x x y", "en", "B", 7),
+        (3, "q q q q", "en", "C", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    monkeypatch.setattr(corpus_stats, "_docs", lambda s, d: df)
+    out = {
+        r["source"]: r["kl_bits"]
+        for r in corpus_stats.d52_source_kl_divergence(spark, SF).collect()
+    }
+    assert all(v >= 0 for v in out.values())  # Gibbs: KL is non-negative
+    assert out["C"] > out["A"] and out["C"] > out["B"]
+    # C's tokens are 1/4 of the corpus → KL(C‖corpus) = log2(4) = 2 bits
+    assert out["C"] == 2.0
