@@ -1549,6 +1549,67 @@ def d48_daily_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d53 — cross-lingual near-dup mining (translation-pair candidates).
+# ---------------------------------------------------------------------------
+_XL_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+_XL_NORM = (
+    "sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+    "i -> CAST({v}.embedding[i] AS DOUBLE) * CAST({v}.embedding[i] AS DOUBLE))), "
+    "(acc, x) -> acc + x))"
+)
+
+
+@spark_query(
+    "d53_translation_candidates",
+    f"""
+    WITH cos AS (
+      SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+             round({_XL_DOT} / ({_XL_NORM.format(v='a')} * {_XL_NORM.format(v='b')}), 6)
+               AS cos_sim
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_1, id_2, d1.lang AS lang_1, d2.lang AS lang_2, cos_sim
+    FROM cos
+    JOIN documents d1 ON d1.doc_id = id_1
+    JOIN documents d2 ON d2.doc_id = id_2
+    WHERE cos_sim >= 0.4 AND d1.lang <> d2.lang
+    """,
+)
+def d53_translation_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual mining: embedding pairs that are near-duplicates in
+    vector space but written in DIFFERENT languages — the candidate set
+    for parallel-corpus extraction (and for "same content, different
+    language" dedup policy decisions). Same cosine kernel as d10, with
+    the (doc_id → lang) dimension broadcast onto both sides; at scale
+    the pair generation goes through the LSH bucketing (d13) instead of
+    the quadratic join — the language filter is unchanged."""
+    from ..operators import similarity
+
+    e = _emb(spark, sf_dir)
+    pairs = similarity.near_duplicate_pairs(e, threshold=0.4)
+    langs = _docs(spark, sf_dir).select(
+        F.col("doc_id"), F.col("lang")
+    )
+    l1 = langs.select(
+        F.col("doc_id").alias("id_1"), F.col("lang").alias("lang_1")
+    )
+    l2 = langs.select(
+        F.col("doc_id").alias("id_2"), F.col("lang").alias("lang_2")
+    )
+    return (
+        pairs.join(F.broadcast(l1), "id_1")
+        .join(F.broadcast(l2), "id_2")
+        .filter(F.col("lang_1") != F.col("lang_2"))
+        .select("id_1", "id_2", "lang_1", "lang_2", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
 # d52 — per-source KL divergence from the corpus token distribution.
 # The drift monitor: which source's language deviates most from the
 # blend (new crawl gone wrong, wrong-language source, template spam).

@@ -625,3 +625,25 @@ def test_kl_divergence_nonneg_and_detects_outlier_source(spark, monkeypatch):
     assert out["C"] > out["A"] and out["C"] > out["B"]
     # C's tokens are 1/4 of the corpus → KL(C‖corpus) = log2(4) = 2 bits
     assert out["C"] == 2.0
+
+
+def test_translation_candidates_subset_of_neardups(spark):
+    from kaggle_data_pipeline_with_aws_spark.operators import similarity
+    from kaggle_data_pipeline_with_aws_spark.sources.readers import load_table
+
+    xl = QUERIES["d53_translation_candidates"](spark, SF).collect()
+    assert all(r["lang_1"] != r["lang_2"] for r in xl)
+    all_pairs = {
+        (r["id_1"], r["id_2"]): r["cos_sim"]
+        for r in similarity.near_duplicate_pairs(
+            load_table(spark, SF, "embeddings"), threshold=0.4
+        ).collect()
+    }
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in corpus_stats._docs(spark, SF).select("doc_id", "lang").collect()
+    }
+    expected = {
+        k for k in all_pairs if langs[k[0]] != langs[k[1]]
+    }
+    assert {(r["id_1"], r["id_2"]) for r in xl} == expected
