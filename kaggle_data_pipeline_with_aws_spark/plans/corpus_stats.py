@@ -1695,6 +1695,98 @@ def q53_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q54 — cohort retention triangle.
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q54_cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(floor(date_diff('day', f.cohort_week,
+                  date_trunc('week', e.ts)) / 7.0) AS BIGINT) AS week_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset, count(*) AS n_active
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def q54_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention triangle: users cohorted by first-activity week,
+    counted per (cohort, weeks-since-first) cell — the standard
+    engagement report. The per-user cohort table is one min-aggregate
+    (users-sized → broadcast back); activity dedup + the cell count are
+    partial-aggregated, so the events table is scanned twice and never
+    shuffled raw."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7.0
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q55 — lag-1 autocorrelation per user (periodicity / trend detector).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q55_value_autocorrelation",
+    """
+    WITH lagged AS (
+      SELECT user_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_value
+      FROM events
+    )
+    SELECT user_id, count(*) AS n_pairs,
+           round(corr(value, prev_value), 6) AS lag1_corr
+    FROM lagged WHERE prev_value IS NOT NULL
+    GROUP BY user_id
+    HAVING count(*) >= 10
+    """,
+)
+def q55_value_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between consecutive event values per user —
+    the cheap periodicity/trend detector (≈0 for i.i.d. noise, high for
+    trending or cyclic signals). One lag window partitioned by user,
+    one co-moment aggregate; both engines use the same co-moment
+    formula, so rounded values agree exactly. Users with fewer than 10
+    consecutive pairs are dropped (the estimate is noise below that)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id", "value", F.lag("value").over(w).alias("prev_value")
+    ).filter(F.col("prev_value").isNotNull())
+    return (
+        lagged.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.corr("value", "prev_value"), 6).alias("lag1_corr"),
+        )
+        .filter(F.col("n_pairs") >= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
 # d49 — weighted sampling without replacement (Efraimidis–Spirakis).
 # ---------------------------------------------------------------------------
 _WS_K = 50

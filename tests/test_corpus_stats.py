@@ -647,3 +647,38 @@ def test_translation_candidates_subset_of_neardups(spark):
         k for k in all_pairs if langs[k[0]] != langs[k[1]]
     }
     assert {(r["id_1"], r["id_2"]) for r in xl} == expected
+
+
+def test_cohort_retention_week0_covers_all_users(spark):
+    rows = QUERIES["q54_cohort_retention"](spark, SF).collect()
+    assert rows
+    assert all(r["week_offset"] >= 0 for r in rows)
+    ev = corpus_stats._t(spark, SF, "events")
+    n_users = ev.select("user_id").distinct().count()
+    # every user is active in their own first week
+    week0 = sum(r["n_active"] for r in rows if r["week_offset"] == 0)
+    assert week0 == n_users
+    # retention never exceeds cohort size
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], {})[r["week_offset"]] = r["n_active"]
+    for cohort, cells in by_cohort.items():
+        assert all(v <= cells[0] for v in cells.values()), (cohort, cells)
+
+
+def test_autocorrelation_bounds_and_trending_signal(spark, monkeypatch):
+    out = QUERIES["q55_value_autocorrelation"](spark, SF).collect()
+    assert out
+    assert all(-1.0 <= r["lag1_corr"] <= 1.0 for r in out)
+    # constructed: strictly linear series → lag-1 correlation exactly 1
+    rows = [
+        (i, f"2024-01-01 10:{i:02d}:00", 1, "view", float(i), "")
+        for i in range(15)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    monkeypatch.setattr(corpus_stats, "_t", lambda s, d, n: df)
+    (r,) = corpus_stats.q55_value_autocorrelation(spark, SF).collect()
+    assert (r["n_pairs"], r["lag1_corr"]) == (14, 1.0)
