@@ -1787,6 +1787,130 @@ def q55_value_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q56 — hierarchical percent-of-parent (region → nation revenue shares).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q56_revenue_shares",
+    """
+    WITH rev AS (
+      SELECT n_name, r_name,
+             round(sum(o_totalprice), 2) AS nation_rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY n_name, r_name
+    ),
+    region_tot AS (
+      SELECT r_name, sum(nation_rev) AS region_rev FROM rev GROUP BY r_name
+    ),
+    grand AS (SELECT sum(region_rev) AS total FROM region_tot)
+    SELECT n_name, r_name, nation_rev,
+           round(100 * nation_rev / region_rev, 6) AS pct_of_region,
+           round(100 * nation_rev / total, 6) AS pct_of_total
+    FROM rev JOIN region_tot USING (r_name) CROSS JOIN grand
+    """,
+)
+def q56_revenue_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent at two levels: each nation's revenue as a share
+    of its region and of the grand total — the hierarchical BI report.
+    One fact aggregation; the parent totals are re-aggregations of the
+    (tiny) nation rollup that broadcast back, so the fact table is
+    scanned once. Dimension joins broadcast (nation/region are
+    dimension-sized at any scale)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rev = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name", "r_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("nation_rev"))
+    )
+    region_tot = rev.groupBy("r_name").agg(
+        F.sum("nation_rev").alias("region_rev")
+    )
+    grand = region_tot.agg(F.sum("region_rev").alias("total"))
+    return (
+        rev.join(F.broadcast(region_tot), "r_name")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "n_name",
+            "r_name",
+            "nation_rev",
+            F.round(100 * F.col("nation_rev") / F.col("region_rev"), 6)
+            .alias("pct_of_region"),
+            F.round(100 * F.col("nation_rev") / F.col("total"), 6)
+            .alias("pct_of_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d54 — Zipf-law fit (regression aggregate over the rank-frequency curve).
+# ---------------------------------------------------------------------------
+_ZIPF_TOP = 200
+
+
+@spark_query(
+    "d54_zipf_slope",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    t AS (SELECT term FROM tok WHERE term <> ''),
+    freq AS (SELECT term, count(*) AS n FROM t GROUP BY term),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, term ASC) AS rnk
+      FROM freq
+    )
+    SELECT count(*) AS n_terms,
+           round(regr_slope(ln(CAST(n AS DOUBLE)),
+                            ln(CAST(rnk AS DOUBLE))), 6) AS zipf_slope
+    FROM ranked WHERE rnk <= {_ZIPF_TOP}
+    """,
+)
+def d54_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus: the least-squares slope of
+    log-frequency vs log-rank over the top-200 terms (natural text ≈
+    −1; the synthetic word-soup is much flatter — which is exactly what
+    the diagnostic is for). ``regr_slope`` is a co-moment aggregate, so
+    the fit is one partial+final pass over the ranked vocabulary; the
+    rank window runs on the frequency table (vocabulary-sized), not the
+    token stream."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(F.explode(text.tokens("text")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    freq = tok.groupBy("term").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    ranked = freq.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _ZIPF_TOP
+    )
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.round(
+            F.regr_slope(
+                F.log(F.col("n").cast("double")),
+                F.log(F.col("rnk").cast("double")),
+            ),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # d49 — weighted sampling without replacement (Efraimidis–Spirakis).
 # ---------------------------------------------------------------------------
 _WS_K = 50

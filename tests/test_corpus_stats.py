@@ -682,3 +682,21 @@ def test_autocorrelation_bounds_and_trending_signal(spark, monkeypatch):
     monkeypatch.setattr(corpus_stats, "_t", lambda s, d, n: df)
     (r,) = corpus_stats.q55_value_autocorrelation(spark, SF).collect()
     assert (r["n_pairs"], r["lag1_corr"]) == (14, 1.0)
+
+
+def test_revenue_shares_sum_to_hundred(spark):
+    rows = QUERIES["q56_revenue_shares"](spark, SF).collect()
+    assert rows
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r["r_name"], []).append(r)
+    for region, rs in by_region.items():
+        assert abs(sum(x["pct_of_region"] for x in rs) - 100.0) < 1e-3, region
+    assert abs(sum(r["pct_of_total"] for r in rows) - 100.0) < 1e-3
+
+
+def test_zipf_slope_negative_and_bounded(spark):
+    (r,) = QUERIES["d54_zipf_slope"](spark, SF).collect()
+    assert r["n_terms"] > 0
+    # frequencies are non-increasing in rank → the LS slope can't be positive
+    assert r["zipf_slope"] <= 0
