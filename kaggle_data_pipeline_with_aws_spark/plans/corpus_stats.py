@@ -1038,7 +1038,7 @@ def q47_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
              AS avg_k
     FROM events GROUP BY event_type
@@ -1232,7 +1232,7 @@ def q50_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_seen AS (SELECT bigram, min(doc_id) AS first_doc FROM bg GROUP BY bigram)
     SELECT doc_id,
            count(*) AS n_bigrams,
-           sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_novel,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
            round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
                  AS DOUBLE) / count(*), 6) AS novelty
     FROM bg JOIN first_seen USING (bigram)
@@ -1304,7 +1304,7 @@ def d46_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            count(*) AS n_sessions,
-           sum(converted) AS n_converted,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
            round(CAST(sum(converted) AS DOUBLE) / count(*), 6)
              AS conversion_rate
     FROM sessions GROUP BY user_id

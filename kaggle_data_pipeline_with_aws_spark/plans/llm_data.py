@@ -492,7 +492,7 @@ def _d14_oracle() -> str:
     return f"""
     WITH fp AS ({fp_cte})
     SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
     FROM fp a, fp b
     WHERE a.doc_id < b.doc_id
       AND bit_count(xor(a.simhash, b.simhash)) <= 8

@@ -149,11 +149,11 @@ def q05_ci_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q06_null_profile",
     """
     SELECT
-      sum(CASE WHEN o_orderkey    IS NULL THEN 1 ELSE 0 END) AS o_orderkey_nulls,
-      sum(CASE WHEN o_custkey     IS NULL THEN 1 ELSE 0 END) AS o_custkey_nulls,
-      sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS o_orderstatus_nulls,
-      sum(CASE WHEN o_totalprice  IS NULL THEN 1 ELSE 0 END) AS o_totalprice_nulls,
-      sum(CASE WHEN o_orderdate   IS NULL THEN 1 ELSE 0 END) AS o_orderdate_nulls
+      CAST(sum(CASE WHEN o_orderkey    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderkey_nulls,
+      CAST(sum(CASE WHEN o_custkey     IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_custkey_nulls,
+      CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderstatus_nulls,
+      CAST(sum(CASE WHEN o_totalprice  IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice_nulls,
+      CAST(sum(CASE WHEN o_orderdate   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderdate_nulls
     FROM orders
     """,
 )
@@ -312,7 +312,7 @@ def q12_bool_recode_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q13_conditional_count",
     """
     SELECT count(*)                                             AS n_rows,
-           sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)  AS n_returned,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
            count(CASE WHEN l_returnflag = 'R' THEN 1 END)       AS n_returned_alt
     FROM lineitem
     """,

@@ -5,6 +5,9 @@ DuckDB at the given scale factor, then compares:
 
 - row count
 - column-name set
+- result TYPES (Spark ``df.dtypes`` vs DuckDB ``DESCRIBE``, canonically
+  mapped — catches HUGEINT-vs-BIGINT drift that the driver's typed hash
+  fails on even when values are identical; see tools/check_types.py)
 - order-insensitive values (columns sorted by name, rows sorted; floats
   compared both exactly and with 1e-9 relative tolerance so we can see
   whether a mismatch is real or summation-order ulps)
@@ -19,6 +22,7 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
 
 
 def normalize(rows: list[tuple], cols: list[str]):
@@ -103,6 +107,20 @@ def main() -> int:
         if sorted(s_cols) != sorted(d_cols):
             ok = False
             notes.append(f"schema spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        else:
+            from check_types import canon_duck, canon_spark
+
+            s_types = {c: canon_spark(t) for c, t in sdf.dtypes}
+            d_desc = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            d_types = {r[0]: canon_duck(r[1]) for r in d_desc}
+            tdiffs = [
+                f"{c}: spark={s_types[c]} duck={d_types[c]}"
+                for c in sorted(s_types)
+                if s_types[c] != d_types.get(c)
+            ]
+            if tdiffs:
+                ok = False
+                notes.append("types " + "; ".join(tdiffs))
         if len(s_rows) != len(d_rows):
             ok = False
             notes.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
