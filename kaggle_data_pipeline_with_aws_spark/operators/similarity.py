@@ -5,8 +5,10 @@
   corpus streams against all queries, then a partitioned window keeps
   top-k per query — corpus is never shuffled, only k·|queries| rows are.
 - ``hyperplane_lsh_topk``: the scale path — random-hyperplane signatures
-  bucket the corpus; only same-bucket candidates are scored. Recall <
-  100% by construction (probabilistic), rows-only checked.
+  bucket the corpus; candidates are enumerated by a band equi-join
+  (never a cross join) and only survivors are scored.  The planes are
+  seeded constants, so the whole pipeline is exactly oracle-checkable
+  (literal-plane SQL rebuilds the identical signatures).
 
 Dot products use ``F.zip_with`` + ``F.aggregate`` (sequential fold,
 double precision) so the DuckDB oracle — written as the same fold —
@@ -90,8 +92,9 @@ def near_duplicate_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id1 < id2, cosine ≥ threshold).
 
-    Brute-force form for exactness at oracle scale; the LSH variant
-    (``hyperplane_lsh_topk``'s bucketing) is the 100 TB path."""
+    All-pairs theta join — O(n²) enumeration, kept ONLY as the exact
+    verification twin for ``near_duplicate_pairs_banded`` (the
+    registered, scale-safe plan) and for small reference sets."""
     embeddings = spread_for_compute(embeddings)
     a = embeddings.select(
         F.col(id_col).alias("id_1"), F.col(vec_col).alias("__a")
@@ -148,6 +151,96 @@ def _plane_sign(p: int, j: int) -> bool:
     return bool(x & 1)
 
 
+def band_bounds(num_planes: int, n_bands: int) -> list[tuple[int, int]]:
+    """Split ``num_planes`` signature bits into ``n_bands`` contiguous
+    (offset, size) bands, sizes as even as possible."""
+    assert 1 <= n_bands <= num_planes
+    base, extra = divmod(num_planes, n_bands)
+    bounds, off = [], 0
+    for i in range(n_bands):
+        size = base + (1 if i < extra else 0)
+        bounds.append((off, size))
+        off += size
+    return bounds
+
+
+def _explode_bands(
+    df: DataFrame, sig_col: str, bounds: list[tuple[int, int]]
+) -> DataFrame:
+    """One row per (row, band): band_val = (sig >> off) & mask.  The
+    equi-join key (band_id, band_val) is what turns LSH candidate
+    enumeration into a hash join instead of a cross join."""
+    return df.select(
+        "*",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col(sig_col), off).bitwiseAND(
+                        F.lit((1 << size) - 1)
+                    )
+                    for off, size in bounds
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+
+
+def near_duplicate_pairs_banded(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = NUM_PLANES,
+    n_bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Scale-safe embedding near-dup: candidate pairs come from a band
+    equi-join over hyperplane-LSH signatures, then the exact cosine
+    filter.  The *contract* is ``cos ≥ threshold AND signatures agree on
+    ≥1 of n_bands bands`` — band agreement is part of the operator
+    semantics (exactly the d14 simhash-pairs pattern), so the DuckDB
+    oracle states the same condition and the result is fully
+    value-checkable while the plan never enumerates all pairs.
+
+    Shuffle shape: both sides hash-partition on (band_id, band_val);
+    candidates (not the corpus) are deduped and scored.  Guarantees
+    every pair within Hamming ≤ n_bands-1 by pigeonhole; higher-Hamming
+    pairs are caught band-probabilistically — recall tested against the
+    all-pairs twin in tests."""
+    bounds = band_bounds(num_planes, n_bands)
+    sigd = spread_for_compute(embeddings).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        hyperplane_signature(F.col(vec_col), num_planes, dim).alias("__sig"),
+    )
+    a = _explode_bands(
+        sigd.select(
+            F.col("__id").alias("id_1"),
+            F.col("__v").alias("__a"),
+            F.col("__sig").alias("__sig_a"),
+        ),
+        "__sig_a",
+        bounds,
+    )
+    b = _explode_bands(
+        sigd.select(
+            F.col("__id").alias("id_2"),
+            F.col("__v").alias("__b"),
+            F.col("__sig").alias("__sig_b"),
+        ),
+        "__sig_b",
+        bounds,
+    )
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .dropDuplicates(["id_1", "id_2"])
+        .withColumn("cos_sim", F.round(cosine(F.col("__a"), F.col("__b")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_1", "id_2", "cos_sim")
+    )
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -158,12 +251,16 @@ def hyperplane_lsh_topk(
     dim: int = 64,
     max_hamming: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: bucket corpus and queries by hyperplane
-    signature; score only candidates whose signatures are within
-    ``max_hamming`` bits (popcount on XOR — cheap pre-filter), then
-    exact-cosine rank the survivors. Trades recall for a ~2^planes
-    candidate reduction; at 100 TB this is the difference between a
-    scan and a cross join."""
+    """Approximate top-k: candidates are pairs whose signatures are
+    within ``max_hamming`` bits; they are *enumerated* by an equi-join
+    on signature bands, not by a cross join.  Splitting the signature
+    into ``max_hamming + 1`` bands guarantees (pigeonhole) that every
+    pair within the Hamming budget agrees on at least one whole band,
+    so the band join produces the exact same candidate set the naive
+    crossJoin+filter would — but as a broadcast HASH join keyed on
+    (band_id, band_val).  At 100 TB each corpus row fans out to
+    n_bands narrow rows and meets only same-band queries; the exact
+    cosine re-rank runs on survivors only."""
     sig = lambda df, idn, vn: df.select(  # noqa: E731
         F.col(id_col).alias(idn),
         F.col(vec_col).alias(vn),
@@ -171,10 +268,11 @@ def hyperplane_lsh_topk(
             f"{idn}_sig"
         ),
     )
-    c = sig(corpus, "neighbor_id", "__cv")
-    q = sig(queries, "query_id", "__qv")
+    bounds = band_bounds(num_planes, min(max_hamming + 1, num_planes))
+    c = _explode_bands(sig(corpus, "neighbor_id", "__cv"), "neighbor_id_sig", bounds)
+    q = _explode_bands(sig(queries, "query_id", "__qv"), "query_id_sig", bounds)
     candidates = (
-        c.crossJoin(F.broadcast(q))
+        c.join(F.broadcast(q), ["band_id", "band_val"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "__ham",
@@ -183,6 +281,7 @@ def hyperplane_lsh_topk(
             ),
         )
         .filter(F.col("__ham") <= max_hamming)
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn(
             "cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
         )

@@ -327,20 +327,64 @@ def d09_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(embs, queries, k=5)
 
 
-@spark_query(
-    "d10_embedding_neardup",
-    f"""
+def _hyperplane_sig_sql(num_planes: int = 16, dim: int = 64) -> str:
+    """The signature expression with the ±1 plane matrix baked in as
+    literals — the planes are deterministic (similarity._plane_sign), so
+    the whole LSH pipeline gets an exact oracle, not just a rows check."""
+    from ..operators.similarity import _plane_sign
+
+    terms = []
+    for pl in range(num_planes):
+        signs = ", ".join(
+            "1.0" if _plane_sign(pl, j) else "-1.0" for j in range(dim)
+        )
+        proj = (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * CAST(([{signs}])[i] AS DOUBLE))), "
+            f"(acc, x) -> acc + x)"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << pl} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _d10_oracle() -> str:
+    """Banded near-dup contract stated directly (the d14 pattern): cos ≥
+    threshold AND the hyperplane signatures agree on ≥1 of 4 bands.
+    Band agreement is part of the operator semantics, which is what
+    lets the registered plan enumerate candidates with a band equi-join
+    instead of an all-pairs theta join while staying exactly
+    value-checkable."""
+    from ..operators.similarity import band_bounds
+
+    band_eq = " OR ".join(
+        f"((CAST(a.sig AS BIGINT) >> {off}) & {(1 << size) - 1}) = "
+        f"((CAST(b.sig AS BIGINT) >> {off}) & {(1 << size) - 1})"
+        for off, size in band_bounds(16, 4)
+    )
+    return f"""
+    WITH s AS (
+      SELECT vec_id, embedding, {_hyperplane_sig_sql()} AS sig FROM embeddings
+    )
     SELECT a.vec_id AS id_1, b.vec_id AS id_2,
            round({_DOT_SQL} / ({_NORM_SQL.format(v='a')} * {_NORM_SQL.format(v='b')}), 6)
              AS cos_sim
-    FROM embeddings a, embeddings b
+    FROM s a, s b
     WHERE a.vec_id < b.vec_id
+      AND ({band_eq})
       AND round({_DOT_SQL} / ({_NORM_SQL.format(v='a')} * {_NORM_SQL.format(v='b')}), 6)
           >= 0.4
-    """,
-)
+    """
+
+
+@spark_query("d10_embedding_neardup", _d10_oracle())
 def d10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.near_duplicate_pairs(_embs(spark, sf_dir), threshold=0.4)
+    """Embedding near-dup pairs, scale-safe: LSH band equi-join bounds
+    candidate enumeration (no cartesian node in the plan); the exact
+    all-pairs form (`similarity.near_duplicate_pairs`) is its
+    verification twin in tests."""
+    return similarity.near_duplicate_pairs_banded(
+        _embs(spark, sf_dir), threshold=0.4, n_bands=4
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -421,26 +465,6 @@ def d12_minhash_lsh_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
         _docs(spark, sf_dir), threshold=0.5, portable=False
     )
-
-
-def _hyperplane_sig_sql(num_planes: int = 16, dim: int = 64) -> str:
-    """The signature expression with the ±1 plane matrix baked in as
-    literals — the planes are deterministic (similarity._plane_sign), so
-    the whole LSH pipeline gets an exact oracle, not just a rows check."""
-    from ..operators.similarity import _plane_sign
-
-    terms = []
-    for pl in range(num_planes):
-        signs = ", ".join(
-            "1.0" if _plane_sign(pl, j) else "-1.0" for j in range(dim)
-        )
-        proj = (
-            f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * CAST(([{signs}])[i] AS DOUBLE))), "
-            f"(acc, x) -> acc + x)"
-        )
-        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << pl} ELSE 0 END")
-    return "(" + " + ".join(terms) + ")"
 
 
 def _d13_oracle() -> str:

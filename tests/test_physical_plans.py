@@ -135,3 +135,48 @@ def test_spread_for_compute_noop_on_many_files(spark, tmp_path):
     df_one = spark.read.parquet(one)
     out = df_one if spread_for_compute(df_one) is df_one else "spread"
     assert out == "spread"
+
+
+def test_ann_lsh_candidates_are_hash_joined(spark, sf_dir):
+    """d13: LSH candidate enumeration must be a (broadcast) hash join on
+    signature bands — never a BroadcastNestedLoop/cartesian over
+    corpus × queries.  Pigeonhole (max_hamming+1 bands) keeps the
+    candidate set identical to the naive crossJoin+filter, so this is
+    purely a plan-shape property."""
+    plan = _plan(spark, sf_dir, "d13_ann_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_embedding_neardup_is_banded_not_allpairs(spark, sf_dir):
+    """d10: the registered near-dup plan buckets candidates by signature
+    band (shuffle hash join on band keys) instead of the O(n²) theta
+    join; the all-pairs form survives only as the verification twin."""
+    plan = _plan(spark, sf_dir, "d10_embedding_neardup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_banded_neardup_is_subset_of_exact(spark, sf_dir):
+    """Every banded near-dup pair must exist in the exact all-pairs
+    result with the same cosine, and recall at test scale must be
+    substantial (band agreement prunes only low-similarity pairs)."""
+    from kaggle_data_pipeline_with_aws_spark.operators import similarity
+    from kaggle_data_pipeline_with_aws_spark.sources.readers import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_1, r.id_2): r.cos_sim
+        for r in similarity.near_duplicate_pairs(embs, threshold=0.4).collect()
+    }
+    banded = {
+        (r.id_1, r.id_2): r.cos_sim
+        for r in similarity.near_duplicate_pairs_banded(
+            embs, threshold=0.4, n_bands=4
+        ).collect()
+    }
+    assert set(banded) <= set(exact)
+    for pair, cs in banded.items():
+        assert cs == exact[pair]
+    assert len(banded) >= 0.4 * len(exact)  # recall floor at test scale
