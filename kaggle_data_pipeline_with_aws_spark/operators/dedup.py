@@ -266,20 +266,91 @@ def minhash_signatures(
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_signatures_vectorized(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Arrow-batched twin of ``minhash_signatures`` (portable hash only).
+
+    The whole signature — tokenize, shingle, md5-derived hash, 32
+    affine mins — happens in one numpy pass per batch, turning the
+    shingle-explode + 32-min-agg groupBy (a shuffle of the exploded
+    shingle table) into a NARROW MAP: at 100 TB no shingle row ever
+    leaves its input partition.  Bit-identical by construction:
+    ``hashlib.md5`` == ``F.md5`` == DuckDB ``md5``, and the affine
+    transform is exact int64 arithmetic (a,h < 2^31 so a*h+b < 2^63).
+    Docs with fewer than n tokens produce no shingles and are dropped,
+    exactly like the explode path."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    A = np.array([a for a, _ in MINHASH_PARAMS], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in MINHASH_PARAMS], dtype=np.int64)[:, None]
+
+    def sig(texts):
+        out = []
+        for t in texts:
+            toks = t.split(" ")
+            shingles = {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+            if not shingles:
+                out.append(None)
+                continue
+            hs = np.array(
+                [
+                    int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                    % HASH_MOD
+                    for s in shingles
+                ],
+                dtype=np.int64,
+            )[None, :]
+            out.append(((A * hs + B) % HASH_MOD).min(axis=1).tolist())
+        return pd.Series(out)
+
+    sig.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    sig_udf = pandas_udf(sig, "array<long>")
+
+    sigs = (
+        spread_for_compute(df)
+        .select("doc_id", sig_udf(F.col(text_col)).alias("__sig"))
+        .filter(F.col("__sig").isNotNull())
+    )
+    return sigs.select(
+        "doc_id",
+        *[
+            F.element_at(F.col("__sig"), i + 1).alias(f"h{i}")
+            for i in range(NUM_HASHES)
+        ],
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
     threshold: float = 0.5,
     portable: bool = True,
     n: int = 3,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded LSH over minhash signatures,
     scored by estimated Jaccard (fraction of matching components).
 
     Bucket join: band-key = (band index, the band's r signature values);
     docs collide only when an entire band matches. The pair join is
-    per-bucket — near-linear instead of O(n²)."""
-    sigs = minhash_signatures(df, text_col, portable, n).cache()
+    per-bucket — near-linear instead of O(n²).
+
+    ``vectorized`` (portable path only) builds signatures in an
+    Arrow-batched UDF — bit-identical, but a narrow map instead of the
+    shingle-explode shuffle; the interpreted form remains the semantic
+    twin."""
+    sigs = (
+        minhash_signatures_vectorized(df, text_col, n)
+        if vectorized and portable
+        else minhash_signatures(df, text_col, portable, n)
+    ).cache()
     sig_cols = [f"h{i}" for i in range(NUM_HASHES)]
 
     # One scan: explode an array of the b band keys per doc, rather than

@@ -10,10 +10,15 @@
   seeded constants, so the whole pipeline is exactly oracle-checkable
   (literal-plane SQL rebuilds the identical signatures).
 
-Dot products use ``F.zip_with`` + ``F.aggregate`` (sequential fold,
-double precision) so the DuckDB oracle — written as the same fold —
-matches bit-for-bit. At cluster scale swap the fold for a vectorized
-Pandas-UDF matmul per partition batch; plan shape is unchanged.
+Dot products have two implementations with IDENTICAL results:
+
+- interpreted fold (``F.zip_with`` + ``F.aggregate``) — the semantic
+  definition, mirrored 1:1 by the DuckDB oracle SQL;
+- Arrow-batched Pandas UDF (``vectorized=True``, the default and the
+  100 TB path) — vectorized ACROSS rows but sequential ACROSS
+  dimensions (``acc = acc + A[:,j] * B[:,j]``), so every IEEE-754
+  rounding step happens in the same order as the fold and the results
+  are bit-identical, not just close.  Oracles therefore hold for both.
 """
 
 from __future__ import annotations
@@ -50,12 +55,53 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _seq_dot(A, B):
+    """Row-batch dot product, sequential over dimensions: bit-identical
+    to the ``F.aggregate`` fold (same add/mul order per row)."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0])
+    for j in range(A.shape[1]):
+        acc = acc + A[:, j] * B[:, j]
+    return acc
+
+
+def cosine_vectorized(a: Column, b: Column) -> Column:
+    """Arrow-batched cosine: one numpy pass per batch instead of three
+    interpreted folds per row.  float32→float64 widening is exact and
+    the dimension loop preserves fold order, so results are
+    bit-identical to ``cosine`` — oracle-safe."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def cos(ca, cb):
+        if len(ca) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(ca.to_numpy()).astype(np.float64)
+        B = np.stack(cb.to_numpy()).astype(np.float64)
+        d = _seq_dot(A, B)
+        na = np.sqrt(_seq_dot(A, A))
+        nb = np.sqrt(_seq_dot(B, B))
+        return pd.Series(d / (na * nb))
+
+    # explicit hints: `from __future__ import annotations` stringifies
+    # inline ones, which pandas_udf can't introspect
+    cos.__annotations__ = {"ca": pd.Series, "cb": pd.Series, "return": pd.Series}
+    return pandas_udf(cos, "double")(a, b)
+
+
+def _cosine(a: Column, b: Column, vectorized: bool) -> Column:
+    return cosine_vectorized(a, b) if vectorized else cosine(a, b)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    vectorized: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
@@ -71,7 +117,8 @@ def brute_force_topk(
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
-            "cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+            "cos_sim",
+            F.round(_cosine(F.col("__qv"), F.col("__cv"), vectorized), 6),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -89,6 +136,7 @@ def near_duplicate_pairs(
     threshold: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    vectorized: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id1 < id2, cosine ≥ threshold).
 
@@ -104,7 +152,10 @@ def near_duplicate_pairs(
     )
     return (
         a.join(b, F.col("id_1") < F.col("id_2"))
-        .withColumn("cos_sim", F.round(cosine(F.col("__a"), F.col("__b")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(_cosine(F.col("__a"), F.col("__b"), vectorized), 6),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_1", "id_2", "cos_sim")
     )
@@ -151,6 +202,48 @@ def _plane_sign(p: int, j: int) -> bool:
     return bool(x & 1)
 
 
+def hyperplane_signature_vectorized(
+    vec: Column, num_planes: int = NUM_PLANES, dim: int = 64
+) -> Column:
+    """Arrow-batched twin of ``hyperplane_signature``: per plane, the
+    projection accumulates sequentially over dimensions (fold order),
+    so signatures are bit-identical to the interpreted version AND to
+    the literal-plane oracle SQL."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    signs = np.array(
+        [
+            [1.0 if _plane_sign(p, j) else -1.0 for j in range(dim)]
+            for p in range(num_planes)
+        ]
+    )
+
+    def sig(cv):
+        if len(cv) == 0:
+            return pd.Series([], dtype="int64")
+        V = np.stack(cv.to_numpy()).astype(np.float64)
+        out = np.zeros(V.shape[0], dtype=np.int64)
+        for p in range(num_planes):
+            acc = np.zeros(V.shape[0])
+            for j in range(dim):
+                acc = acc + V[:, j] * signs[p, j]
+            out = out + ((acc > 0).astype(np.int64) << p)
+        return pd.Series(out)
+
+    sig.__annotations__ = {"cv": pd.Series, "return": pd.Series}
+    return pandas_udf(sig, "long")(vec)
+
+
+def _signature(
+    vec: Column, num_planes: int, dim: int, vectorized: bool
+) -> Column:
+    if vectorized:
+        return hyperplane_signature_vectorized(vec, num_planes, dim)
+    return hyperplane_signature(vec, num_planes, dim)
+
+
 def band_bounds(num_planes: int, n_bands: int) -> list[tuple[int, int]]:
     """Split ``num_planes`` signature bits into ``n_bands`` contiguous
     (offset, size) bands, sizes as even as possible."""
@@ -193,6 +286,7 @@ def near_duplicate_pairs_banded(
     num_planes: int = NUM_PLANES,
     n_bands: int = 4,
     dim: int = 64,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Scale-safe embedding near-dup: candidate pairs come from a band
     equi-join over hyperplane-LSH signatures, then the exact cosine
@@ -211,7 +305,7 @@ def near_duplicate_pairs_banded(
     sigd = spread_for_compute(embeddings).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
-        hyperplane_signature(F.col(vec_col), num_planes, dim).alias("__sig"),
+        _signature(F.col(vec_col), num_planes, dim, vectorized).alias("__sig"),
     )
     a = _explode_bands(
         sigd.select(
@@ -235,7 +329,10 @@ def near_duplicate_pairs_banded(
         a.join(b, ["band_id", "band_val"])
         .filter(F.col("id_1") < F.col("id_2"))
         .dropDuplicates(["id_1", "id_2"])
-        .withColumn("cos_sim", F.round(cosine(F.col("__a"), F.col("__b")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(_cosine(F.col("__a"), F.col("__b"), vectorized), 6),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_1", "id_2", "cos_sim")
     )
@@ -250,6 +347,7 @@ def hyperplane_lsh_topk(
     num_planes: int = NUM_PLANES,
     dim: int = 64,
     max_hamming: int = 4,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates are pairs whose signatures are
     within ``max_hamming`` bits; they are *enumerated* by an equi-join
@@ -264,7 +362,7 @@ def hyperplane_lsh_topk(
     sig = lambda df, idn, vn: df.select(  # noqa: E731
         F.col(id_col).alias(idn),
         F.col(vec_col).alias(vn),
-        hyperplane_signature(F.col(vec_col), num_planes, dim).alias(
+        _signature(F.col(vec_col), num_planes, dim, vectorized).alias(
             f"{idn}_sig"
         ),
     )
@@ -283,7 +381,8 @@ def hyperplane_lsh_topk(
         .filter(F.col("__ham") <= max_hamming)
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn(
-            "cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+            "cos_sim",
+            F.round(_cosine(F.col("__qv"), F.col("__cv"), vectorized), 6),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -348,6 +447,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 3,
     seed: int = 42,
+    vectorized: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into n_cells
     KMeans cells, probe the n_probe nearest cells per query, exact-score
@@ -377,7 +477,8 @@ def ivf_topk(
         c.join(F.broadcast(q), "cell_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
-            "cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+            "cos_sim",
+            F.round(_cosine(F.col("__qv"), F.col("__cv"), vectorized), 6),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -398,6 +499,7 @@ def ivf_topk_fixed_centroids(
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    vectorized: bool = True,
 ) -> DataFrame:
     """IVF with a *given* centroid table — the deterministic twin of
     ``ivf_topk`` (which fits KMeans): assignment = argmax cosine to a
@@ -417,7 +519,8 @@ def ivf_topk_fixed_centroids(
             df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(vec_out))
             .crossJoin(F.broadcast(cents))
             .withColumn(
-                "__cscore", F.round(cosine(F.col(vec_out), F.col("__ct")), 6)
+                "__cscore",
+                F.round(_cosine(F.col(vec_out), F.col("__ct"), vectorized), 6),
             )
         )
         w = Window.partitionBy(out_id).orderBy(
@@ -436,7 +539,8 @@ def ivf_topk_fixed_centroids(
         assigned.join(F.broadcast(probed), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
-            "cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+            "cos_sim",
+            F.round(_cosine(F.col("__qv"), F.col("__cv"), vectorized), 6),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

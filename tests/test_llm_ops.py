@@ -291,3 +291,33 @@ def test_patch_grid_geometry(spark):
         # patch areas tile the image exactly
         assert sum(p["patch_w"] * p["patch_h"] for p in ps) == w * h
         assert all(1 <= p["patch_w"] <= 16 and 1 <= p["patch_h"] <= 16 for p in ps)
+
+
+def test_vectorized_cosine_and_signature_bit_identical(spark, sf_dir):
+    """The Arrow-batched paths must be BIT-identical to the interpreted
+    folds (vectorized across rows, sequential across dimensions), or
+    every similarity oracle silently becomes approximate."""
+    from pyspark.sql import functions as F
+
+    from kaggle_data_pipeline_with_aws_spark.operators import similarity as S
+    from kaggle_data_pipeline_with_aws_spark.sources.readers import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings").limit(100)
+    a = embs.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
+    b = embs.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
+    rows = (
+        a.crossJoin(b)
+        .filter(F.col("i") < F.col("j"))
+        .select(
+            S.cosine(F.col("va"), F.col("vb")).alias("fold"),
+            S.cosine_vectorized(F.col("va"), F.col("vb")).alias("vec"),
+        )
+        .collect()
+    )
+    assert rows and all(r.fold == r.vec for r in rows)
+
+    sigs = embs.select(
+        S.hyperplane_signature(F.col("embedding")).alias("fold"),
+        S.hyperplane_signature_vectorized(F.col("embedding")).alias("vec"),
+    ).collect()
+    assert sigs and all(r.fold == r.vec for r in sigs)
