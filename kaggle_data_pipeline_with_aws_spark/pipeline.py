@@ -190,7 +190,7 @@ def version_notes(matches_numbered: DataFrame) -> dict:
     row = last[0]
     return {
         "notes": (
-            f"Dataset updated with {row['team_1']} vs {row['team_2']} "
-            f"on {row['formatted_date']}"
+            f"Updated till the match between {row['team_1']} "
+            f"and {row['team_2']} on {row['formatted_date']}"
         )
     }

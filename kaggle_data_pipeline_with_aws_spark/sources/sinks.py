@@ -25,9 +25,11 @@ re-expressed over the storage the engine actually owns:
 from __future__ import annotations
 
 import functools
+import json
 import os
+import shutil
 from collections.abc import Callable
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -115,6 +117,95 @@ def publish_metadata(matchwise: DataFrame) -> PublishMetadata:
         ),
         latest_match_id=int(last["match_id"]),
         latest_date=last["date_fmt"],
+    )
+
+
+def create_kaggle_json(config_dir: str, username: str, key: str) -> str:
+    """``kaggle.json`` exactly as ``_create_kaggle_json_file``
+    (upload_dataset_to_kaggle_lambda.py:73-86): a plain ``json.dumps``
+    of ``{"username", "key"}`` written under ``config_dir``, with
+    ``KAGGLE_CONFIG_DIR`` pointed at that directory — byte-identical
+    artifact, credentials injected instead of read from env."""
+    os.makedirs(config_dir, exist_ok=True)
+    path = os.path.join(config_dir, "kaggle.json")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(json.dumps({"username": username, "key": key}))
+    os.environ["KAGGLE_CONFIG_DIR"] = config_dir
+    return path
+
+
+def create_dataset_metadata_json(
+    folder: str, username: str, slug: str, date: str
+) -> str:
+    """``dataset-metadata.json`` exactly as ``_create_metadata_json_file``
+    (upload_dataset_to_kaggle_lambda.py:88-100): ``id`` is
+    ``username/slug`` and the subtitle carries the dd/MM/yyyy date."""
+    metadata = {
+        "id": f"{username}/{slug}",
+        "subtitle": (
+            f"Complete T20I data updated till {date} "
+            f"for ML & match analysis"
+        ),
+    }
+    path = os.path.join(folder, "dataset-metadata.json")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(json.dumps(metadata))
+    return path
+
+
+@dataclass
+class PublishStaging:
+    folder: str
+    version_notes: str
+    metadata_path: str
+    files: list[str] = field(default_factory=list)
+
+
+def stage_kaggle_publish(
+    matchwise: DataFrame,
+    folder: str,
+    username: str,
+    slug: str,
+    csv_paths: list[str],
+) -> PublishStaging:
+    """Full no-network K7 (upload_dataset_to_kaggle_lambda.py:37-129):
+    stage the upload folder with the dataset CSVs (the reference
+    downloads them from S3, upload...py:102-117), derive the last match
+    — the reference takes ``iloc[-1]`` of the (date, match_id)-sorted
+    CSV, which is exactly top-1 by (date desc, match_id desc) — write
+    ``dataset-metadata.json``, and build the version notes with the
+    reference's literal template (upload...py:63-67):
+    ``Updated till the match between {team_1} and {team_2} on {date}``.
+    The ``api.dataset_create_version(delete_old_versions=True, folder,
+    version_notes)`` call is the one network step left to the caller.
+    """
+    os.makedirs(folder, exist_ok=True)
+    files = []
+    for src in csv_paths:
+        dst = os.path.join(folder, os.path.basename(src))
+        shutil.copyfile(src, dst)
+        files.append(dst)
+    last = (
+        matchwise.select("match_id", "date", "team_1", "team_2")
+        .orderBy(F.col("date").desc(), F.col("match_id").desc())
+        .limit(1)
+        .withColumn(
+            "date_fmt",
+            F.date_format(F.to_date("date", "yyyy-MM-dd"), "dd/MM/yyyy"),
+        )
+        .collect()[0]
+    )
+    date = last["date_fmt"]
+    metadata_path = create_dataset_metadata_json(folder, username, slug, date)
+    notes = (
+        f"Updated till the match between {last['team_1']} "
+        f"and {last['team_2']} on {date}"
+    )
+    return PublishStaging(
+        folder=folder,
+        version_notes=notes,
+        metadata_path=metadata_path,
+        files=files,
     )
 
 

@@ -161,7 +161,8 @@ def test_incremental_pipeline_and_ledger(spark, landing, tmp_path):
         f.endswith(".csv") for f in os.listdir(f"{out}/matchwise_data")
     )
     notes = version_notes(r3.matchwise)
-    assert "vs" in notes["notes"]
+    # reference template: upload_dataset_to_kaggle_lambda.py:66
+    assert notes["notes"].startswith("Updated till the match between ")
 
 
 def test_candidate_listing_filters_non_json(spark, landing, tmp_path):

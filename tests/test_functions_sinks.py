@@ -196,3 +196,99 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 4000
     assert got.agg({"id": "sum"}).collect()[0][0] == sum(range(4000))
+
+
+def test_kaggle_publish_artifact_shape(spark, tmp_path):
+    """K7 golden: the staged artifacts must be byte-shaped exactly like
+    upload_dataset_to_kaggle_lambda.py:73-100 (plain json.dumps — space
+    after colon and comma, no trailing newline) and the version notes
+    must use the reference's literal template (line 66)."""
+    import json
+    import os
+
+    # kaggle.json (upload...py:78-85)
+    cfg = tmp_path / "cfg"
+    p = sinks.create_kaggle_json(str(cfg), "someuser", "somekey")
+    assert (
+        open(p, encoding="utf-8").read()
+        == '{"username": "someuser", "key": "somekey"}'
+    )
+    assert os.environ["KAGGLE_CONFIG_DIR"] == str(cfg)
+
+    # staged publish folder
+    csv = tmp_path / "matchwise_data.csv"
+    csv.write_text("match_id,date\n1,2024-01-05\n")
+    mw = spark.createDataFrame(
+        [
+            (10, "2024-01-05", "India", "Australia"),
+            (12, "2024-06-30", "England", "Pakistan"),
+        ],
+        "match_id INT, date STRING, team_1 STRING, team_2 STRING",
+    )
+    folder = tmp_path / "upload"
+    staged = sinks.stage_kaggle_publish(
+        mw, str(folder), "someuser", "some-slug", [str(csv)]
+    )
+    assert staged.version_notes == (
+        "Updated till the match between England and Pakistan on 30/06/2024"
+    )
+    # dataset-metadata.json (upload...py:93-99), byte-identical shape
+    raw = open(staged.metadata_path, encoding="utf-8").read()
+    assert raw == json.dumps(
+        {
+            "id": "someuser/some-slug",
+            "subtitle": (
+                "Complete T20I data updated till 30/06/2024 "
+                "for ML & match analysis"
+            ),
+        }
+    )
+    assert os.path.basename(staged.metadata_path) == "dataset-metadata.json"
+    # the CSVs sit next to the metadata, as the API-call folder expects
+    assert staged.files == [str(folder / "matchwise_data.csv")]
+    assert (folder / "matchwise_data.csv").read_text().startswith("match_id")
+
+
+def _mongo_connector_present(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "com.mongodb.spark.sql.connector.MongoTableProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_mongo_document_store_contract(spark):
+    """S4/K2/K3 contract through the REAL connector — skipped (never
+    absent) until the jar is on the classpath and a live server is
+    provided via SPARK_GRAFT_MONGO_URI. Same assertions as the parquet
+    round-trip: replayed upserts converge on the natural key, the full
+    scan returns the merged collection."""
+    import os
+
+    from kaggle_data_pipeline_with_aws_spark.sources.document_store import (
+        MongoDocumentStore,
+    )
+
+    if not _mongo_connector_present(spark):
+        pytest.skip("mongo-spark-connector not on classpath")
+    uri = os.environ.get("SPARK_GRAFT_MONGO_URI")
+    if not uri:
+        pytest.skip("SPARK_GRAFT_MONGO_URI not set")
+
+    store = MongoDocumentStore(spark, uri, "spark_graft_test")
+    coll = "contract_roundtrip"
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "match_id INT, val STRING"
+    )
+    v2 = spark.createDataFrame(
+        [(2, "B2"), (3, "c")], "match_id INT, val STRING"
+    )
+    store.upsert(coll, v1, ["match_id"])
+    store.upsert(coll, v2, ["match_id"])  # replay semantics: 2 replaced
+    got = sorted(
+        (r["match_id"], r["val"])
+        for r in store.read(coll).select("match_id", "val").collect()
+    )
+    assert got == [(1, "a"), (2, "B2"), (3, "c")]
