@@ -131,3 +131,79 @@ def _single_window_row_number(
     return df.withColumn(
         out_col, F.row_number().over(Window.orderBy(*order_by)).cast("long")
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_by: list[str | Column],
+    weight_col: str,
+    out_col: str = "cum_weight",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running total of ``weight_col`` under a global total order — the
+    weighted generalization of ``contiguous_row_number``, same
+    scale shape: quantile-bucket the leading key (ascending), cumsum
+    within buckets, add broadcast per-bucket total offsets. No
+    single-partition global window at any size.
+
+    ``order_by`` must be ascending and a total order (unique
+    tie-breaker last). With an exact-integer weight the running total
+    is bit-exact — the bucket decomposition only reorders integer
+    additions.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    first = order_by[0]
+    fcol = F.col(first) if isinstance(first, str) else first
+    dtype = df.select(fcol.alias("__k")).schema[0].dataType
+    surr = _order_surrogate(fcol, dtype)
+    if surr is None:  # exotic leading key: correctness-first fallback
+        return df.withColumn(
+            out_col,
+            F.sum(weight_col)
+            .over(
+                Window.orderBy(*order_by).rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .cast("long"),
+        )
+
+    probs = [i / n for i in range(1, n)] or [0.5]
+    row = df.select(
+        F.percentile_approx(
+            surr, F.array(*[F.lit(p) for p in probs]), F.lit(10_000)
+        ).alias("__b")
+    ).first()
+    quantiles = row["__b"] if row is not None and row["__b"] is not None else []
+    bounds = sorted({b for b in quantiles if b is not None})
+
+    if bounds:
+        bucket = F.when(surr.isNull(), F.lit(0))  # nulls sort first
+        for i, b in enumerate(bounds):
+            bucket = bucket.when(surr < F.lit(b), F.lit(i))
+        bucket = bucket.otherwise(F.lit(len(bounds)))
+    else:
+        bucket = F.lit(0)
+
+    bucketed = df.withColumn("__bucket", bucket.cast("int"))
+    local = F.sum(weight_col).over(
+        Window.partitionBy("__bucket")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totals = bucketed.groupBy("__bucket").agg(
+        F.sum(weight_col).alias("__w")
+    )
+    prefix = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__bucket",
+        F.coalesce(F.sum("__w").over(prefix), F.lit(0)).alias("__offset"),
+    )
+    return (
+        bucketed.withColumn("__local", local)
+        .join(F.broadcast(offsets), "__bucket")
+        .withColumn(out_col, (F.col("__offset") + F.col("__local")).cast("long"))
+        .drop("__bucket", "__local", "__offset")
+    )

@@ -40,4 +40,5 @@ def load_all() -> None:
     from . import llm_data  # noqa: F401
     from . import cricket_analytics  # noqa: F401
     from . import corpus_stats  # noqa: F401
+    from . import retrieval  # noqa: F401
     from . import streaming_plans  # noqa: F401

@@ -1,0 +1,385 @@
+"""Retrieval & curation-assembly operators — third wave of the
+LLM-data-pipeline extensions: BM25 lexical search, as-of joins,
+canonical-document selection after dedup clustering, sequence packing,
+and global token-budget sampling.
+
+Scale notes: BM25's corpus statistics (doc count, per-term document
+frequencies, total length) aggregate to ONE row and broadcast back —
+the corpus is scanned once, narrowly. The as-of join is the
+union + per-key ordered carry-forward shape (one shuffle on the join
+key, no range explosion). Packing parallelizes across (source, shard)
+groups. The budget sample's running total uses the quantile-bucket
+prefix-sum machinery (operators/renumber.py) — no single-partition
+window anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup, text
+from ..operators.components import connected_components
+from ..operators.packing import next_fit_pack
+from ..operators.renumber import global_prefix_sum
+from ..sources.readers import load_table
+from .llm_data import _components_oracle
+from .registry import spark_query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# q57 — BM25 lexical search (Okapi, Lucene idf smoothing).
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ["spark", "window", "merge"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _eq_term(t: str):
+    # one-arg closure: a default-arg lambda would read to F.filter as
+    # the two-arg (element, index) form
+    return lambda x: x == F.lit(t)
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    norm = (
+        f"({_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+    )
+    contribs = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN "
+        f"ln(1 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) "
+        f"* tf{i} * ({_BM25_K1} + 1) / (tf{i} + {norm}) "
+        f"ELSE 0.0 END)"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    d AS (
+      SELECT doc_id, len(toks) AS dl, {tf_cols} FROM t
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl, {df_cols}
+      FROM d
+    )
+    SELECT doc_id,
+           round({contribs}, 6) AS bm25
+    FROM (SELECT d.*, stats.*, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
+          FROM d, stats)
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """
+
+
+@spark_query("q57_bm25_search", _bm25_oracle())
+def q57_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a fixed term set. Per-doc term
+    frequencies are narrow array expressions (no token explode); the
+    only aggregate is the ONE-row corpus stats (N, Σdl, per-term df),
+    broadcast back. The top-20 is orderBy+limit — a distributed
+    TakeOrdered, never a single-partition window. Contributions are
+    added in fixed literal order so the float result is reproducible
+    across engines."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        text.tokens("text").alias("toks"),
+    )
+    d = d.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[
+            F.size(F.filter("toks", _eq_term(t))).alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(
+                F.when(F.col(f"tf{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    scored = d.crossJoin(F.broadcast(stats)).withColumn(
+        "avgdl", F.col("sum_dl").cast("double") / F.col("n_docs")
+    )
+    contrib = None
+    for i in range(len(_BM25_TERMS)):
+        tf = F.col(f"tf{i}")
+        idf = F.log(
+            F.lit(1)
+            + (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+        )
+        norm = F.lit(_BM25_K1) * (
+            F.lit(1 - _BM25_B)
+            + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+        )
+        c = F.when(
+            tf > 0,
+            idf * tf * F.lit(_BM25_K1 + 1) / (tf + norm),
+        ).otherwise(F.lit(0.0))
+        contrib = c if contrib is None else contrib + c
+    return (
+        scored.withColumn("bm25", F.round(contrib, 6))
+        .select("doc_id", "bm25")
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q58 — as-of join: latest view value at or before each click.
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q58_asof_join",
+    """
+    WITH v AS (
+      SELECT user_id, ts, max(value) AS vv
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, c.ts, v.vv AS last_view_value
+    FROM c ASOF LEFT JOIN v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def q58_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (most-recent-prior) join, the time-series enrichment Spark
+    has no built-in for. Scale shape: union both sides, ONE shuffle on
+    the join key, per-key ordered carry-forward of the last non-null
+    right value — never a range-condition join (which explodes) or a
+    global window. Views at the same (user, ts) are pre-aggregated so
+    the as-of value is well-defined on both engines; at-equal-ts views
+    sort before clicks to make the join inclusive (ts >= ts). Skewed
+    keys take the usual salting escape hatch: carry forward per salt
+    after seeding each salt partition with the key's running value."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("vv"))
+        .select(
+            "user_id",
+            "ts",
+            "vv",
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("vv"),
+        F.lit(1).alias("kind"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        v.unionByName(c)
+        .withColumn("last_view_value", F.last("vv", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select("event_id", "user_id", "ts", "last_view_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d55 — canonical document per near-dup cluster.
+# ---------------------------------------------------------------------------
+def _canonical_oracle() -> str:
+    return f"""
+    WITH comp AS ({_components_oracle()}),
+    j AS (
+      SELECT comp.component, comp.node, d.n_chars
+      FROM comp JOIN documents d ON d.doc_id = comp.node
+    ),
+    r AS (
+      SELECT component, node, n_chars,
+             row_number() OVER (
+               PARTITION BY component ORDER BY n_chars DESC, node
+             ) AS rn
+      FROM j
+    )
+    SELECT component,
+           max(CASE WHEN rn = 1 THEN node END) AS canonical_doc_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+             AS canonical_chars
+    FROM r GROUP BY component
+    """
+
+
+@spark_query("d55_canonical_docs", _canonical_oracle())
+def d55_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step dedup clustering exists for: per connected component of
+    the minhash near-dup graph, elect one canonical document (longest,
+    doc id as tie-break) and count the cluster. The per-cluster window
+    is bounded by cluster size (near-dup clusters are small cliques);
+    the heavy lifting — pair generation and components — reuses the
+    banded-LSH and label-propagation operators."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5, portable=True)
+    comp = connected_components(pairs)
+    j = comp.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("node")
+    )
+    r = j.withColumn("rn", F.row_number().over(w))
+    return r.groupBy("component").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("node"))).alias(
+            "canonical_doc_id"
+        ),
+        F.count("*").alias("n_docs"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_chars")))
+        .cast("long")
+        .alias("canonical_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d56 — next-fit sequence packing per (source, shard).
+# ---------------------------------------------------------------------------
+_PACK_CAP = 2000
+_PACK_SHARDS = 4
+
+
+def _packing_oracle() -> str:
+    return f"""
+    WITH RECURSIVE d AS (
+      SELECT source, CAST(doc_id % {_PACK_SHARDS} AS INTEGER) AS shard,
+             doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source, doc_id % {_PACK_SHARDS} ORDER BY doc_id
+             ) AS rn
+      FROM documents
+    ),
+    pack(source, shard, rn, doc_id, n_chars, bin_id, fill) AS (
+      SELECT source, shard, rn, doc_id, n_chars, CAST(0 AS BIGINT),
+             n_chars
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.shard, d.rn, d.doc_id, d.n_chars,
+             CASE WHEN p.fill + d.n_chars > {_PACK_CAP}
+                  THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.fill + d.n_chars > {_PACK_CAP}
+                  THEN d.n_chars ELSE p.fill + d.n_chars END
+      FROM pack p
+      JOIN d ON d.source = p.source AND d.shard = p.shard
+            AND d.rn = p.rn + 1
+    )
+    SELECT source, shard, doc_id, n_chars, bin_id FROM pack
+    """
+
+
+@spark_query("d56_doc_packing", _packing_oracle())
+def d56_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit packing of documents into {cap}-char bins,
+    sequential within each (source, shard) stream, embarrassingly
+    parallel across streams (operators/packing.py). The oracle states
+    the same fill recursion as a recursive CTE."""
+    d = _docs(spark, sf_dir).select(
+        "source",
+        F.pmod("doc_id", F.lit(_PACK_SHARDS)).cast("int").alias("shard"),
+        "doc_id",
+        "n_chars",
+    )
+    return next_fit_pack(
+        d,
+        group_cols=["source", "shard"],
+        order_col="doc_id",
+        size_col="n_chars",
+        capacity=_PACK_CAP,
+    )
+
+
+# ---------------------------------------------------------------------------
+# d57 — global token-budget sample (quality-ordered prefix-sum cutoff).
+# ---------------------------------------------------------------------------
+_BUDGET_TOKENS = 10_000
+
+
+def _budget_oracle() -> str:
+    from .llm_data import _STOP_LIST_SQL
+
+    stop = _STOP_LIST_SQL
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             round(CASE WHEN len(toks) > 0
+                   THEN CAST(len(list_filter(toks,
+                        x -> list_contains({stop}, x))) AS DOUBLE)
+                        / len(toks)
+                   ELSE 0 END, 6) AS sw
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, sw,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY sw DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM s
+    )
+    SELECT doc_id, n_tokens, sw AS stopword_ratio, cum_tokens
+    FROM c WHERE cum_tokens <= {_BUDGET_TOKENS}
+    """
+
+
+@spark_query("d57_token_budget_sample", _budget_oracle())
+def d57_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the most natural-looking documents (stopword ratio as the
+    cheap quality proxy) until a global token budget is exhausted — the
+    curation cut that turns scored docs into a sized corpus. The
+    running total is the quantile-bucket prefix sum
+    (operators/renumber.py::global_prefix_sum): integer-exact, no
+    single-partition window, same two-small-jobs shape as the global
+    renumber at any scale."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", text.tokens("text").alias("toks")
+    )
+    s = d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.round(
+            F.when(
+                F.size("toks") > 0, text.stopword_ratio(F.col("toks"))
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("stopword_ratio"),
+    ).withColumn("__ord", -F.col("stopword_ratio"))
+    c = global_prefix_sum(
+        s,
+        order_by=["__ord", "doc_id"],
+        weight_col="n_tokens",
+        out_col="cum_tokens",
+    )
+    return (
+        c.filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
+        .select("doc_id", "n_tokens", "stopword_ratio", "cum_tokens")
+    )
