@@ -1,16 +1,15 @@
 """Retrieval & curation-assembly operators — third wave of the
-LLM-data-pipeline extensions: BM25 lexical search, as-of joins,
-canonical-document selection after dedup clustering, sequence packing,
-and global token-budget sampling.
+LLM-data-pipeline extensions: BM25 lexical search, sweep-line interval
+concurrency, canonical-document selection after dedup clustering,
+sequence packing, and global token-budget sampling.
 
 Scale notes: BM25's corpus statistics (doc count, per-term document
 frequencies, total length) aggregate to ONE row and broadcast back —
-the corpus is scanned once, narrowly. The as-of join is the
-union + per-key ordered carry-forward shape (one shuffle on the join
-key, no range explosion). Packing parallelizes across (source, shard)
-groups. The budget sample's running total uses the quantile-bucket
-prefix-sum machinery (operators/renumber.py) — no single-partition
-window anywhere.
+the corpus is scanned once, narrowly. The interval sweep and the
+budget sample both ride the quantile-bucket prefix-sum machinery
+(operators/renumber.py::global_prefix_sum) — integer-exact running
+totals with no single-partition window. Packing parallelizes across
+(source, shard) groups.
 """
 
 from __future__ import annotations
@@ -145,64 +144,66 @@ def q57_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q58 — as-of join: latest view value at or before each click.
+# q58 — sweep-line interval concurrency.
 # ---------------------------------------------------------------------------
+_SESSION_MINUTES = 30
+
+
 @spark_query(
-    "q58_asof_join",
-    """
+    "q58_concurrent_intervals",
+    f"""
     WITH v AS (
-      SELECT user_id, ts, max(value) AS vv
-      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+      SELECT event_id, ts,
+             ts + INTERVAL {_SESSION_MINUTES} MINUTE AS ts_end
+      FROM events WHERE event_type = 'view'
     ),
-    c AS (
-      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    b AS (
+      SELECT event_id, ts AS bts, CAST(1 AS BIGINT) AS delta FROM v
+      UNION ALL
+      SELECT event_id, ts_end, CAST(-1 AS BIGINT) FROM v
     )
-    SELECT c.event_id, c.user_id, c.ts, v.vv AS last_view_value
-    FROM c ASOF LEFT JOIN v
-      ON c.user_id = v.user_id AND c.ts >= v.ts
+    SELECT event_id, bts, delta,
+           CAST(sum(delta) OVER (
+             ORDER BY bts, delta, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrency
+    FROM b
     """,
 )
-def q58_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of (most-recent-prior) join, the time-series enrichment Spark
-    has no built-in for. Scale shape: union both sides, ONE shuffle on
-    the join key, per-key ordered carry-forward of the last non-null
-    right value — never a range-condition join (which explodes) or a
-    global window. Views at the same (user, ts) are pre-aggregated so
-    the as-of value is well-defined on both engines; at-equal-ts views
-    sort before clicks to make the join inclusive (ts >= ts). Skewed
-    keys take the usual salting escape hatch: carry forward per salt
-    after seeding each salt partition with the key's running value."""
+def q58_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap counting by sweep line: every view opens a
+    30-minute session; each interval contributes a +1 boundary at its
+    start and a -1 at its end, and the running total of deltas in
+    global boundary order IS the step function of concurrent sessions
+    (ends sort before starts at the same instant — half-open
+    intervals). The naive form is an interval self-join (quadratic in
+    overlap); the sweep line is linear. The running total is the
+    quantile-bucket prefix sum — integer-exact, no single-partition
+    window, so the sweep scales with the data like any sort."""
     ev = load_table(spark, sf_dir, "events")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("vv"))
-        .select(
-            "user_id",
-            "ts",
-            "vv",
-            F.lit(0).alias("kind"),
-            F.lit(None).cast("long").alias("event_id"),
+    v = ev.filter(F.col("event_type") == "view").select(
+        "event_id",
+        F.col("ts"),
+        (
+            F.col("ts") + F.expr(f"INTERVAL {_SESSION_MINUTES} MINUTE")
+        ).alias("ts_end"),
+    )
+    b = v.select(
+        "event_id",
+        F.col("ts").alias("bts"),
+        F.lit(1).cast("long").alias("delta"),
+    ).unionByName(
+        v.select(
+            "event_id",
+            F.col("ts_end").alias("bts"),
+            F.lit(-1).cast("long").alias("delta"),
         )
     )
-    c = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.lit(None).cast("double").alias("vv"),
-        F.lit(1).alias("kind"),
-        "event_id",
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "kind")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        v.unionByName(c)
-        .withColumn("last_view_value", F.last("vv", ignorenulls=True).over(w))
-        .filter(F.col("kind") == 1)
-        .select("event_id", "user_id", "ts", "last_view_value")
-    )
+    return global_prefix_sum(
+        b,
+        order_by=["bts", "delta", "event_id"],
+        weight_col="delta",
+        out_col="concurrency",
+    ).select("event_id", "bts", "delta", "concurrency")
 
 
 # ---------------------------------------------------------------------------

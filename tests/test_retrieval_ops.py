@@ -58,41 +58,34 @@ def test_global_prefix_sum_matches_single_window(spark):
     )
 
 
-def test_asof_join_prior_and_inclusive(spark, sf_dir):
-    """Each click's last_view_value must equal the max-value view at the
-    latest view-ts <= click-ts for that user (python-model oracle on a
-    sample of users)."""
+def test_concurrent_intervals_matches_brute_force(spark, sf_dir):
+    """The sweep-line step function must equal brute-force overlap
+    counting: at each +1 boundary, concurrency == number of intervals
+    containing that instant (half-open [start, end))."""
+    import datetime
+
     from kaggle_data_pipeline_with_aws_spark.plans.retrieval import (
-        q58_asof_join,
+        _SESSION_MINUTES,
+        q58_concurrent_intervals,
     )
     from kaggle_data_pipeline_with_aws_spark.sources.readers import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    sample_users = [r.user_id for r in ev.select("user_id").distinct().limit(5).collect()]
-    evs = ev.filter(F.col("user_id").isin(sample_users)).collect()
-    views = {}
-    for r in evs:
-        if r.event_type == "view":
-            views.setdefault(r.user_id, []).append((r.ts, r.value))
-    got = {
-        r.event_id: r.last_view_value
-        for r in q58_asof_join(spark, sf_dir)
-        .filter(F.col("user_id").isin(sample_users))
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("event_id", "ts")
         .collect()
-    }
-    checked = 0
-    for r in evs:
-        if r.event_type != "click":
-            continue
-        prior = [(t, v) for (t, v) in views.get(r.user_id, []) if t <= r.ts]
-        if not prior:
-            want = None
-        else:
-            tmax = max(t for t, _ in prior)
-            want = max(v for t, v in prior if t == tmax)
-        assert got[r.event_id] == want
-        checked += 1
-    assert checked > 0
+    )
+    delta = datetime.timedelta(minutes=_SESSION_MINUTES)
+    intervals = [(r.ts, r.ts + delta) for r in views]
+    got = q58_concurrent_intervals(spark, sf_dir).collect()
+    assert len(got) == 2 * len(views)
+    starts = [r for r in got if r.delta == 1]
+    for r in starts[:: max(1, len(starts) // 50)]:  # sample ~50 boundaries
+        want = sum(1 for (s, e) in intervals if s <= r.bts < e)
+        assert r.concurrency == want
+    # the sweep must return to zero after the last boundary
+    assert sum(r.delta for r in got) == 0
 
 
 def test_bm25_scores_positive_and_bounded(spark, sf_dir):
