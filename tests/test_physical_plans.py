@@ -180,3 +180,28 @@ def test_banded_neardup_is_subset_of_exact(spark, sf_dir):
     for pair, cs in banded.items():
         assert cs == exact[pair]
     assert len(banded) >= 0.4 * len(exact)  # recall floor at test scale
+
+
+def test_bm25_stats_broadcast_no_corpus_shuffle(spark, sf_dir):
+    """q57: per-doc term frequencies are narrow array expressions and
+    the only aggregate is the one-row corpus stats — the corpus itself
+    must never hash-shuffle, and the stats must join back broadcast."""
+    df = QUERIES["q57_bm25_search"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # no hash/range repartition of the document rows
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_prefix_sum_ops_stay_distributed(spark, sf_dir):
+    """q58/d57: the sweep line and the budget sample must number rows
+    per literal quantile bucket — any SinglePartition exchange must be
+    over bucket-count-sized data (offsets), never the input rows."""
+    for name in ("q58_concurrent_intervals", "d57_token_budget_sample"):
+        df = QUERIES[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(__bucket" in plan, name
+        assert "BroadcastExchange" in plan, name
