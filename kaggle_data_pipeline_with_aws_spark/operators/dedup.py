@@ -25,7 +25,7 @@ the scale path flips to ``F.xxhash64``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sources.readers import spread_for_compute
@@ -496,4 +496,90 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)  # prune before the dedupe shuffle
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-document duplicated-span coverage
+# ---------------------------------------------------------------------------
+
+def duplicated_span_coverage(
+    df: DataFrame, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Per-document fraction of tokens covered by some k-token span that
+    also appears verbatim in at least one OTHER document — the
+    repeated-substring dedup signal ("ExactSubstr"-style, re-expressed
+    as relational ops instead of a suffix array; intra-document
+    repetition is deliberately excluded — that is repetition_ratio's
+    job).
+
+    Plan shape / scale notes:
+    1. explode each doc into (start, k-gram) windows — narrow, no
+       shuffle;
+    2. groupBy the 64-bit span hash with countDistinct(doc_id) >= 2 —
+       one shuffle on an 8-byte key, never on the span string;
+    3. left-semi join the spans against the duplicated keys (AQE
+       broadcasts the dup-key set when it is small);
+    4. per-doc interval-union sweep: window ordered by span start with
+       a running max of span end — partitioned by doc_id, state bounded
+       by document length, no global window anywhere.
+    """
+    toks = df.select("doc_id", tokens(text_col).alias("__t")).withColumn(
+        "n_tokens", F.array_size("__t").cast("long")
+    )
+    spans = (
+        toks.filter(F.col("n_tokens") >= k)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "__t",
+            F.explode(
+                F.sequence(F.lit(1), (F.col("n_tokens") - k + 1).cast("int"))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "s",
+            F.xxhash64(
+                F.array_join(F.slice("__t", F.col("s"), k), " ")
+            ).alias("__h"),
+        )
+    )
+    dup_keys = (
+        spans.groupBy("__h")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__h")
+    )
+    hits = spans.join(dup_keys, "__h", "left_semi").select(
+        "doc_id", "n_tokens", "s", (F.col("s") + k - 1).alias("e")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = hits.withColumn("__pe", F.max("e").over(w)).withColumn(
+        "__contrib",
+        F.greatest(
+            F.lit(0),
+            F.col("e")
+            - F.greatest(F.col("s") - 1, F.coalesce("__pe", F.lit(0))),
+        ).cast("long"),
+    )
+    return (
+        swept.groupBy("doc_id")
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.sum("__contrib").alias("n_dup_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_dup_tokens",
+            F.round(F.col("n_dup_tokens") / F.col("n_tokens"), 6).alias(
+                "dup_fraction"
+            ),
+        )
     )

@@ -384,3 +384,68 @@ def d57_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
         .select("doc_id", "n_tokens", "stopword_ratio", "cum_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# d58 — inter-document duplicated-span coverage (repeated-substring
+# dedup signal; the relational re-expression of suffix-array
+# "ExactSubstr" dedup).
+# ---------------------------------------------------------------------------
+_SPAN_K = 8
+
+
+def _dupspan_oracle() -> str:
+    k = _SPAN_K
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens,
+             unnest(range(1, len(t) - {k} + 2)) AS i
+      FROM toks
+    ),
+    spans AS (
+      SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS s,
+             array_to_string(
+               t[CAST(i AS BIGINT):CAST(i + {k} - 1 AS BIGINT)], ' ') AS span
+      FROM idx
+    ),
+    dup AS (
+      SELECT span FROM spans GROUP BY span
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT doc_id, n_tokens, s, s + {k} - 1 AS e
+      FROM spans WHERE span IN (SELECT span FROM dup)
+    ),
+    sweep AS (
+      SELECT doc_id, n_tokens, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pe
+      FROM hits
+    )
+    SELECT doc_id,
+           CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(greatest(0, e - greatest(s - 1, coalesce(pe, 0))))
+                AS BIGINT) AS n_dup_tokens,
+           round(CAST(sum(greatest(0, e - greatest(s - 1, coalesce(pe, 0))))
+                      AS DOUBLE) / max(n_tokens), 6) AS dup_fraction
+    FROM sweep GROUP BY doc_id
+    """
+
+
+@spark_query("d58_duplicated_spans", _dupspan_oracle())
+def d58_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each document covered by an 8-token span that also
+    appears verbatim in another document — the substring-level dedup
+    signal that catches partial copies exact/minhash dedup both miss
+    (boilerplate headers, quoted paragraphs, shared templates). See
+    operators/dedup.py::duplicated_span_coverage for the sweep-line
+    plan; the oracle replays it with the span STRING as the group key
+    where the registered plan groups on the 64-bit span hash (8-byte
+    shuffle keys at scale)."""
+    return dedup.duplicated_span_coverage(
+        _docs(spark, sf_dir), k=_SPAN_K
+    )

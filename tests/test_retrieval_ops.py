@@ -115,3 +115,44 @@ def test_budget_sample_respects_budget_and_order(spark, sf_dir):
     for r in ordered:
         run += r.n_tokens
         assert r.cum_tokens == run
+
+
+def test_duplicated_span_coverage_union_not_double_counted(spark):
+    from kaggle_data_pipeline_with_aws_spark.operators.dedup import (
+        duplicated_span_coverage,
+    )
+
+    # doc 1 and doc 2 share a 9-token run -> two overlapping 8-token
+    # spans whose union must count 9 tokens, not 16. doc 3 is unique.
+    shared = " ".join(f"w{i}" for i in range(9))
+    df = spark.createDataFrame(
+        [
+            (1, shared + " xxx yyy"),
+            (2, "aaa bbb " + shared),
+            (3, " ".join(f"u{i}" for i in range(12))),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in duplicated_span_coverage(df, k=8).collect()
+    }
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_tokens"] == 11 and rows[1]["n_dup_tokens"] == 9
+    assert rows[2]["n_tokens"] == 11 and rows[2]["n_dup_tokens"] == 9
+    assert abs(rows[1]["dup_fraction"] - round(9 / 11, 6)) < 1e-9
+
+
+def test_duplicated_span_coverage_ignores_intra_doc_repeats(spark):
+    from kaggle_data_pipeline_with_aws_spark.operators.dedup import (
+        duplicated_span_coverage,
+    )
+
+    # A doc repeating its own 8-token phrase twice has NO inter-document
+    # duplication -> excluded from the result entirely.
+    phrase = " ".join(f"p{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, phrase + " mid " + phrase), (2, "totally different words here")],
+        "doc_id int, text string",
+    )
+    assert duplicated_span_coverage(df, k=8).count() == 0
