@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import dedup, text
+from ..operators import dedup, similarity, text
 from ..operators.components import connected_components
 from ..operators.packing import next_fit_pack
 from ..operators.renumber import global_prefix_sum
@@ -448,4 +448,118 @@ def d58_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keys at scale)."""
     return dedup.duplicated_span_coverage(
         _docs(spark, sf_dir), k=_SPAN_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# d59 — ANN recall@k: the IVF index (d20) self-measured against the
+# exact brute-force baseline (d09).
+# ---------------------------------------------------------------------------
+def _recall_oracle() -> str:
+    from .registry import ORACLE_SQL
+
+    exact = ORACLE_SQL["d09_ann_topk"]
+    ivf = ORACLE_SQL["d20_ann_ivf_fixed"]
+    return f"""
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           round(CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL
+                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS recall_at_5
+    FROM ({exact}) e
+    LEFT JOIN ({ivf}) i
+      ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@spark_query("d59_ann_recall", _recall_oracle())
+def d59_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF index against the exact top-k, per query —
+    the index-quality measurement every ANN deployment needs before it
+    trusts the approximate path. Composes the two registered operators
+    (broadcast-queries brute force; IVF cell equi-join) and joins their
+    top-k sets; both sides are narrow per-query top-5 tables, so the
+    recall join is tiny regardless of corpus scale."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 10)
+    centroids = embs.filter(F.col("vec_id") < 16)
+    exact = similarity.brute_force_topk(embs, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = similarity.ivf_topk_fixed_centroids(
+        embs, queries, centroids, k=5, n_probe=2
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    j = exact.join(ivf, ["query_id", "neighbor_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_exact"),
+        F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hit"),
+        F.round(
+            F.sum(F.coalesce("__hit", F.lit(0))) / F.count("*"), 6
+        ).alias("recall_at_5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d60 — source-mixture rebalance: deterministic hash thinning down to
+# the smallest source's share, equalizing the corpus mixture.
+# ---------------------------------------------------------------------------
+def _rebalance_oracle() -> str:
+    from ..operators.text import HASH_MOD, portable_hash_sql
+
+    h = portable_hash_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_src
+      FROM documents GROUP BY source
+    ),
+    m AS (SELECT min(n_src) AS n_min FROM c),
+    k AS (
+      SELECT d.source, c.n_src,
+             CASE WHEN {h} * c.n_src < m.n_min * {HASH_MOD}
+                  THEN 1 ELSE 0 END AS acc
+      FROM documents d JOIN c ON d.source = c.source CROSS JOIN m
+    )
+    SELECT source, n_src,
+           CAST(sum(acc) AS BIGINT) AS n_kept,
+           round(CAST(sum(acc) AS DOUBLE) / n_src, 6) AS kept_rate
+    FROM k GROUP BY source, n_src
+    """
+
+
+@spark_query("d60_mixture_rebalance", _rebalance_oracle())
+def d60_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equalize the source mixture by thinning every source down to the
+    smallest source's document count IN EXPECTATION, with a
+    deterministic per-doc hash draw (reproducible across runs and
+    engines — no rand()). The per-source rates derive from a 20-row
+    aggregate that broadcasts back onto the corpus: the 100 TB side is
+    touched exactly once, filtered map-side, and the accept test is
+    integer-exact (hash * n_src < n_min * MOD — no float rate).
+    Returns the per-source audit (kept counts and achieved rate);
+    chain .filter on the same predicate to materialize the sample."""
+    from ..operators.text import HASH_MOD, portable_hash
+
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_src")
+    )
+    n_min = counts.agg(F.min("n_src").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min))
+    acc = (
+        portable_hash(F.col("doc_id").cast("string")) * F.col("n_src")
+        < F.col("n_min") * F.lit(HASH_MOD)
+    ).cast("int")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .withColumn("__acc", acc)
+        .groupBy("source", "n_src")
+        .agg(
+            F.sum("__acc").cast("long").alias("n_kept"),
+            F.round(F.sum("__acc") / F.col("n_src").cast("double"), 6).alias(
+                "kept_rate"
+            ),
+        )
     )
