@@ -2034,3 +2034,45 @@ def d50_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log2(p_b / p_12), 6).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q59 — greatest-n-per-group WITHOUT a window: double aggregate + join
+# back (the shuffle-light scale form of q07's window top-1).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "q59_argmax_per_group",
+    """
+    WITH mx AS (
+      SELECT o_orderpriority, max(o_totalprice) AS top_price
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority, mx.top_price,
+           CAST(min(o.o_orderkey) AS BIGINT) AS top_orderkey
+    FROM orders o
+    JOIN mx ON o.o_orderpriority = mx.o_orderpriority
+           AND o.o_totalprice = mx.top_price
+    GROUP BY o.o_orderpriority, mx.top_price
+    """,
+)
+def q59_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax per group as two partial-aggregable passes: max price per
+    priority (5-row aggregate, broadcast back), equality-join to
+    recover the argmax rows, then min orderkey as the deterministic
+    tiebreak. No window function anywhere — both passes are map-side
+    partial aggregates, so unlike a rank-over-partition this never
+    materializes a per-group sort; the idiomatic greatest-n-per-group
+    at 100 TB when n=1."""
+    orders = _t(spark, sf_dir, "orders")
+    mx = orders.groupBy(
+        F.col("o_orderpriority").alias("__prio")
+    ).agg(F.max("o_totalprice").alias("top_price"))
+    return (
+        orders.join(
+            F.broadcast(mx),
+            (F.col("o_orderpriority") == F.col("__prio"))
+            & (F.col("o_totalprice") == F.col("top_price")),
+        )
+        .groupBy("o_orderpriority", "top_price")
+        .agg(F.min("o_orderkey").cast("long").alias("top_orderkey"))
+    )

@@ -563,3 +563,103 @@ def d60_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d61 — MinHash estimate audit: LSH-estimated Jaccard vs the TRUE
+# shingle Jaccard, per candidate pair.
+# ---------------------------------------------------------------------------
+def _lsh_error_oracle() -> str:
+    from .llm_data import _minhash_pairs_cte
+
+    return f"""{_minhash_pairs_cte(0.5)},
+    sh2 AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks
+    ),
+    cnt2 AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh2 GROUP BY doc_id
+    ),
+    inter2 AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM sh2 a JOIN sh2 b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truej AS (
+      SELECT p.doc_id_1, p.doc_id_2, p.est_jaccard,
+             round(coalesce(
+               CAST(i.n_common AS DOUBLE)
+                 / (ca.n + cb.n - i.n_common), 0.0), 6) AS true_jaccard
+      FROM pairs p
+      LEFT JOIN inter2 i
+        ON p.doc_id_1 = i.doc_id_1 AND p.doc_id_2 = i.doc_id_2
+      JOIN cnt2 ca ON p.doc_id_1 = ca.doc_id
+      JOIN cnt2 cb ON p.doc_id_2 = cb.doc_id
+    )
+    SELECT doc_id_1, doc_id_2, est_jaccard, true_jaccard,
+           round(abs(est_jaccard - true_jaccard), 6) AS abs_err
+    FROM truej
+    """
+
+
+@spark_query("d61_lsh_estimate_error", _lsh_error_oracle())
+def d61_lsh_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit the MinHash sketch against ground truth: for every LSH
+    candidate pair (d07), recompute the TRUE shingle Jaccard and report
+    the estimation error — the calibration report that justifies a
+    32-hash signature before a 100 TB dedup run commits to it.
+
+    Scale shape: true Jaccard is computed ONLY for the candidate pairs
+    — the shingle table is joined THROUGH the pair list (pair ⋈ shingle
+    on doc_id_1, then inner ⋈ on (doc_id_2, shingle)), never
+    self-joined corpus-wide; work is O(candidates × shingles/doc), not
+    O(all co-shingled pairs)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5, portable=True)
+    sh = dedup.shingle_table(docs, n=3)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    inter = (
+        pairs.select("doc_id_1", "doc_id_2", "est_jaccard")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_id_1"), "shingle"),
+            "doc_id_1",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_id_2"), "shingle"),
+            ["doc_id_2", "shingle"],
+        )
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n_1"))
+    cb = cnt.select(F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n_2"))
+    return (
+        pairs.select("doc_id_1", "doc_id_2", "est_jaccard")
+        .join(inter, ["doc_id_1", "doc_id_2"], "left")
+        .join(F.broadcast(ca), "doc_id_1")
+        .join(F.broadcast(cb), "doc_id_2")
+        .withColumn(
+            "true_jaccard",
+            F.round(
+                F.coalesce(
+                    F.col("n_common")
+                    / (F.col("n_1") + F.col("n_2") - F.col("n_common")),
+                    F.lit(0.0),
+                ),
+                6,
+            ),
+        )
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            "est_jaccard",
+            "true_jaccard",
+            F.round(
+                F.abs(F.col("est_jaccard") - F.col("true_jaccard")), 6
+            ).alias("abs_err"),
+        )
+    )

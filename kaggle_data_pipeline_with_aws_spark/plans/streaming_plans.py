@@ -163,3 +163,50 @@ def s05_unattributed_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("right_id").isNull()).select(
         "left_id", "user_id"
     )
+
+
+@spark_query(
+    "s06_trending_topk",
+    """
+    WITH w AS (
+      SELECT date_trunc('hour', ts) AS win_start, event_type,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT win_start, event_type, n_events, rk
+    FROM (
+      SELECT win_start, event_type, n_events,
+             CAST(row_number() OVER (PARTITION BY win_start
+                 ORDER BY n_events DESC, event_type ASC) AS BIGINT) AS rk
+      FROM w
+    ) WHERE rk <= 3
+    """,
+)
+def s06_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items: top-3 event types per tumbling hour. The
+    windowed count is the streamable aggregate (watermark + tumbling
+    window — identical to s01's shape); the per-window rank is the
+    foreachBatch post-processing step, exactly how a streaming top-k
+    is deployed (rank inside the micro-batch over the window's closed
+    aggregate). The rank window partitions by window start, so state
+    is one window's key set — bounded regardless of stream length."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.window("ts", "1 hour").alias("win"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("win").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "rk",
+        )
+    )
