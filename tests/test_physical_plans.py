@@ -205,3 +205,30 @@ def test_prefix_sum_ops_stay_distributed(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "hashpartitioning(__bucket" in plan, name
         assert "BroadcastExchange" in plan, name
+
+
+def test_duplicated_spans_no_cartesian_and_hash_keyed(spark, sf_dir):
+    """d58: candidate detection groups/joins on the 64-bit span hash —
+    an equi-join, never an all-pairs enumeration; the sweep window is
+    per-doc (partitioned), not global."""
+    plan = _plan(spark, sf_dir, "d58_duplicated_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "xxhash64" in plan  # 8-byte shuffle key, not the span string
+
+
+def test_lsh_estimate_error_joins_through_pairs(spark, sf_dir):
+    """d61: true-Jaccard recomputation must route through the candidate
+    pair list (equi-joins only) — never a corpus-wide shingle
+    self-join followed by a filter."""
+    plan = _plan(spark, sf_dir, "d61_lsh_estimate_error")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_argmax_per_group_has_no_window(spark, sf_dir):
+    """q59: greatest-1-per-group stays in partial-aggregable form —
+    two hash aggregates and a broadcast join, no rank/sort window."""
+    plan = _plan(spark, sf_dir, "q59_argmax_per_group")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
