@@ -2076,3 +2076,66 @@ def q59_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority", "top_price")
         .agg(F.min("o_orderkey").cast("long").alias("top_orderkey"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q60 — snapshot reconciliation via FULL OUTER join (the CDC diff).
+# ---------------------------------------------------------------------------
+_RECON_CUTOFF = "1995-01-01"
+
+
+@spark_query(
+    "q60_snapshot_reconcile",
+    f"""
+    WITH b AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS spend_before
+      FROM orders WHERE o_orderdate < DATE '{_RECON_CUTOFF}'
+      GROUP BY o_custkey
+    ),
+    a AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS spend_after
+      FROM orders WHERE o_orderdate >= DATE '{_RECON_CUTOFF}'
+      GROUP BY o_custkey
+    )
+    SELECT coalesce(b.o_custkey, a.o_custkey) AS custkey,
+           coalesce(spend_before, 0.0) AS spend_before,
+           coalesce(spend_after, 0.0) AS spend_after,
+           CASE WHEN b.o_custkey IS NULL THEN 'new'
+                WHEN a.o_custkey IS NULL THEN 'churned'
+                ELSE 'active' END AS status
+    FROM b FULL OUTER JOIN a ON b.o_custkey = a.o_custkey
+    """,
+)
+def q60_snapshot_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot reconciliation: per-key aggregates of the old and
+    new snapshot FULL OUTER joined, null sides classifying each key as
+    new / churned / active — the generic CDC diff between any two
+    sources. Both sides aggregate on the join key first, so the full
+    outer join sees one row per key and (with AQE) reuses the
+    aggregation's hash partitioning — one logical shuffle per side,
+    then a co-partitioned merge. (When both snapshots derive from one
+    table, a single-pass conditional aggregation is the cheaper
+    equivalent; the full-outer form is the one that generalizes to
+    distinct sources.)"""
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit(_RECON_CUTOFF).cast("date")
+    b = (
+        orders.filter(F.col("o_orderdate") < cutoff)
+        .groupBy(F.col("o_custkey").alias("bk"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend_before"))
+    )
+    a = (
+        orders.filter(F.col("o_orderdate") >= cutoff)
+        .groupBy(F.col("o_custkey").alias("ak"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend_after"))
+    )
+    j = b.join(a, b["bk"] == a["ak"], "full_outer")
+    return j.select(
+        F.coalesce("bk", "ak").alias("custkey"),
+        F.coalesce("spend_before", F.lit(0.0)).alias("spend_before"),
+        F.coalesce("spend_after", F.lit(0.0)).alias("spend_after"),
+        F.when(F.col("bk").isNull(), F.lit("new"))
+        .when(F.col("ak").isNull(), F.lit("churned"))
+        .otherwise(F.lit("active"))
+        .alias("status"),
+    )

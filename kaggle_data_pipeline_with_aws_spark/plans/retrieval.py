@@ -663,3 +663,163 @@ def d61_lsh_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d62/d63 — mutual-kNN semantic graph + triangle enumeration.
+# ---------------------------------------------------------------------------
+def _knn_graph_cte() -> str:
+    """WITH-chain ending in ``edges(node_a, node_b, cos_sim)``: the
+    IVF top-5 graph (same fixed-centroid quantizer as d20, every vector
+    as a query) restricted to MUTUAL neighbor pairs."""
+    from .llm_data import _DOT_SQL, _DOT_VC, _NORM_SQL, _NORM_V, _NORM_C
+
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding FROM embeddings
+      WHERE vec_id < 16
+    ),
+    all_scored AS (
+      SELECT v.vec_id AS node, c.centroid_id,
+             round({_DOT_VC} / ({_NORM_V} * {_NORM_C}), 6) AS cscore
+      FROM embeddings v, cents c
+    ),
+    assigned AS (
+      SELECT node AS neighbor_id, centroid_id FROM (
+        SELECT node, centroid_id,
+               row_number() OVER (PARTITION BY node
+                   ORDER BY cscore DESC, centroid_id ASC) AS r
+        FROM all_scored) WHERE r = 1
+    ),
+    probed AS (
+      SELECT node AS query_id, centroid_id FROM (
+        SELECT node, centroid_id,
+               row_number() OVER (PARTITION BY node
+                   ORDER BY cscore DESC, centroid_id ASC) AS r
+        FROM all_scored) WHERE r <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.neighbor_id
+      FROM assigned a JOIN probed p ON a.centroid_id = p.centroid_id
+      WHERE a.neighbor_id != p.query_id
+    ),
+    rescored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round({_DOT_SQL} / ({_NORM_SQL.format(v='a')}
+                   * {_NORM_SQL.format(v='b')}), 6) AS cos_sim
+      FROM cand
+      JOIN embeddings b ON b.vec_id = cand.query_id
+      JOIN embeddings a ON a.vec_id = cand.neighbor_id
+    ),
+    knn AS (
+      SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        FROM rescored) WHERE rank <= 5
+    ),
+    edges AS (
+      SELECT t1.query_id AS node_a, t1.neighbor_id AS node_b, t1.cos_sim
+      FROM knn t1 JOIN knn t2
+        ON t1.query_id = t2.neighbor_id AND t1.neighbor_id = t2.query_id
+      WHERE t1.query_id < t1.neighbor_id
+    )"""
+
+
+def _mutual_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node_a < node_b, cos_sim): mutual IVF-top-5 pairs. The kNN side
+    is the scale-safe IVF cell equi-join (never all-pairs); mutuality is
+    a self equi-join of the narrow per-query top-5 table."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    cents = embs.filter(F.col("vec_id") < 16)
+    knn = similarity.ivf_topk_fixed_centroids(
+        embs, embs, cents, k=5, n_probe=2
+    ).select("query_id", "neighbor_id", "cos_sim")
+    rev = knn.select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("query_id").alias("neighbor_id"),
+    )
+    return (
+        knn.join(rev, ["query_id", "neighbor_id"], "left_semi")
+        .filter(F.col("query_id") < F.col("neighbor_id"))
+        .select(
+            F.col("query_id").alias("node_a"),
+            F.col("neighbor_id").alias("node_b"),
+            "cos_sim",
+        )
+    )
+
+
+@spark_query(
+    "d62_knn_graph",
+    _knn_graph_cte() + "\n    SELECT node_a, node_b, cos_sim FROM edges",
+)
+def d62_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN semantic graph over the embedding table — the
+    standard substrate for graph-based curation (semantic clusters,
+    diversity pruning, label propagation). Mutuality is the usual
+    noise filter: an edge exists only if each side ranks the other in
+    its top-5."""
+    return _mutual_knn_edges(spark, sf_dir)
+
+
+@spark_query(
+    "d63_knn_triangles",
+    _knn_graph_cte()
+    + """
+    SELECT e1.node_a AS node_a, e1.node_b AS node_b, e2.node_b AS node_c
+    FROM edges e1
+    JOIN edges e2 ON e1.node_b = e2.node_a
+    JOIN edges e3 ON e3.node_a = e1.node_a AND e3.node_b = e2.node_b
+    """,
+)
+def d63_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration on the mutual-kNN graph (the tight
+    semantic-cluster cores). Spark plan uses DEGREE-ORDERED edge
+    orientation (Schank's algorithm): every edge points from its
+    lower-(degree, id) endpoint, making the graph a DAG consistent
+    with a total order, so each triangle is emitted exactly once and
+    the wedge join fans out from low-degree nodes — the skew guard
+    that keeps hub nodes from exploding the intermediate at scale.
+    The oracle uses the orientation-invariant id-order form; both
+    emit the canonical sorted (node_a, node_b, node_c)."""
+    edges = _mutual_knn_edges(spark, sf_dir).select("node_a", "node_b")
+    deg = (
+        edges.select(F.col("node_a").alias("n"))
+        .unionAll(edges.select(F.col("node_b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    e = (
+        edges.join(
+            F.broadcast(
+                deg.select(
+                    F.col("n").alias("node_a"), F.col("deg").alias("da")
+                )
+            ),
+            "node_a",
+        )
+        .join(
+            F.broadcast(
+                deg.select(
+                    F.col("n").alias("node_b"), F.col("deg").alias("db")
+                )
+            ),
+            "node_b",
+        )
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("node_a") < F.col("node_b"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("node_a")).otherwise(F.col("node_b")).alias("src"),
+        F.when(a_first, F.col("node_b")).otherwise(F.col("node_a")).alias("dst"),
+    )
+    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    e3 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    tri = e1.join(e2, "v").join(e3, ["u", "w"], "left_semi")
+    arr = F.array_sort(F.array("u", "v", "w"))
+    return tri.select(
+        arr[0].alias("node_a"), arr[1].alias("node_b"), arr[2].alias("node_c")
+    )
