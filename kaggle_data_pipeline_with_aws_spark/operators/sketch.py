@@ -128,3 +128,94 @@ def countmin_estimate(
         .groupBy(*other)
         .agg(F.min("n").alias("est_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (portable, 32-bit words)
+# ---------------------------------------------------------------------------
+BLOOM_WORD_BITS = 32
+
+
+def _bloom_pos(value: Column, j: int, m_bits: int, salt: str) -> Column:
+    """Bit position of hash function ``j`` — portable md5 hash of the
+    salted value, so the filter bits are identical in any engine."""
+    return portable_hash(
+        F.concat(F.lit(f"{salt}{j}:"), value.cast("string")), mod=m_bits
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str | Column,
+    m_bits: int = 1024,
+    k: int = 4,
+    salt: str = "bf",
+) -> DataFrame:
+    """Build a Bloom filter over ``col`` as a (word_idx, bits) table —
+    m_bits/32 words of 32 set-bit flags (32-bit words keep every mask
+    below 2^32, shift-safe in any engine's signed 64-bit math).
+
+    The build is one narrow pass + a groupBy on at most m_bits/32 word
+    indexes — the classic pre-join pruning sketch: build on the small
+    side's keys, broadcast the (tiny) word table, and discard non-member
+    rows of the big side map-side before any shuffle."""
+    c = col if isinstance(col, Column) else F.col(col)
+    positions = df.select(
+        F.explode(
+            F.array(*[_bloom_pos(c, j, m_bits, salt) for j in range(k)])
+        ).alias("p")
+    )
+    return positions.groupBy(
+        F.shiftright("p", 5).alias("word_idx")
+    ).agg(
+        F.bit_or(
+            # PySpark's shiftleft() only takes a literal shift amount;
+            # the per-row shift needs the SQL form
+            F.expr("shiftleft(CAST(1 AS BIGINT), p & 31)")
+        ).alias("bits")
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    col: str | Column,
+    bloom: DataFrame,
+    m_bits: int = 1024,
+    k: int = 4,
+    salt: str = "bf",
+    out_col: str = "bloom_member",
+) -> DataFrame:
+    """Append ``out_col``: 1 if every one of ``col``'s k bloom bits is
+    set (possible member — false positives at the configured rate),
+    0 if definitely absent. The bloom word table broadcasts; the probe
+    is per-row expressions + a broadcast join per hash function — the
+    probed side is never shuffled."""
+    c = col if isinstance(col, Column) else F.col(col)
+    out = df
+    hit_cols = []
+    for j in range(k):
+        p = _bloom_pos(c, j, m_bits, salt)
+        bj = bloom.select(
+            F.col("word_idx").alias(f"__w{j}"), F.col("bits").alias(f"__b{j}")
+        )
+        out = out.withColumn(f"__p{j}", p).join(
+            F.broadcast(bj),
+            F.shiftright(F.col(f"__p{j}"), 5) == F.col(f"__w{j}"),
+            "left",
+        )
+        hit = (
+            F.coalesce(f"__b{j}", F.lit(0).cast("long")).bitwiseAND(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), __p{j} & 31)")
+            )
+            != 0
+        ).cast("int")
+        hit_cols.append(hit)
+    member = hit_cols[0]
+    for h in hit_cols[1:]:
+        member = member * h
+    out = out.withColumn(out_col, member)
+    return out.drop(
+        *[f"__p{j}" for j in range(k)],
+        *[f"__w{j}" for j in range(k)],
+        *[f"__b{j}" for j in range(k)],
+    )

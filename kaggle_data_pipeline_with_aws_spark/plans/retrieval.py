@@ -823,3 +823,178 @@ def d63_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.select(
         arr[0].alias("node_a"), arr[1].alias("node_b"), arr[2].alias("node_c")
     )
+
+
+# ---------------------------------------------------------------------------
+# d64 — neighborhood label vote (one label-propagation round) over the
+# mutual-kNN graph: the label-consistency audit.
+# ---------------------------------------------------------------------------
+@spark_query(
+    "d64_label_vote",
+    _knn_graph_cte()
+    + """,
+    und AS (
+      SELECT node_a AS node, node_b AS nbr FROM edges
+      UNION ALL
+      SELECT node_b, node_a FROM edges
+    ),
+    votes AS (
+      SELECT u.node, e.label, CAST(count(*) AS BIGINT) AS n_votes
+      FROM und u JOIN embeddings e ON e.vec_id = u.nbr
+      GROUP BY u.node, e.label
+    ),
+    top AS (
+      SELECT node, label AS voted_label, n_votes FROM (
+        SELECT node, label, n_votes,
+               row_number() OVER (PARTITION BY node
+                   ORDER BY n_votes DESC, label ASC) AS r
+        FROM votes) WHERE r = 1
+    )
+    SELECT t.node AS vec_id,
+           CAST(e.label AS BIGINT) AS own_label,
+           CAST(t.voted_label AS BIGINT) AS voted_label,
+           t.n_votes,
+           CAST(e.label = t.voted_label AS BOOLEAN) AS agree
+    FROM top t JOIN embeddings e ON e.vec_id = t.node
+    """,
+)
+def d64_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of majority label propagation over the mutual-kNN
+    graph, reported as a per-node audit: does the neighborhood
+    consensus agree with the node's own label? The disagreeing nodes
+    are the mislabel/outlier candidates a curation pass reviews.
+    Scale shape: the edge list is the narrow mutual-kNN table; the
+    vote is a (node, label) groupBy; the argmax is a per-node window
+    over at most |labels| rows — every stage keyed, nothing global."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    labels = embs.select("vec_id", F.col("label").cast("long").alias("label"))
+    edges = _mutual_knn_edges(spark, sf_dir).select("node_a", "node_b")
+    und = edges.select(
+        F.col("node_a").alias("node"), F.col("node_b").alias("nbr")
+    ).unionAll(
+        edges.select(F.col("node_b").alias("node"), F.col("node_a").alias("nbr"))
+    )
+    votes = (
+        und.join(
+            labels.select(F.col("vec_id").alias("nbr"), "label"), "nbr"
+        )
+        .groupBy("node", "label")
+        .agg(F.count("*").cast("long").alias("n_votes"))
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    top = (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "node", F.col("label").alias("voted_label"), "n_votes"
+        )
+    )
+    return top.join(
+        labels.select(
+            F.col("vec_id"), F.col("label").alias("own_label")
+        ),
+        top["node"] == F.col("vec_id"),
+    ).select(
+        "vec_id",
+        "own_label",
+        "voted_label",
+        "n_votes",
+        (F.col("own_label") == F.col("voted_label")).alias("agree"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d65 — Bloom-filter membership audit (the pre-join pruning sketch,
+# measured against exact membership).
+# ---------------------------------------------------------------------------
+_BLOOM_M = 1024
+_BLOOM_K = 4
+
+
+def _bloom_oracle() -> str:
+    from ..operators.text import portable_hash_sql
+
+    def pos(j: int) -> str:
+        return portable_hash_sql(
+            f"'bf{j}:' || shingle", _BLOOM_M
+        )
+
+    build_pos = " UNION ALL ".join(
+        f"SELECT ({pos(j)}) AS p FROM bench" for j in range(_BLOOM_K)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT doc_id, shingle, ({pos(j)}) AS p FROM corp"
+        for j in range(_BLOOM_K)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+    corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 20),
+    bpos AS ({build_pos}),
+    bloom AS (
+      SELECT p >> 5 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << (p & 31)) AS bits
+      FROM bpos GROUP BY 1
+    ),
+    cpos AS ({probe_pos}),
+    chk AS (
+      SELECT doc_id, shingle,
+             min(CASE WHEN (coalesce(b.bits, 0)
+                            & (CAST(1 AS BIGINT) << (p & 31))) != 0
+                 THEN 1 ELSE 0 END) AS member
+      FROM cpos LEFT JOIN bloom b ON b.word_idx = p >> 5
+      GROUP BY doc_id, shingle
+    ),
+    tru AS (
+      SELECT doc_id, shingle,
+             CASE WHEN shingle IN (SELECT shingle FROM bench)
+                  THEN 1 ELSE 0 END AS tm
+      FROM corp
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(c.member) AS BIGINT) AS n_bloom_hits,
+           CAST(sum(t.tm) AS BIGINT) AS n_true_hits
+    FROM chk c JOIN tru t ON c.doc_id = t.doc_id AND c.shingle = t.shingle
+    GROUP BY c.doc_id
+    """
+
+
+@spark_query("d65_bloom_membership", _bloom_oracle())
+def d65_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join pruning, audited: build the filter over
+    the benchmark shingle set (docs < 20 — d24's decontamination
+    split), probe every corpus shingle, and report per-doc bloom hits
+    next to exact hits (bloom ≥ exact; the gap is the false-positive
+    cost at m=1024, k=4). At 100 TB this is the sketch that prunes a
+    shuffle: the word table (≤32 rows) broadcasts and non-member rows
+    drop map-side before the expensive exact semi-join."""
+    from ..operators import sketch
+
+    docs = _docs(spark, sf_dir)
+    sh = dedup.shingle_table(docs, n=3)
+    bench = sh.filter(F.col("doc_id") < 20).select("shingle").distinct()
+    corp = sh.filter(F.col("doc_id") >= 20)
+    bloom = sketch.bloom_build(bench, "shingle", _BLOOM_M, _BLOOM_K)
+    probed = sketch.bloom_probe(
+        corp, "shingle", bloom, _BLOOM_M, _BLOOM_K, out_col="member"
+    )
+    tru = corp.join(F.broadcast(bench), "shingle", "left_semi").select(
+        "doc_id", "shingle", F.lit(1).alias("tm")
+    )
+    j = probed.join(tru, ["doc_id", "shingle"], "left").select(
+        "doc_id", "member", F.coalesce("tm", F.lit(0)).alias("tm")
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum("member").cast("long").alias("n_bloom_hits"),
+        F.sum("tm").cast("long").alias("n_true_hits"),
+    )

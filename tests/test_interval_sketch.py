@@ -77,3 +77,26 @@ def test_kmv_is_mergeable(spark):
     )
     merged = merged_hashes.agg(F.max("__h").alias("kth")).collect()[0]
     assert merged["kth"] == whole["kth_min_hash"]
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    from pyspark.sql import functions as F
+
+    from kaggle_data_pipeline_with_aws_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame(
+        [(f"key{i}",) for i in range(50)], "k string"
+    )
+    probes = spark.createDataFrame(
+        [(f"key{i}",) for i in range(200)], "k string"
+    )
+    bloom = bloom_build(members, "k", m_bits=1024, k=4)
+    out = bloom_probe(probes, "k", bloom, m_bits=1024, k=4).collect()
+    hits = {r["k"] for r in out if r["bloom_member"] == 1}
+    # every true member must pass (no false negatives)
+    assert all(f"key{i}" in hits for i in range(50))
+    # the filter must actually prune most non-members at this m/k
+    assert len(hits) < 100
