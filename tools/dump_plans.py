@@ -131,6 +131,26 @@ SHOWCASE: list[tuple[str, str]] = [
         " bucket) — at most depth×width counter rows per map task — and"
         " point queries join it back as a broadcast.",
     ),
+    (
+        "d58_duplicated_spans",
+        "Repeated-substring dedup with relational ops: span candidates"
+        " group on the 8-byte xxhash64 (never the span string), the"
+        " semi-join routes through the hash key, and the interval-union"
+        " sweep windows per doc_id — no global sort, no cartesian.",
+    ),
+    (
+        "d63_knn_triangles",
+        "Degree-ordered triangle enumeration: the wedge join fans out"
+        " from low-(degree,id) endpoints — the orientation bounds the"
+        " intermediate by Σ d(v)² over the SMALLER endpoint, the classic"
+        " skew guard for hub nodes; every join is a hash equi-join.",
+    ),
+    (
+        "d65_bloom_membership",
+        "Bloom pre-join pruning: the ≤32-row word table broadcasts, probe"
+        " bits evaluate map-side, and only possible members reach the"
+        " exact semi-join — the big probed side is never shuffled.",
+    ),
 ]
 
 
