@@ -292,3 +292,32 @@ def test_mongo_document_store_contract(spark):
         for r in store.read(coll).select("match_id", "val").collect()
     )
     assert got == [(1, "a"), (2, "B2"), (3, "c")]
+
+
+def test_write_training_shards_caps_and_partitions(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kaggle_data_pipeline_with_aws_spark.sources.readers import load_table
+    from kaggle_data_pipeline_with_aws_spark.sources.sinks import (
+        write_training_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    audit = write_training_shards(
+        docs, out, partition_cols=("source",), max_records_per_file=7
+    )
+    # audit covers every source and sums to the corpus size
+    assert sum(audit.values()) == docs.count()
+    assert all(k.startswith("source=") for k in audit)
+    back = spark.read.parquet(out)
+    per_file = (
+        back.withColumn("_f", F.input_file_name())
+        .groupBy("_f")
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in per_file) <= 7
+    # partition pruning works on the layout
+    one = back.filter(F.col("source") == "src0")
+    assert one.count() == audit["source=src0"]
