@@ -998,3 +998,140 @@ def d65_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("member").cast("long").alias("n_bloom_hits"),
         F.sum("tm").cast("long").alias("n_true_hits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d66 — sorted-neighborhood dedup (blocking by sort order, not hash).
+# ---------------------------------------------------------------------------
+_SN_WINDOW = 3
+_SN_THRESHOLD = 0.3
+_SN_KEY_CHARS = 32
+
+
+@spark_query(
+    "d66_sorted_neighborhood",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, substr(text, 1, {_SN_KEY_CHARS}) AS bk,
+             list_distinct(string_split(text, ' ')) AS toks,
+             row_number() OVER (
+               ORDER BY substr(text, 1, {_SN_KEY_CHARS}), doc_id) AS rn
+      FROM documents
+    ),
+    offs AS (SELECT unnest(range(1, {_SN_WINDOW} + 1)) AS off),
+    pairs AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+             round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / len(list_distinct(a.toks || b.toks)), 6) AS jaccard
+      FROM ranked a
+      JOIN offs ON true
+      JOIN ranked b ON b.rn = a.rn + offs.off
+    )
+    SELECT doc_id_1, doc_id_2, jaccard
+    FROM pairs WHERE jaccard >= {_SN_THRESHOLD}
+    """,
+)
+def d66_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup: block by SORT ORDER instead of hash
+    buckets — sort on a prefix key, compare each record only with its
+    next W neighbors in the global order, keep pairs above a token-set
+    Jaccard threshold. The classic entity-resolution alternative to
+    LSH: catches near-dups whose edits fall outside any shared hash
+    bucket but not outside lexicographic locality.
+
+    Scale shape: the global rank is the quantile-bucket renumber (two
+    small jobs, no single-partition window); the W-neighbor pairing is
+    an EQUI-join on rank+offset (offsets exploded, never a range
+    predicate), so it shuffles on an 8-byte integer and each row meets
+    exactly W others regardless of corpus size."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring("text", 1, _SN_KEY_CHARS).alias("bk"),
+        F.array_distinct(text.tokens("text")).alias("toks"),
+    )
+    from ..operators.renumber import contiguous_row_number
+
+    ranked = contiguous_row_number(
+        docs, order_by=["bk", "doc_id"], out_col="rn"
+    )
+    offs = spark.range(1, _SN_WINDOW + 1).select(
+        F.col("id").alias("off")
+    )
+    a = ranked.select(
+        F.col("doc_id").alias("doc_id_1"),
+        F.col("toks").alias("toks_1"),
+        F.col("rn").alias("rn_1"),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("doc_id_2"),
+        F.col("toks").alias("toks_2"),
+        F.col("rn").alias("rn_2"),
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(offs))
+        .withColumn("rn_2", F.col("rn_1") + F.col("off"))
+        .join(b, "rn_2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("toks_1", "toks_2")).cast("double")
+                / F.size(F.array_union("toks_1", "toks_2")),
+                6,
+            ),
+        )
+    )
+    return pairs.filter(F.col("jaccard") >= _SN_THRESHOLD).select(
+        "doc_id_1", "doc_id_2", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# d67 — cross-source duplication leakage matrix.
+# ---------------------------------------------------------------------------
+def _leakage_oracle() -> str:
+    from .llm_data import _minhash_pairs_cte
+
+    return f"""{_minhash_pairs_cte(0.5)},
+    lab AS (
+      SELECT p.doc_id_1, p.doc_id_2, da.source AS s1, db.source AS s2
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_id_1
+      JOIN documents db ON db.doc_id = p.doc_id_2
+    )
+    SELECT least(s1, s2) AS source_a, greatest(s1, s2) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM lab GROUP BY 1, 2
+    """
+
+
+@spark_query("d67_cross_source_leakage", _leakage_oracle())
+def d67_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate each other: near-dup pairs (d07's banded
+    MinHash) labeled with each side's source, aggregated into a
+    symmetric (source_a, source_b) matrix — the audit that finds
+    mirror sites and cross-source scrape overlap before training
+    over-weights their shared content. The pair list is sketch-bounded
+    (never all-pairs); the source labels join on doc_id and the matrix
+    is a tiny groupBy."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5, portable=True)
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.select("doc_id_1", "doc_id_2")
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_id_1"), F.col("source").alias("s1")
+            ),
+            "doc_id_1",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_id_2"), F.col("source").alias("s2")
+            ),
+            "doc_id_2",
+        )
+    )
+    return lab.groupBy(
+        F.least("s1", "s2").alias("source_a"),
+        F.greatest("s1", "s2").alias("source_b"),
+    ).agg(F.count("*").cast("long").alias("n_pairs"))
