@@ -127,3 +127,18 @@ def nested_sum(arr: str | Column) -> Column:
     return F.aggregate(
         _c(arr), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
+
+
+def epoch_micros(col: str | Column) -> Column:
+    """``unix_micros`` that tolerates TIMESTAMP_NTZ inputs.
+
+    Every parquet timestamp in the harness (``events.parquet`` stores
+    ``ts`` as ``timestamp[us]`` with no timezone) reads back as
+    TIMESTAMP_NTZ, and ``F.unix_micros`` is type-strict — it raises
+    ``DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE`` at analysis time.
+    Casting to TIMESTAMP first is a no-op on TIMESTAMP inputs and
+    interprets NTZ values in the session timezone (the repo pins
+    ``spark.sql.session.timeZone=UTC``, so the mapping is
+    deterministic). Route EVERY ``unix_micros`` call through here.
+    """
+    return F.unix_micros(_c(col).cast("timestamp"))

@@ -36,6 +36,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.scalars import epoch_micros
+
 
 def _order_surrogate(col: Column, dtype: T.DataType) -> Column | None:
     """A numeric column that is monotone non-decreasing in ``col``'s
@@ -48,10 +50,8 @@ def _order_surrogate(col: Column, dtype: T.DataType) -> Column | None:
         return col.cast("int")
     if isinstance(dtype, T.DateType):
         return F.unix_date(col)
-    if isinstance(dtype, T.TimestampType):
-        return F.unix_micros(col)
-    if isinstance(dtype, T.TimestampNTZType):
-        return F.unix_micros(col.cast("timestamp"))
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return epoch_micros(col)
     if isinstance(dtype, T.StringType):
         # Spark compares strings by UTF-8 bytes; pack the first 6 bytes
         # (right-padded) into a bigint — monotone w.r.t. the string order.

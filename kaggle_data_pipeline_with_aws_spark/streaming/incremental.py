@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
+from ..functions.scalars import epoch_micros
 from ..operators import flatten
 from ..schemas import CRICSHEET_MATCH_SCHEMA
 
@@ -271,5 +272,5 @@ def correlate_event_pairs(
         "left_id",
         "right_id",
         left["key"].alias(key_col),
-        (F.unix_micros("left_ts") - F.unix_micros("right_ts")).alias("gap_us"),
+        (epoch_micros("left_ts") - epoch_micros("right_ts")).alias("gap_us"),
     )

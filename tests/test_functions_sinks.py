@@ -321,3 +321,27 @@ def test_write_training_shards_caps_and_partitions(spark, sf_dir, tmp_path):
     # partition pruning works on the layout
     one = back.filter(F.col("source") == "src0")
     assert one.count() == audit["source=src0"]
+
+
+def test_epoch_micros_ntz_safe_on_real_events(spark):
+    """Every parquet timestamp in the harness reads as TIMESTAMP_NTZ;
+    epoch_micros must analyze (unix_micros alone raises at analysis
+    time) and agree with the raw micros stored in the file."""
+    import datetime
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    assert events.schema["ts"].dataType.typeName() == "timestamp_ntz"
+    row = (
+        events.select("ts", S.epoch_micros("ts").alias("us"))
+        .orderBy("ts")
+        .first()
+    )
+    expected = int(
+        row["ts"].replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000
+    )
+    assert row["us"] == expected
+    # tz-aware TIMESTAMP input keeps working (cast is a no-op there)
+    aware = events.select(
+        S.epoch_micros(F.col("ts").cast("timestamp")).alias("us")
+    ).first()
+    assert aware["us"] is not None
