@@ -455,16 +455,13 @@ def d51_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_patches(media, patch=16, decoder="fake")
 
 
-# ---------------------------------------------------------------------------
-# Scale-path variants — probabilistic / engine-specific hashes: rows-only.
-# ---------------------------------------------------------------------------
-@spark_query("d12_minhash_lsh_xxhash")
-def d12_minhash_lsh_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production minhash: xxhash64 shingle hashing (JVM-side, no
-    portable-hash char fold). Same plan shape as d07; rows-only check."""
-    return dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), threshold=0.5, portable=False
-    )
+# NOTE: the former d12_minhash_lsh_xxhash registry entry (the
+# xxhash64-hashed production minhash) was retired: xxhash64 cannot be
+# recomputed by the DuckDB oracle, so the query could never graduate
+# from a rows-only check, and the portable-hash treatment would just
+# duplicate d07. The code path itself (`dedup.minhash_lsh_pairs(...,
+# portable=False)`) stays and is exercised by
+# tests/test_llm_ops.py::test_minhash_xxhash_production_path.
 
 
 def _d13_oracle() -> str:

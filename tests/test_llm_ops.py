@@ -321,3 +321,35 @@ def test_vectorized_cosine_and_signature_bit_identical(spark, sf_dir):
         S.hyperplane_signature_vectorized(F.col("embedding")).alias("vec"),
     ).collect()
     assert sigs and all(r.fold == r.vec for r in sigs)
+
+
+def test_minhash_xxhash_production_path(spark):
+    """The xxhash64 (portable=False) signature path — the JVM-side
+    production hash that has no DuckDB twin (its registry entry was
+    retired as permanently unprovable). Identical texts must still
+    collide with est_jaccard 1.0 regardless of hash function, and
+    high-Jaccard pairs must be recalled just like the portable path."""
+    docs = load_table(spark, SF, "documents")
+    true_pairs = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    est = {
+        (r["doc_id_1"], r["doc_id_2"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            docs, threshold=0.0, portable=False, vectorized=False
+        ).collect()
+    }
+    assert true_pairs and true_pairs <= set(est)
+    dupes = spark.createDataFrame(
+        [(1, "the same exact text here"), (2, "the same exact text here"),
+         (3, "completely different words instead")],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        (r["doc_id_1"], r["doc_id_2"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            dupes, threshold=0.5, portable=False, vectorized=False
+        ).collect()
+    }
+    assert out == {(1, 2): 1.0}
