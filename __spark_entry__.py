@@ -29,67 +29,54 @@ def entry(spark: SparkSession) -> DataFrame:
 # files are cumulative proof, so each round the window holds (a) queries
 # whose implementation or oracle changed since the last check — they
 # must re-prove — and (b) as many never-driver-checked oracle-backed
-# queries as fit, one representative per operator family first.
-# Round-2 window: q06/q13 re-prove the BIGINT oracle casts; d07/d10/d13
-# re-prove the vectorized-signature + banded-LSH rewrites; the other 45
-# slots are first-time checks (incl. q48/d46/q51 whose latent type bugs
-# were fixed, all five streaming faces, sketches, sampling, LM scoring,
-# graph ops). Family-redundant twins (e.g. d21 keep-first vs checked
-# d01, d44 bigram vs d33 unigram) wait for round 3. Rows-only twins
-# (no oracle possible) stay dead last so they never burn a slot.
+# queries as fit. Round-3 window: s04/s05 re-prove the NTZ epoch_micros
+# fix (the sole r2 failures), then ALL 36 remaining never-checked
+# oracle-backed queries — after this window every oracle-backed query
+# in the registry has a green driver row in r1∪r2∪r3 — then the new
+# round-3 operators in the last slots. Rows-only twins (d15/d23, no
+# oracle possible by design) stay dead last so they never burn a slot.
 _WINDOW_PRIORITY = [
-    # re-prove after this round's changes
-    "q06_null_profile",
-    "q13_conditional_count",
-    "d07_minhash_lsh",
-    "d10_embedding_neardup",
-    "d13_ann_lsh",
-    # first-time driver checks
-    "d14_simhash_pairs",
-    "d16_text_clean",
-    "d17_quality_filter",
-    "d18_vocabulary",
-    "d19_hash_sample",
-    "d20_ann_ivf_fixed",
-    "d22_bpe_token_count",
-    "d24_decontaminate",
-    "d26_stratified_sample",
-    "d27_source_lang_matrix",
-    "d28_kmv_distinct",
-    "d29_label_centroids",
-    "d30_tfidf_top_terms",
-    "d31_dedup_components",
-    "d40_pagerank",
-    "d33_unigram_logprob",
-    "d34_chunk_documents",
-    "d41_countmin_heavy_hitters",
-    "d42_shingle_containment",
-    "d46_ngram_novelty",
-    "d47_histogram_quantiles",
-    "d49_weighted_sample",
-    "d50_pmi_collocations",
-    "d52_source_kl_divergence",
-    "d54_zipf_slope",
-    "q37_customer_value_quartiles",
-    "q39_orders_above_customer_avg",
-    "q40_customers_with_urgent_orders",
-    "q41_status_priority_cube",
-    "q42_retained_customers",
-    "q43_event_funnel",
-    "q47_length_histogram",
-    "q48_json_payload_stats",
-    "q49_unpivot_order_measures",
-    "q50_mad_outliers",
-    "q51_session_conversion",
-    "q53_rolling_median",
-    "q54_cohort_retention",
-    "q55_value_autocorrelation",
-    "q56_revenue_shares",
-    "s01_windowed_event_counts",
-    "s02_session_windows",
-    "s03_first_arrival_dedup",
+    # re-prove after the NTZ fix
     "s04_click_view_attribution",
     "s05_unattributed_clicks",
+    # first-time driver checks — the entire remaining proof debt
+    "d21_dedup_keep_first",
+    "d25_repetition_ratio",
+    "d32_char_entropy",
+    "d35_source_mixing",
+    "d36_lang_vocab_overlap",
+    "d37_prefix_containment",
+    "d38_embedding_diversity",
+    "d39_embedding_quantize",
+    "d43_fuzzy_prefix_match",
+    "d44_bigram_logprob",
+    "d45_label_medoids",
+    "d48_daily_distinct_kmv",
+    "d53_translation_candidates",
+    "d55_canonical_docs",
+    "d56_doc_packing",
+    "d57_token_budget_sample",
+    "d58_duplicated_spans",
+    "d59_ann_recall",
+    "d60_mixture_rebalance",
+    "d61_lsh_estimate_error",
+    "d62_knn_graph",
+    "d63_knn_triangles",
+    "d64_label_vote",
+    "d65_bloom_membership",
+    "d66_sorted_neighborhood",
+    "d67_cross_source_leakage",
+    "q38_supplier_revenue_rank",
+    "q44_churned_customers",
+    "q45_winsorize_lengths",
+    "q46_ewma_values",
+    "q52_pareto_orders",
+    "q57_bm25_search",
+    "q58_concurrent_intervals",
+    "q59_argmax_per_group",
+    "q60_snapshot_reconcile",
+    "s06_trending_topk",
+    # new round-3 operators (first-time checks)
 ]
 
 
