@@ -315,3 +315,117 @@ def test_rocksdb_state_store_provider(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_unattributed_clicks_stream_vs_batch(spark, tmp_path):
+    """s05's machinery as a real stream: the LEFT OUTER interval join
+    emits an unmatched click (null right_id) only once the watermark
+    closes its join window — so the stream is driven file-by-file with
+    a far-future flush file to push the watermark past every real
+    event, after which streamed nulls must equal the batch anti-set."""
+    from kaggle_data_pipeline_with_aws_spark.streaming.incremental import (
+        correlate_event_pairs,
+    )
+
+    src = str(tmp_path / "events")
+    rows = _event_rows(80)
+    os.makedirs(src, exist_ok=True)
+    mid = len(rows) // 2
+    for fname, chunk in [("a.jsonl", rows[:mid]), ("b.jsonl", rows[mid:])]:
+        with open(os.path.join(src, fname), "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+    # flush: one far-future event per side so the watermark passes
+    # every real event's join window before the stream drains
+    flush = [
+        dict(rows[-1], event_id=990_001, event_time="2030-01-01T00:00:00Z",
+             event_type="click"),
+        dict(rows[-1], event_id=990_002, event_time="2030-01-01T00:00:00Z",
+             event_type="view"),
+    ]
+    with open(os.path.join(src, "z_flush.jsonl"), "w") as f:
+        for r in flush:
+            f.write(json.dumps(r) + "\n")
+
+    kwargs = dict(
+        left_type="click",
+        right_type="view",
+        timestamp_col="event_time",
+        lookback="50 minutes",
+        watermark_delay="10 minutes",
+        how="left_outer",
+    )
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = run_stream_to_memory(
+        correlate_event_pairs(stream, **kwargs), "unattributed_stream"
+    )
+    q.awaitTermination()
+    got = {
+        r.left_id
+        for r in spark.sql(
+            "SELECT * FROM unattributed_stream WHERE right_id IS NULL"
+        ).collect()
+        if r.left_id < 990_000
+    }
+    batch = correlate_event_pairs(
+        spark.read.schema(EVENT_SCHEMA).json(src), **kwargs
+    )
+    expected = {
+        r.left_id
+        for r in batch.filter(F.col("right_id").isNull()).collect()
+        if r.left_id < 990_000
+    }
+    assert expected, "fixture should contain unattributed clicks"
+    assert got == expected
+
+
+def test_trending_topk_stream_vs_batch_rocksdb(spark, tmp_path):
+    """s06 as deployed: watermarked tumbling-window counts as the
+    streaming stage (RocksDB state store engaged), per-window top-k
+    rank applied to the drained aggregate exactly as the foreachBatch
+    post-step would — equal to the all-batch answer."""
+    from pyspark.sql import Window
+    from kaggle_data_pipeline_with_aws_spark.session import streaming_scale_conf
+
+    src = str(tmp_path / "events")
+    _write_events(src, _event_rows(200))
+    before = {k: spark.conf.get(k, None) for k in streaming_scale_conf()}
+    for k, v in streaming_scale_conf().items():
+        spark.conf.set(k, v)
+    try:
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+        counts = windowed_event_counts(stream)
+        q = run_stream_to_memory(counts, "trend_counts", output_mode="complete")
+        q.awaitTermination()
+        metrics = q.lastProgress["stateOperators"][0]["customMetrics"]
+        assert any(k.startswith("rocksdb") for k in metrics), metrics.keys()
+
+        rank_w = Window.partitionBy("window_start").orderBy(
+            F.col("n_events").desc(), F.col("event_type").asc()
+        )
+
+        def topk(df):
+            return {
+                (r.window_start, r.event_type, r.n_events, r.rk)
+                for r in df.withColumn(
+                    "rk", F.row_number().over(rank_w).cast("long")
+                )
+                .filter(F.col("rk") <= 3)
+                .collect()
+            }
+
+        got = topk(spark.sql("SELECT * FROM trend_counts"))
+        expected = topk(
+            windowed_event_counts(spark.read.schema(EVENT_SCHEMA).json(src))
+        )
+        assert got and got == expected
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
