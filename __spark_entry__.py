@@ -76,7 +76,19 @@ _WINDOW_PRIORITY = [
     "q59_argmax_per_group",
     "q60_snapshot_reconcile",
     "s06_trending_topk",
-    # new round-3 operators (first-time checks)
+    # new round-3 operators (first-time checks) — fills the window to 50
+    "q61_min_cost_supplier",
+    "q62_shipping_priority",
+    "q63_late_order_priority",
+    "q64_local_supplier_volume",
+    "q65_market_share",
+    "q66_waiting_suppliers",
+    "d68_per_group_exact_sample",
+    "d69_edit_distance_linkage",
+    "d70_association_rules",
+    "d71_kmv_set_ops",
+    "d72_kmeans_lloyd_step",
+    "d73_random_projection",
 ]
 
 

@@ -42,3 +42,4 @@ def load_all() -> None:
     from . import corpus_stats  # noqa: F401
     from . import retrieval  # noqa: F401
     from . import streaming_plans  # noqa: F401
+    from . import round3  # noqa: F401
