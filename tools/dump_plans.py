@@ -151,6 +151,40 @@ SHOWCASE: list[tuple[str, str]] = [
         " bits evaluate map-side, and only possible members reach the"
         " exact semi-join — the big probed side is never shuffled.",
     ),
+    (
+        "q63_late_order_priority",
+        "EXISTS with a correlated inequality: ONE LeftSemi hash join on"
+        " orderkey carrying the ship-date bound as residual — no distinct,"
+        " no fact-side duplication, exactly Catalyst's decorrelated shape.",
+    ),
+    (
+        "q65_market_share",
+        "Numerator and denominator in one pass: the qualified-supplier"
+        " keys broadcast as a membership flag and a single conditional"
+        " aggregate computes share-of-total — the fact table is scanned"
+        " and shuffled once, on the year key.",
+    ),
+    (
+        "d68_per_group_exact_sample",
+        "Exact-k per-group sampling compiles to WindowGroupLimit"
+        " Partial→Final: each map task forwards at most k rows per group"
+        " BEFORE the exchange — the shuffle carries k·groups rows, not the"
+        " corpus.",
+    ),
+    (
+        "d69_edit_distance_linkage",
+        "Blocked record linkage: candidates meet on the (lang,"
+        " length-bucket) equi-join key and only block-mates pay the"
+        " bounded-prefix Levenshtein residual — never an all-pairs theta"
+        " join.",
+    ),
+    (
+        "d72_kmeans_lloyd_step",
+        "One Lloyd iteration: assignment is an Arrow-batched cosine"
+        " against 16 broadcast centroids (narrow map + WindowGroupLimit"
+        " argmax), and the update shuffle carries only (cell, dim) mean"
+        " accumulators — 1,024 rows, regardless of corpus size.",
+    ),
 ]
 
 
