@@ -35,6 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # in the registry has a green driver row in r1∪r2∪r3 — then the new
 # round-3 operators in the last slots. Rows-only twins (d15/d23, no
 # oracle possible by design) stay dead last so they never burn a slot.
+# The wave-6 queries (q67-q72, d74-d79, s07) sit just past the window
+# as the round-4 proof queue — all locally oracle-green at sf0.01.
 _WINDOW_PRIORITY = [
     # re-prove after the NTZ fix
     "s04_click_view_attribution",
