@@ -232,3 +232,56 @@ def test_argmax_per_group_has_no_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q59_argmax_per_group")
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_round3_linkage_is_blocked_equi_join(spark, sf_dir):
+    """d69: candidates must meet on the (lang, bucket) hash-join key;
+    a BroadcastNestedLoopJoin would mean the blocking collapsed into
+    an all-pairs theta join."""
+    plan = _plan(spark, sf_dir, "d69_edit_distance_linkage")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_round3_exact_sample_uses_window_group_limit(spark, sf_dir):
+    """d68: the per-group rank must push a partial top-k below the
+    exchange (WindowGroupLimit) so the shuffle carries k rows per
+    group, not the corpus."""
+    plan = _plan(spark, sf_dir, "d68_per_group_exact_sample")
+    assert "WindowGroupLimit" in plan
+
+
+def test_round3_late_orders_is_semi_join(spark, sf_dir):
+    """q63: EXISTS must plan as ONE LeftSemi hash join carrying the
+    date inequality as residual — no distinct, no fact duplication."""
+    plan = _plan(spark, sf_dir, "q63_late_order_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_round3_market_share_single_fact_pass(spark, sf_dir):
+    """q65: numerator and denominator come from ONE conditional
+    aggregate — the lineitem parquet must be scanned exactly once."""
+    plan = _plan(spark, sf_dir, "q65_market_share")
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_wave6_disjunctive_pushes_brand_filter_to_part_scan(spark, sf_dir):
+    """q70: Catalyst must derive the part-only residue of the OR
+    predicate and push it into the part scan (Q19's classic)."""
+    plan = _plan(spark, sf_dir, "q70_disjunctive_join_revenue")
+    flat = plan.replace("\n", " ")
+    import re
+
+    part_scan = re.search(r"FileScan parquet \[[^\]]*p_partkey[^\]]*\][^|]*", flat)
+    assert part_scan and "p_brand" in part_scan.group(0)
+    assert "CartesianProduct" not in plan
+
+
+def test_wave6_dormant_customers_anti_join(spark, sf_dir):
+    """q71: NOT IN on the recent-buyer set must plan as an anti hash
+    join, and the 1-row average must broadcast."""
+    plan = _plan(spark, sf_dir, "q71_dormant_rich_customers")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
