@@ -44,3 +44,4 @@ def load_all() -> None:
     from . import streaming_plans  # noqa: F401
     from . import round3  # noqa: F401
     from . import wave6  # noqa: F401
+    from . import wave7  # noqa: F401
