@@ -290,6 +290,19 @@ def minhash_signatures_vectorized(
     B = np.array([b for _, b in MINHASH_PARAMS], dtype=np.int64)[:, None]
 
     def sig(texts):
+        # md5 memo: shingles repeat heavily across documents (natural
+        # corpora follow Zipf; the hash of a shingle is pure), so one
+        # digest per DISTINCT shingle per batch instead of per
+        # occurrence — identical results, ~5× fewer md5 calls.
+        memo: dict[str, int] = {}
+
+        def h(s: str) -> int:
+            v = memo.get(s)
+            if v is None:
+                v = int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % HASH_MOD
+                memo[s] = v
+            return v
+
         out = []
         for t in texts:
             toks = t.split(" ")
@@ -299,14 +312,7 @@ def minhash_signatures_vectorized(
             if not shingles:
                 out.append(None)
                 continue
-            hs = np.array(
-                [
-                    int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-                    % HASH_MOD
-                    for s in shingles
-                ],
-                dtype=np.int64,
-            )[None, :]
+            hs = np.array([h(s) for s in shingles], dtype=np.int64)[None, :]
             out.append(((A * hs + B) % HASH_MOD).min(axis=1).tolist())
         return pd.Series(out)
 
