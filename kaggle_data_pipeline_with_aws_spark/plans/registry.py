@@ -45,3 +45,4 @@ def load_all() -> None:
     from . import round3  # noqa: F401
     from . import wave6  # noqa: F401
     from . import wave7  # noqa: F401
+    from . import wave8  # noqa: F401
