@@ -35,8 +35,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # in the registry has a green driver row in r1∪r2∪r3 — then the new
 # round-3 operators in the last slots. Rows-only twins (d15/d23, no
 # oracle possible by design) stay dead last so they never burn a slot.
-# The wave-6 queries (q67-q72, d74-d79, s07) sit just past the window
-# as the round-4 proof queue — all locally oracle-green at sf0.01.
+# The wave-6/7/8 queries (q67-q77, d74-d82, s07, s08) sit just past
+# the window as the round-4 proof queue — all locally oracle-green at
+# sf0.01. d07's signature build gained a per-batch md5 memo AFTER its
+# r2 proof (bit-identical by construction — pure-function caching —
+# and locally re-verified green); it re-proves first in round 4.
 _WINDOW_PRIORITY = [
     # re-prove after the NTZ fix
     "s04_click_view_attribution",

@@ -101,3 +101,53 @@ def running_user_stats(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """``running_user_stats`` on the new transformWithState API
+    (Spark 4.x): same output schema, same semantics, state held as a
+    typed named ValueState (RocksDB-capable) instead of the legacy
+    GroupState tuple blob. Supports multiple state variables, TTL and
+    timers; the applyInPandasWithState form above remains the portable
+    twin (the TWS Python worker needs protobuf at runtime, absent in
+    this sandbox — the equivalence test import-gates on it). The
+    StatefulProcessor subclass is declared inside the factory because
+    Spark type-checks the instance against the lazily-imported ABC."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Processor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState("stats", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._stats.exists():
+                n, vsum, last_us = self._stats.get()
+            else:
+                n, vsum, last_us = 0, 0.0, 0
+            for pdf in rows:
+                n += len(pdf)
+                vsum += float(pdf["value"].fillna(0.0).sum())
+                if len(pdf):
+                    last_us = max(last_us, int(pdf["ts"].max().value // 1_000))
+            self._stats.update((n, vsum, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "value_sum": [vsum],
+                    "last_ts": [pd.Timestamp(last_us, unit="us")],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Processor(),
+        outputStructType=RUNNING_STATS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -429,3 +429,44 @@ def test_trending_topk_stream_vs_batch_rocksdb(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_running_user_stats_transform_with_state(spark, tmp_path):
+    """The Spark-4 transformWithStateInPandas twin reaches the same
+    per-user totals as the batch aggregate and the legacy
+    applyInPandasWithState operator."""
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    # the TWS Python worker speaks protobuf to the JVM; without it the
+    # worker crashes at runtime (this sandbox ships no protobuf)
+    pytest.importorskip("google.protobuf.descriptor")
+    from kaggle_data_pipeline_with_aws_spark.streaming.stateful import (
+        running_user_stats_tws,
+    )
+
+    src = str(tmp_path / "events")
+    _write_events(src, _event_rows(120))
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .json(src)
+        .selectExpr("user_id", "event_time AS ts", "value")
+    )
+    q = run_stream_to_memory(running_user_stats_tws(stream), "tws_stats")
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT user_id, max_by(n_events, n_events) AS n_events,"
+        " max_by(value_sum, n_events) AS value_sum FROM tws_stats"
+        " GROUP BY user_id"
+    ).collect()
+    got = {r.user_id: (r.n_events, round(r.value_sum, 6)) for r in rows}
+    batch = (
+        spark.read.schema(EVENT_SCHEMA)
+        .json(src)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("s"),
+        )
+        .collect()
+    )
+    expected = {r.user_id: (r.n, round(r.s, 6)) for r in batch}
+    assert got == expected
