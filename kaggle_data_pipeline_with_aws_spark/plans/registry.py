@@ -46,3 +46,4 @@ def load_all() -> None:
     from . import wave6  # noqa: F401
     from . import wave7  # noqa: F401
     from . import wave8  # noqa: F401
+    from . import wave9  # noqa: F401
