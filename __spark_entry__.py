@@ -37,9 +37,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle possible by design) stay dead last so they never burn a slot.
 # The wave-6/7/8 queries (q67-q77, d74-d82, s07, s08) sit just past
 # the window as the round-4 proof queue — all locally oracle-green at
-# sf0.01. d07's signature build gained a per-batch md5 memo AFTER its
-# r2 proof (bit-identical by construction — pure-function caching —
-# and locally re-verified green); it re-proves first in round 4.
+# sf0.01. Two r1/r2-proven queries changed implementation AFTER their
+# proofs and re-prove first in round 4: d07 (per-batch md5 memo,
+# bit-identical pure-function caching) and d06 (PPJoin prefix-filter
+# rewrite of the formerly quadratic inverted-index self-join —
+# provably same output, and the 10x stress run that motivated it is
+# recorded in BENCH_SCALING.md). Both locally re-verified green.
 _WINDOW_PRIORITY = [
     # re-prove after the NTZ fix
     "s04_click_view_attribution",

@@ -153,22 +153,93 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_shingle_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Candidate pairs with shingle-Jaccard ≥ threshold.
+    """Candidate pairs with shingle-Jaccard ≥ threshold — EXACT, via
+    prefix filtering (the SSJoin/PPJoin bound: under a global shingle
+    order, two sets with J ≥ t must collide within their first
+    |x| − ⌈t·|x|⌉ + 1 shingles; ordering by ascending global frequency
+    makes those prefixes the RAREST shingles).
 
-    Plan: shingle explode → self-join on shingle (docs sharing nothing
-    never meet) → count intersections → join per-doc shingle counts
-    (broadcastable aggregate) → |A∩B| / (|A|+|B|−|A∩B|).
+    The naive form — self-join the full inverted index on shingle —
+    emits f² pair rows for every shingle of frequency f, which on a
+    dup-heavy corpus is quadratic in the hottest posting list (it
+    OOM'd a 10× local run; at 100 TB it is unrunnable). Here only
+    prefix shingles generate candidates, and the full posting lists
+    are touched again only to VERIFY the (near-dup-sized) candidate
+    list, via two equi-joins keyed on (doc_id) and (shingle, doc_id).
+    Output is provably identical to the naive plan for the given
+    threshold.
     """
     sh = shingle_table(df, text_col, n, max_shingle_doc_freq).cache()
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_id_1"),
-            F.col("b.doc_id").alias("doc_id_2"),
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("__f"))
+    rk_w = Window.partitionBy("doc_id").orderBy(
+        F.col("__f").asc(), F.col("shingle").asc()
+    )
+    prefix = (
+        sh.join(freq, "shingle")
+        .join(counts, "doc_id")
+        .withColumn("__rk", F.row_number().over(rk_w))
+        .filter(
+            F.col("__rk")
+            <= F.col("n_shingles")
+            - F.ceil(F.lit(threshold) * F.col("n_shingles"))
+            + 1
         )
+        .select("doc_id", "shingle", "__rk", "n_shingles")
+    )
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_id_1"),
+        F.col("shingle").alias("__s"),
+        F.col("__rk").alias("__rk1"),
+        F.col("n_shingles").alias("__n1"),
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_id_2"),
+        F.col("shingle").alias("__s"),
+        F.col("__rk").alias("__rk2"),
+        F.col("n_shingles").alias("__n2"),
+    )
+    # PPJoin residuals on the prefix collision (all exactness-
+    # preserving for J ≥ t): length filter (t·|x| ≤ |y| ≤ |x|/t) and
+    # positional filter (the overlap still reachable after this
+    # prefix position must meet the equivalent-overlap bound
+    # α = ⌈t/(1+t)·(|x|+|y|)⌉).
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("__n1") + F.col("__n2"))
+    )
+    candidates = (
+        pa.join(pb, "__s")
+        .filter(
+            (F.col("doc_id_1") < F.col("doc_id_2"))
+            & (F.col("__n2") >= F.ceil(F.lit(threshold) * F.col("__n1")))
+            & (F.col("__n1") >= F.ceil(F.lit(threshold) * F.col("__n2")))
+            & (
+                F.least(
+                    F.col("__n1") - F.col("__rk1"),
+                    F.col("__n2") - F.col("__rk2"),
+                )
+                + 1
+                >= alpha
+            )
+        )
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+    # shuffle_hash hints: the exploded posting lists are data-sized,
+    # but Catalyst's plan-time row estimate for explode() output is
+    # the INPUT table's, so without the hint it happily tries to
+    # broadcast millions of shingle rows and dies building the hash
+    # relation. (AQE can't save a broadcast chosen at planning.)
+    sh_a = sh.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("shingle").alias("__sh")
+    ).hint("shuffle_hash")
+    sh_b = sh.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("shingle").alias("__sh")
+    ).hint("shuffle_hash")
+    inter = (
+        candidates.join(sh_a, "doc_id_1")
+        .join(sh_b, ["doc_id_2", "__sh"])
+        .groupBy("doc_id_1", "doc_id_2")
         .agg(F.count("*").alias("n_common"))
     )
     ca = counts.select(

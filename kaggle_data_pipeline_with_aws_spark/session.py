@@ -56,6 +56,15 @@ def get_spark(
     # cluster sets spark.master itself).
     if not os.environ.get("SPARK_MASTER") and "spark.master" not in os.environ:
         builder = builder.master(f"local[{cpus}]")
+        # In local mode the driver JVM IS every executor; Spark's 1g
+        # default starves 32 concurrent tasks (hash joins died with
+        # GCLocker retries on a 10x dataset while the machine sat at
+        # 1% memory use). Cluster runs are untouched: spark-submit
+        # owns driver/executor memory there.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
