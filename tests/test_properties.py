@@ -156,3 +156,52 @@ def test_ewma_stays_within_window_bounds(spark_session, values):
     for i in range(len(values)):
         window = values[max(0, i - 4) : i + 1]
         assert min(window) - 1e-6 <= out[i] <= max(window) + 1e-6, (i, window, out[i])
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=3, max_size=12).map(
+            lambda s: " ".join(s)  # spaces between chars → tokens
+        ),
+        min_size=2,
+        max_size=14,
+    ),
+    st.sampled_from([0.5, 0.7, 0.8, 0.9]),
+)
+@settings(max_examples=20, deadline=None)
+def test_ppjoin_jaccard_is_exact(spark_session, texts, threshold):
+    """The prefix-filtered (PPJoin) ngram_jaccard_pairs must return
+    EXACTLY the brute-force all-pairs answer for every threshold —
+    the length/positional/prefix filters may only prune candidates
+    that cannot reach the threshold."""
+    from kaggle_data_pipeline_with_aws_spark.operators import dedup
+
+    df = spark_session.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    got = {
+        (r["doc_id_1"], r["doc_id_2"]): (r["n_common"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(df, threshold=threshold).collect()
+    }
+
+    def shingles(t: str) -> set:
+        toks = t.split(" ")
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    expected = {}
+    for i, a in enumerate(texts):
+        for j, b in enumerate(texts):
+            if i >= j:
+                continue
+            sa, sb = shingles(a), shingles(b)
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            jac = round(inter / (len(sa) + len(sb) - inter), 6)
+            if jac >= threshold:
+                expected[(i, j)] = (inter, jac)
+    assert got == expected
