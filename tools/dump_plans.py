@@ -185,6 +185,16 @@ SHOWCASE: list[tuple[str, str]] = [
         " argmax), and the update shuffle carries only (cell, dim) mean"
         " accumulators — 1,024 rows, regardless of corpus size.",
     ),
+    (
+        "d06_ngram_jaccard",
+        "EXACT set-similarity join via PPJoin prefix filtering:"
+        " candidates come only from each doc's rarest"
+        " |x|-ceil(t|x|)+1 shingles with length+positional residuals,"
+        " and the full posting lists reappear only to verify the"
+        " near-dup-sized candidate list (shuffle_hash-hinted equi-"
+        " joins). The naive inverted-index self-join this replaces is"
+        " quadratic in the hottest posting list.",
+    ),
 ]
 
 
