@@ -60,6 +60,19 @@ def _content_hash(col: Column, portable: bool) -> Column:
     return portable_hash(col) if portable else F.xxhash64(col)
 
 
+def _int_ceil(x: Column) -> Column:
+    """``ceil`` for the PPJoin pruning bounds, guarded against the
+    1-ulp float edge: ``0.8 * 35`` evaluates to ``28.000000000000004``
+    in binary doubles, and a bare ``ceil`` would round that to 29 —
+    tightening the bound by 1 and pruning a pair whose true similarity
+    sits exactly on the threshold (a false negative the verify stage
+    never sees). Subtracting 1e-9 cancels that error; when the product
+    is genuinely fractional it can only LOOSEN the bound by at most 1
+    (an extra candidate the exact verify stage then discards), so
+    exactness is preserved in both directions."""
+    return F.ceil(x - F.lit(1e-9))
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -182,7 +195,7 @@ def ngram_jaccard_pairs(
         .filter(
             F.col("__rk")
             <= F.col("n_shingles")
-            - F.ceil(F.lit(threshold) * F.col("n_shingles"))
+            - _int_ceil(F.lit(threshold) * F.col("n_shingles"))
             + 1
         )
         .select("doc_id", "shingle", "__rk", "n_shingles")
@@ -204,15 +217,15 @@ def ngram_jaccard_pairs(
     # positional filter (the overlap still reachable after this
     # prefix position must meet the equivalent-overlap bound
     # α = ⌈t/(1+t)·(|x|+|y|)⌉).
-    alpha = F.ceil(
+    alpha = _int_ceil(
         F.lit(threshold / (1.0 + threshold)) * (F.col("__n1") + F.col("__n2"))
     )
     candidates = (
         pa.join(pb, "__s")
         .filter(
             (F.col("doc_id_1") < F.col("doc_id_2"))
-            & (F.col("__n2") >= F.ceil(F.lit(threshold) * F.col("__n1")))
-            & (F.col("__n1") >= F.ceil(F.lit(threshold) * F.col("__n2")))
+            & (F.col("__n2") >= _int_ceil(F.lit(threshold) * F.col("__n1")))
+            & (F.col("__n1") >= _int_ceil(F.lit(threshold) * F.col("__n2")))
             & (
                 F.least(
                     F.col("__n1") - F.col("__rk1"),
@@ -276,25 +289,91 @@ def shingle_containment_pairs(
 
     Jaccard misses sub-document duplication — a paragraph pasted into a
     much larger page scores low Jaccard but containment ≈ 1. This is
-    the standard asymmetric complement for curation dedup. Same
-    candidate-bounding self-join on shared shingles as
-    ``ngram_jaccard_pairs``; only the normalizer changes (the contained
-    side's own shingle count, broadcast back).
+    the standard asymmetric complement for curation dedup.
+
+    EXACT via the asymmetric PPJoin prefix bound (the same machinery as
+    ``ngram_jaccard_pairs``, adapted to containment): for
+    |A∩B|/|A| ≥ t the contained side needs overlap ≥ ⌈t·|A|⌉, so under
+    a global rarest-first shingle order at least one of A's first
+    |A| − ⌈t·|A|⌉ + 1 shingles must appear in B (pigeonhole). Only that
+    prefix of the CONTAINED side generates candidates — joined against
+    the FULL posting list of the container side (containment puts no
+    upper bound on |B|, so the container side cannot be prefixed) —
+    then two exactness-preserving residuals prune the collision:
+    a length filter (|B| ≥ ⌈t·|A|⌉ — the container must hold at least
+    the required overlap) and a positional filter (at the first common
+    shingle, ranked rk1 in A and rk2 in B, the reachable overlap is
+    1 + min(|A|−rk1, |B|−rk2) — both docs' ranks follow the one global
+    order, so every other common shingle sits strictly later in BOTH).
+    The naive inverted-index self-join emits f² pair rows per shingle
+    of document-frequency f (the exact shape that OOM'd d06's 10× run
+    before its PPJoin rewrite); here hot shingles almost never land in
+    a prefix, and the full lists are touched again only to VERIFY the
+    (near-dup-sized) candidate list. Output is provably identical to
+    the naive plan.
     """
     sh = shingle_table(df, text_col, n, max_shingle_doc_freq).cache()
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("__f"))
+    rk_w = Window.partitionBy("doc_id").orderBy(
+        F.col("__f").asc(), F.col("shingle").asc()
+    )
+    ranked = (
+        sh.join(freq, "shingle")
+        .join(counts, "doc_id")
+        .withColumn("__rk", F.row_number().over(rk_w))
+        .select("doc_id", "shingle", "__rk", "n_shingles")
+    )
+    req = _int_ceil(F.lit(threshold) * F.col("__n1"))  # overlap ≥ ⌈t·|A|⌉
+    pa = ranked.filter(
+        F.col("__rk")
+        <= F.col("n_shingles")
+        - _int_ceil(F.lit(threshold) * F.col("n_shingles"))
+        + 1
+    ).select(
+        F.col("doc_id").alias("contained_id"),
+        F.col("shingle").alias("__s"),
+        F.col("__rk").alias("__rk1"),
+        F.col("n_shingles").alias("__n1"),
+    )
+    pb = ranked.select(
+        F.col("doc_id").alias("container_id"),
+        F.col("shingle").alias("__s"),
+        F.col("__rk").alias("__rk2"),
+        F.col("n_shingles").alias("__n2"),
+    ).hint("shuffle_hash")  # full posting list: never broadcast-sized
+    candidates = (
+        pa.join(pb, "__s")
+        .filter(
+            (F.col("contained_id") != F.col("container_id"))
+            & (F.col("__n2") >= req)
+            & (
+                F.least(
+                    F.col("__n1") - F.col("__rk1"),
+                    F.col("__n2") - F.col("__rk2"),
+                )
+                + 1
+                >= req
+            )
+        )
+        .select("contained_id", "container_id")
+        .distinct()
+    )
+    # Verify stage: exact intersection counts for the candidate pairs
+    # only. shuffle_hash hints for the same reason as in
+    # ngram_jaccard_pairs — Catalyst's row estimate for explode output
+    # is the input table's, so it would otherwise try to broadcast the
+    # full shingle table and die building the hash relation.
+    sh_a = sh.select(
+        F.col("doc_id").alias("contained_id"), F.col("shingle").alias("__sh")
+    ).hint("shuffle_hash")
+    sh_b = sh.select(
+        F.col("doc_id").alias("container_id"), F.col("shingle").alias("__sh")
+    ).hint("shuffle_hash")
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("contained_id"),
-            F.col("b.doc_id").alias("container_id"),
-        )
+        candidates.join(sh_a, "contained_id")
+        .join(sh_b, ["container_id", "__sh"])
+        .groupBy("contained_id", "container_id")
         .agg(F.count("*").alias("n_common"))
     )
     ca = counts.select(

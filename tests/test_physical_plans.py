@@ -285,3 +285,17 @@ def test_wave6_dormant_customers_anti_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q71_dormant_rich_customers")
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_containment_is_prefix_filtered_not_raw_selfjoin(spark, sf_dir):
+    """d42: candidate generation must be the PPJoin containment bound —
+    a rarest-first row_number ranking window feeding a prefix×full
+    ShuffledHashJoin — never the raw posting-list self-join (which
+    emits f² pair rows per shingle of document-frequency f, the shape
+    that OOM'd d06's 10× run before its own PPJoin rewrite)."""
+    plan = _plan(spark, sf_dir, "d42_shingle_containment")
+    assert "row_number" in plan  # the global rarest-first ranking
+    # candidate join + two verify joins, all hinted off broadcast
+    assert plan.count("ShuffledHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -205,3 +205,53 @@ def test_ppjoin_jaccard_is_exact(spark_session, texts, threshold):
             if jac >= threshold:
                 expected[(i, j)] = (inter, jac)
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=3, max_size=12).map(
+            lambda s: " ".join(s)
+        ),
+        min_size=2,
+        max_size=14,
+    ),
+    st.sampled_from([0.5, 0.7, 0.9, 1.0]),
+)
+@settings(max_examples=20, deadline=None)
+def test_ppjoin_containment_is_exact(spark_session, texts, threshold):
+    """The asymmetric-PPJoin shingle_containment_pairs must return
+    EXACTLY the brute-force all-ordered-pairs answer for every
+    threshold — the contained-side prefix, the container length filter,
+    and the positional filter may only prune pairs that cannot reach
+    the containment threshold."""
+    from kaggle_data_pipeline_with_aws_spark.operators import dedup
+
+    df = spark_session.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    got = {
+        (r["contained_id"], r["container_id"]): (r["n_common"], r["containment"])
+        for r in dedup.shingle_containment_pairs(
+            df, threshold=threshold
+        ).collect()
+    }
+
+    def shingles(t: str) -> set:
+        toks = t.split(" ")
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    expected = {}
+    for i, a in enumerate(texts):
+        for j, b in enumerate(texts):
+            if i == j:
+                continue
+            sa, sb = shingles(a), shingles(b)
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            cont = round(inter / len(sa), 6)
+            if cont >= threshold:
+                expected[(i, j)] = (inter, cont)
+    assert got == expected
