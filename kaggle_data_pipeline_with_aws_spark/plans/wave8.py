@@ -227,12 +227,23 @@ def q77_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d82_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """d33's unigram scores → global deciles (ntile over the ROUNDED
-    score with doc_id tiebreak, so bucket edges are engine-stable) →
-    per-decile profile. The ntile windows the doc-sized score table;
-    everything upstream is d33's broadcast-model plan. Downstream,
-    mixture rebalancing (d60) consumes exactly these buckets."""
+    """d33's unigram scores → global deciles (over the ROUNDED score
+    with doc_id tiebreak, so bucket edges are engine-stable) →
+    per-decile profile. Everything upstream is d33's broadcast-model
+    plan. Downstream, mixture rebalancing (d60) consumes exactly these
+    buckets.
+
+    Scale shape: a bare ``ntile(10) OVER (ORDER BY ...)`` pulls every
+    per-doc score through ONE task (and unlike a ranked top-k filter it
+    gets no WindowGroupLimit rescue) — fatal at billions of docs. The
+    decile is instead derived from ``contiguous_row_number``'s
+    quantile-bucket prefix-sum global rank (operators/renumber.py — the
+    only full-row shuffle is quantile-balanced) plus SQL ntile's exact
+    closed form over (rank, n): the first ``n mod 10`` buckets take
+    ``n div 10 + 1`` rows, the rest ``n div 10`` — bit-identical to the
+    oracle's ``ntile(10)`` at every n."""
     from ..operators import text as text_ops
+    from ..operators.renumber import contiguous_row_number
 
     d = _t(spark, sf_dir, "documents")
     tok = d.select(
@@ -251,8 +262,33 @@ def d82_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w = Window.orderBy(F.round(F.col("lp"), 6).asc(), F.col("doc_id").asc())
-    binned = scored.withColumn("decile", F.ntile(10).over(w).cast("int"))
+    ranked = contiguous_row_number(
+        scored,
+        [F.round(F.col("lp"), 6), F.col("doc_id")],
+        out_col="__rank",
+    )
+    n_docs = scored.agg(F.count("*").alias("__n"))
+    base = F.col("__n") - (F.col("__n") % 10)  # 10 * (n div 10)
+    big = F.col("__n") % 10  # buckets 1..big hold (n div 10)+1 rows
+    cut = big * (base / 10 + 1)  # ranks covered by the big buckets
+    binned = (
+        ranked.crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "decile",
+            F.when(
+                F.col("__n") < 10, F.col("__rank")  # 1-row buckets
+            )
+            .when(
+                F.col("__rank") <= cut,
+                F.ceil(F.col("__rank") / (base / 10 + 1)),
+            )
+            .otherwise(
+                big + F.ceil((F.col("__rank") - cut) / (base / 10))
+            )
+            .cast("int"),
+        )
+        .drop("__rank", "__n")
+    )
     return binned.groupBy("decile").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.round(F.avg("lp"), 6).alias("avg_logprob"),

@@ -299,3 +299,15 @@ def test_containment_is_prefix_filtered_not_raw_selfjoin(spark, sf_dir):
     assert plan.count("ShuffledHashJoin") >= 3
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_d82_deciles_stay_distributed(spark, sf_dir):
+    """d82: the global decile must come from the quantile-bucket
+    prefix-sum rank, never ``ntile() OVER (ORDER BY ...)`` — the only
+    SinglePartition window allowed is the bucket-count-sized offset
+    prefix sum, and the per-doc rows must window per literal bucket."""
+    df = QUERIES["d82_perplexity_buckets"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan
+    assert "hashpartitioning(__bucket" in plan

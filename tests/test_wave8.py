@@ -93,3 +93,51 @@ def test_d82_deciles_partition_the_corpus_evenly(spark):
     by_decile = sorted(rows, key=lambda r: r["decile"])
     lps = [r["avg_logprob"] for r in by_decile]
     assert lps == sorted(lps)
+
+
+def test_d82_decile_formula_matches_ntile_at_uneven_n(spark, monkeypatch):
+    """The prefix-sum decile must reproduce SQL ntile(10) EXACTLY when
+    10 does not divide n (ntile gives the first n mod 10 buckets one
+    extra row — a plain ceil(rank*10/n) would distribute the remainder
+    differently)."""
+    from pyspark.sql import Window
+
+    from kaggle_data_pipeline_with_aws_spark.plans import wave8
+
+    for n in (13, 27, 10, 9, 101):
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{j}" for j in range(i % 7 + 3))) for i in range(n)],
+            "doc_id LONG, text STRING",
+        )
+        monkeypatch.setattr(wave8, "_t", lambda s, d, name: docs)
+        got = {
+            r["decile"]: r["n_docs"]
+            for r in wave8.d82_perplexity_buckets(spark, "ignored").collect()
+        }
+        # reference: Spark's own ntile over the identical ordering,
+        # recomputed from the same scoring pipeline
+        from kaggle_data_pipeline_with_aws_spark.operators import text as text_ops
+
+        tok = docs.select(
+            "doc_id", F.explode(text_ops.tokens("text")).alias("term")
+        ).filter(F.col("term") != "")
+        counts = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+        total = tok.agg(F.count("*").alias("total"))
+        scored = (
+            tok.join(F.broadcast(counts), "term")
+            .crossJoin(F.broadcast(total))
+            .groupBy("doc_id")
+            .agg(
+                F.avg(
+                    F.log2(F.col("cnt").cast("double") / F.col("total"))
+                ).alias("lp")
+            )
+        )
+        w = Window.orderBy(F.round(F.col("lp"), 6).asc(), F.col("doc_id").asc())
+        expected_rows = scored.withColumn(
+            "decile", F.ntile(10).over(w).cast("int")
+        ).collect()
+        expected: dict[int, int] = {}
+        for r in expected_rows:
+            expected[r["decile"]] = expected.get(r["decile"], 0) + 1
+        assert got == expected, f"n={n}"
