@@ -26,6 +26,24 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _local_driver_mem_default() -> str:
+    """min(32g, ~70% of physical RAM), in whole GiB (floor 1g).
+
+    A fixed 32g default would let the JVM grow past physical memory on
+    a smaller box and get OS-OOM-killed mid-task; deriving from
+    MemTotal keeps the large-heap benefit where the RAM exists and
+    degrades gracefully where it doesn't."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(1, min(32, int(total_gib * 0.7)))}g"
+    except OSError:
+        pass
+    return "4g"  # /proc unavailable (non-Linux): conservative
+
+
 def get_spark(
     app_name: str = "kaggle_data_pipeline_with_aws_spark",
     shuffle_partitions: int | None = None,
@@ -63,7 +81,9 @@ def get_spark(
         # owns driver/executor memory there.
         builder = builder.config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", _local_driver_mem_default()
+            ),
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

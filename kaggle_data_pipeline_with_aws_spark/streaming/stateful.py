@@ -47,6 +47,36 @@ _STATE_SCHEMA = StructType(
 )
 
 
+def _fold_batches(
+    state_tuple: tuple, batch_iter: Iterable[pd.DataFrame]
+) -> tuple:
+    """The shared aggregation fold both stateful APIs apply: add each
+    Arrow batch's (count, value sum, max ts) into the running
+    (n, vsum, last_us) tuple. One definition so the legacy
+    applyInPandasWithState operator and its transformWithState twin
+    cannot drift while the TWS test is environment-gated."""
+    n, vsum, last_us = state_tuple
+    for pdf in batch_iter:
+        n += len(pdf)
+        vsum += float(pdf["value"].fillna(0.0).sum())
+        if len(pdf):
+            last_us = max(last_us, int(pdf["ts"].max().value // 1_000))
+    return n, vsum, last_us
+
+
+def _output_row(key: tuple, state_tuple: tuple) -> pd.DataFrame:
+    """The shared one-row output frame (RUNNING_STATS_SCHEMA shape)."""
+    n, vsum, last_us = state_tuple
+    return pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "value_sum": [vsum],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+        }
+    )
+
+
 def _make_update_fn(idle_timeout_ms: int | None):
     def _update_user_stats(
         key: tuple, batch_iter: Iterable[pd.DataFrame], state: GroupState
@@ -54,23 +84,13 @@ def _make_update_fn(idle_timeout_ms: int | None):
         if state.hasTimedOut:
             state.remove()
             return
-        n, vsum, last_us = state.get if state.exists else (0, 0.0, 0)
-        for pdf in batch_iter:
-            n += len(pdf)
-            vsum += float(pdf["value"].fillna(0.0).sum())
-            if len(pdf):
-                last_us = max(last_us, int(pdf["ts"].max().value // 1_000))
-        state.update((n, vsum, last_us))
+        folded = _fold_batches(
+            state.get if state.exists else (0, 0.0, 0), batch_iter
+        )
+        state.update(folded)
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [n],
-                "value_sum": [vsum],
-                "last_ts": [pd.Timestamp(last_us, unit="us")],
-            }
-        )
+        yield _output_row(key, folded)
 
     return _update_user_stats
 
@@ -108,11 +128,15 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
     (Spark 4.x): same output schema, same semantics, state held as a
     typed named ValueState (RocksDB-capable) instead of the legacy
     GroupState tuple blob. Supports multiple state variables, TTL and
-    timers; the applyInPandasWithState form above remains the portable
-    twin (the TWS Python worker needs protobuf at runtime, absent in
-    this sandbox — the equivalence test import-gates on it). The
-    StatefulProcessor subclass is declared inside the factory because
-    Spark type-checks the instance against the lazily-imported ABC."""
+    timers — but NOT the legacy form's idle-timeout parameter: expiry
+    here would use named timers (``handle.registerTimer``), which this
+    twin deliberately omits to stay a minimal semantic mirror. Both
+    operators share ``_fold_batches`` / ``_output_row``, so the
+    aggregation cannot drift while the TWS equivalence test is
+    environment-gated (the TWS Python worker needs protobuf at
+    runtime, absent in this sandbox). The StatefulProcessor subclass
+    is declared inside the factory because Spark type-checks the
+    instance against the lazily-imported ABC."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -123,24 +147,12 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
             self._stats = handle.getValueState("stats", _STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timerValues):
-            if self._stats.exists():
-                n, vsum, last_us = self._stats.get()
-            else:
-                n, vsum, last_us = 0, 0.0, 0
-            for pdf in rows:
-                n += len(pdf)
-                vsum += float(pdf["value"].fillna(0.0).sum())
-                if len(pdf):
-                    last_us = max(last_us, int(pdf["ts"].max().value // 1_000))
-            self._stats.update((n, vsum, last_us))
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "n_events": [n],
-                    "value_sum": [vsum],
-                    "last_ts": [pd.Timestamp(last_us, unit="us")],
-                }
+            folded = _fold_batches(
+                self._stats.get() if self._stats.exists() else (0, 0.0, 0),
+                rows,
             )
+            self._stats.update(folded)
+            yield _output_row(key, folded)
 
         def close(self) -> None:
             pass
