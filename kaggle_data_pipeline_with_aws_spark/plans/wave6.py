@@ -649,9 +649,10 @@ def d79_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s07_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """What the stateful stream's per-key state converges to after the
     backlog drains: the batch face is one partial-agg'd groupBy, and
-    tests/test_streaming.py::test_running_user_stats_stateful proves
-    the applyInPandasWithState operator (streaming/stateful.py:78)
-    reaches the same totals via the state store."""
+    tests/test_streaming.py::test_s07_registered_face_stream_vs_batch
+    proves the applyInPandasWithState operator (streaming/stateful.py)
+    reaches the same totals via the state store — against THIS
+    registered plan, multi-micro-batch, on the driver testdata."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
         F.count("*").cast("long").alias("n_events"),

@@ -470,3 +470,53 @@ def test_running_user_stats_transform_with_state(spark, tmp_path):
     )
     expected = {r.user_id: (r.n, round(r.s, 6)) for r in batch}
     assert got == expected
+
+
+def test_s07_registered_face_stream_vs_batch(spark, tmp_path):
+    """The REGISTERED s07 batch face (plans/wave6.py) equals the
+    converged applyInPandasWithState state over the same events table —
+    the equivalence is proven on the exact registry plan, not a
+    hand-rolled twin aggregate. maxFilesPerTrigger=1 forces multiple
+    micro-batches so per-key state genuinely accumulates across
+    batches through the state store."""
+    from kaggle_data_pipeline_with_aws_spark.plans.registry import (
+        QUERIES,
+        load_all,
+    )
+    from kaggle_data_pipeline_with_aws_spark.sources.readers import load_table
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "events_pq")
+    (
+        load_table(spark, sf, "events")
+        .select("user_id", "ts", "value")
+        .repartition(4)
+        .write.parquet(src)
+    )
+    stream = (
+        spark.readStream.schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        running_user_stats(stream), "s07_state", output_mode="update"
+    )
+    q.awaitTermination()
+    conv = spark.sql(
+        """
+        SELECT user_id, max(n_events) AS n_events,
+               round(max_by(value_sum, n_events), 6) AS value_sum,
+               max_by(last_ts, n_events) AS last_ts
+        FROM s07_state GROUP BY user_id
+        """
+    )
+    got = {
+        r.user_id: (r.n_events, r.value_sum, r.last_ts)
+        for r in conv.collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.value_sum, r.last_ts)
+        for r in QUERIES["s07_running_user_totals"](spark, sf).collect()
+    }
+    assert got == want
