@@ -18,6 +18,11 @@ registry.load_all()
 
 SF0001 = "/root/testdata/sf0.001"
 
+# Extra bench-headline ops (bench.py appends these to HEADLINE): the
+# exact set-similarity PPJoins — the repo's biggest plan-level perf
+# work — so BENCH_r{N}.json carries their time series going forward.
+BENCH_EXTRA = ["d06_ngram_jaccard", "d42_shingle_containment"]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (pricing summary over lineitem) on sf0.001."""

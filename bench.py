@@ -89,7 +89,12 @@ def main() -> None:
                 timings[name] = elapsed
             print(f"# {name}: {elapsed}s ({n} rows)", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    # headline_total covers the STABLE headline set only, so the
+    # round-over-round series stays comparable; BENCH_EXTRA queries are
+    # timed in "queries" (and summed in "extras_total") without
+    # inflating the headline metric the rounds are judged on.
+    total = round(sum(v for k, v in timings.items() if k in HEADLINE), 3)
+    extras = round(sum(v for k, v in timings.items() if k not in HEADLINE), 3)
     print(
         json.dumps(
             {
@@ -97,6 +102,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extras_total": extras,
                 "sf": sf,
             }
         )
