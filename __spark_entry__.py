@@ -34,74 +34,53 @@ def entry(spark: SparkSession) -> DataFrame:
 # files are cumulative proof, so each round the window holds (a) queries
 # whose implementation or oracle changed since the last check — they
 # must re-prove — and (b) as many never-driver-checked oracle-backed
-# queries as fit. Round-3 window: s04/s05 re-prove the NTZ epoch_micros
-# fix (the sole r2 failures), then ALL 36 remaining never-checked
-# oracle-backed queries — after this window every oracle-backed query
-# in the registry has a green driver row in r1∪r2∪r3 — then the new
-# round-3 operators in the last slots. Rows-only twins (d15/d23, no
-# oracle possible by design) stay dead last so they never burn a slot.
-# The wave-6/7/8 queries (q67-q77, d74-d82, s07, s08) sit just past
-# the window as the round-4 proof queue — all locally oracle-green at
-# sf0.01. Two r1/r2-proven queries changed implementation AFTER their
-# proofs and re-prove first in round 4: d07 (per-batch md5 memo,
-# bit-identical pure-function caching) and d06 (PPJoin prefix-filter
-# rewrite of the formerly quadratic inverted-index self-join —
-# provably same output, and the 10x stress run that motivated it is
-# recorded in BENCH_SCALING.md). Both locally re-verified green.
+# queries as fit. Round-4 window: the impl-changed re-proofs FIRST —
+# d07 (per-batch md5 memo, r2-proven then changed), d06 (PPJoin
+# prefix-filter rewrite + this round's float-ulp ceil guard), d42
+# (this round's asymmetric-PPJoin containment rewrite of the last
+# quadratic self-join) — then the 28 wave-6–9 queries added after the
+# round-3 window sealed (all locally oracle-green at sf0.01; d82 also
+# carries this round's prefix-sum decile rewrite), then the new
+# round-4 wave-10 operators in the remaining slots. Rows-only twins
+# (d15/d23, no oracle possible by design) stay dead last so they
+# never burn a slot.
 _WINDOW_PRIORITY = [
-    # re-prove after the NTZ fix
-    "s04_click_view_attribution",
-    "s05_unattributed_clicks",
-    # first-time driver checks — the entire remaining proof debt
-    "d21_dedup_keep_first",
-    "d25_repetition_ratio",
-    "d32_char_entropy",
-    "d35_source_mixing",
-    "d36_lang_vocab_overlap",
-    "d37_prefix_containment",
-    "d38_embedding_diversity",
-    "d39_embedding_quantize",
-    "d43_fuzzy_prefix_match",
-    "d44_bigram_logprob",
-    "d45_label_medoids",
-    "d48_daily_distinct_kmv",
-    "d53_translation_candidates",
-    "d55_canonical_docs",
-    "d56_doc_packing",
-    "d57_token_budget_sample",
-    "d58_duplicated_spans",
-    "d59_ann_recall",
-    "d60_mixture_rebalance",
-    "d61_lsh_estimate_error",
-    "d62_knn_graph",
-    "d63_knn_triangles",
-    "d64_label_vote",
-    "d65_bloom_membership",
-    "d66_sorted_neighborhood",
-    "d67_cross_source_leakage",
-    "q38_supplier_revenue_rank",
-    "q44_churned_customers",
-    "q45_winsorize_lengths",
-    "q46_ewma_values",
-    "q52_pareto_orders",
-    "q57_bm25_search",
-    "q58_concurrent_intervals",
-    "q59_argmax_per_group",
-    "q60_snapshot_reconcile",
-    "s06_trending_topk",
-    # new round-3 operators (first-time checks) — fills the window to 50
-    "q61_min_cost_supplier",
-    "q62_shipping_priority",
-    "q63_late_order_priority",
-    "q64_local_supplier_volume",
-    "q65_market_share",
-    "q66_waiting_suppliers",
-    "d68_per_group_exact_sample",
-    "d69_edit_distance_linkage",
-    "d70_association_rules",
-    "d71_kmv_set_ops",
-    "d72_kmeans_lloyd_step",
-    "d73_random_projection",
+    # re-proofs: implementation changed after an earlier green row
+    "d07_minhash_lsh",
+    "d06_ngram_jaccard",
+    "d42_shingle_containment",
+    # wave 6 (first-time driver checks)
+    "q67_nation_trade_matrix",
+    "q68_returned_items",
+    "q69_large_volume_customers",
+    "q70_disjunctive_join_revenue",
+    "q71_dormant_rich_customers",
+    "q72_event_transition_matrix",
+    "d74_bpe_merge_candidates",
+    "d75_langid_confusion",
+    "d76_cluster_size_histogram",
+    "d77_stopword_discovery",
+    "d78_neyman_allocation",
+    "d79_blocklist_screen",
+    "s07_running_user_totals",
+    # wave 7
+    "q73_value_trend_per_type",
+    "q74_scd2_user_state",
+    "s08_late_event_audit",
+    "d80_similarity_histogram",
+    "d81_column_profile",
+    # wave 8 (d82 re-proves its prefix-sum decile rewrite)
+    "q75_event_sequence_detection",
+    "q76_cumulative_unique_users",
+    "q77_join_skew_audit",
+    "d82_perplexity_buckets",
+    # wave 9
+    "q78_mom_revenue_growth",
+    "q79_copurchase_pairs",
+    "d83_dedup_survivorship",
+    "d84_shard_assignment",
+    "d85_translation_length_filter",
+    "s09_event_rate_anomaly",
 ]
 
 
