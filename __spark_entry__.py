@@ -81,6 +81,19 @@ _WINDOW_PRIORITY = [
     "d84_shard_assignment",
     "d85_translation_length_filter",
     "s09_event_rate_anomaly",
+    # wave 10 (new this round; locally oracle-green at sf0.01)
+    "q80_grouping_sets_revenue",
+    "q81_merge_upsert",
+    "q82_relational_division",
+    "q83_priority_pivot",
+    "q84_range_frame_totals",
+    "d86_train_split",
+    "d87_overlap_chunks",
+    "d88_winnowing",
+    "d89_contamination_score",
+    "d90_embedding_dim_variance",
+    "d91_hard_negatives",
+    "d92_vocab_growth",
 ]
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import FILE_STATUS_SCHEMA
@@ -58,6 +58,64 @@ def detect_new_files(
     if limit is not None:
         fresh = fresh.orderBy("file_name").limit(limit)
     return fresh
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    when_matched: dict[str, Column] | None = None,
+    insert_values: dict[str, Column] | None = None,
+    delete_condition: Column | None = None,
+) -> DataFrame:
+    """The Delta-style ``MERGE`` face for K4/T7 (the documented upgrade
+    path from ``upsert_status``'s union-dedup-overwrite — reference
+    semantics at ``utils.py:74-89``): one relational expression with
+    all three clauses.
+
+    - WHEN MATCHED [AND ``delete_condition``] THEN DELETE
+    - WHEN MATCHED THEN UPDATE SET ``when_matched`` (exprs may
+      reference both sides via the ``t.``/``s.`` aliases; unnamed
+      columns keep the target value)
+    - WHEN NOT MATCHED THEN INSERT (``insert_values`` overrides,
+      else the source's same-named column, else typed NULL)
+    - WHEN NOT MATCHED BY SOURCE: target row carried unchanged
+
+    Output schema = target schema. Scale shape: ONE full-outer
+    equi-join on the key — shuffles both sides once on the merge key
+    (co-located and shuffle-free when target and source are bucketed
+    on it); every clause is a projection over that join, so MERGE
+    costs exactly one shuffle regardless of clause count. Under a
+    transactional table format the same plan becomes ``DeltaTable
+    .merge``; this face keeps the semantics available on plain
+    parquet."""
+    when_matched = when_matched or {}
+    insert_values = insert_values or {}
+    t = target.withColumn("__t", F.lit(True)).alias("t")
+    s = source.withColumn("__s", F.lit(True)).alias("s")
+    joined = t.join(s, keys, "full_outer")
+    matched = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
+    if delete_condition is not None:
+        joined = joined.filter(~(matched & F.coalesce(delete_condition, F.lit(False))))
+    out_cols: list[Column] = []
+    for c in target.columns:
+        if c in keys:
+            out_cols.append(F.col(c))  # coalesced by the USING join
+            continue
+        upd = when_matched.get(c, F.col(f"t.{c}"))
+        if c in insert_values:
+            ins = insert_values[c]
+        elif c in source.columns:
+            ins = F.col(f"s.{c}")
+        else:
+            ins = F.lit(None).cast(target.schema[c].dataType)
+        out_cols.append(
+            F.when(matched, upd)
+            .when(F.col("s.__s").isNotNull(), ins)
+            .otherwise(F.col(f"t.{c}"))
+            .alias(c)
+        )
+    return joined.select(*out_cols)
 
 
 def upsert_status(
