@@ -94,6 +94,15 @@ _WINDOW_PRIORITY = [
     "d90_embedding_dim_variance",
     "d91_hard_negatives",
     "d92_vocab_growth",
+    # wave 11 (new this round; locally oracle-green at sf0.01) —
+    # fills the 50-slot window exactly
+    "q85_events_since_purchase",
+    "q86_except_all_views",
+    "d93_quantile_normalize",
+    "d94_vocab_coverage",
+    "d95_embedding_norm_outliers",
+    "d96_lang_profile_cosine",
+    "d97_length_token_correlation",
 ]
 
 
