@@ -311,3 +311,53 @@ def test_d82_deciles_stay_distributed(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ntile" not in plan
     assert "hashpartitioning(__bucket" in plan
+
+
+def test_merge_upsert_is_single_equi_join(spark, sf_dir):
+    """q81: MERGE = ONE full-outer equi-join on the key; every clause
+    is a projection/filter over it — no nested-loop, no cartesian,
+    no second pass over either side."""
+    plan = _plan(spark, sf_dir, "q81_merge_upsert")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grouping_sets_single_aggregate_pass(spark, sf_dir):
+    """q80: the three grouping sets expand inside one partial+final
+    aggregate — the orders parquet is scanned exactly once, never
+    three scans + union."""
+    plan = _plan(spark, sf_dir, "q80_grouping_sets_revenue")
+    assert plan.count("orders.parquet") == 1
+    assert "Expand" in plan  # Spark's grouping-set expansion operator
+    assert "Union" not in plan
+
+
+def test_winnowing_is_narrow(spark, sf_dir):
+    """d88: each document sketches itself — no Exchange anywhere in
+    the plan (pure higher-order array expressions, zero shuffles)."""
+    plan = _plan(spark, sf_dir, "d88_winnowing")
+    assert "Exchange" not in plan
+
+
+def test_quantile_normalize_stays_distributed(spark, sf_dir):
+    """d93: percent_rank must come from the quantile-bucket prefix-sum
+    rank — per-bucket windows over doc rows, never a corpus-sized
+    single-partition window."""
+    df = QUERIES["d93_quantile_normalize"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "percent_rank" not in plan
+    assert "hashpartitioning(__bucket" in plan
+
+
+def test_vocab_coverage_rank_gets_group_limit(spark, sf_dir):
+    """d94: the global frequency rank is guarded by rk <= 400, so
+    Spark bounds the pre-rank data — either WindowGroupLimit (local
+    top-k per partition feeds the rank window) or, better, the whole
+    rank collapses into TakeOrderedAndProject (distributed top-k
+    merge). Either way the vocab-sized table never sorts globally."""
+    plan = _plan(spark, sf_dir, "d94_vocab_coverage")
+    assert (
+        "WindowGroupLimit" in plan or "TakeOrderedAndProject(limit=400" in plan
+    )
