@@ -49,3 +49,4 @@ def load_all() -> None:
     from . import wave9  # noqa: F401
     from . import wave10  # noqa: F401
     from . import wave11  # noqa: F401
+    from . import wave12  # noqa: F401
