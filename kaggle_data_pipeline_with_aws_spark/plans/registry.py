@@ -52,3 +52,4 @@ def load_all() -> None:
     from . import wave12  # noqa: F401
     from . import wave13  # noqa: F401
     from . import wave14  # noqa: F401
+    from . import wave15  # noqa: F401
