@@ -210,3 +210,68 @@ def s06_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+def _s10_oracle() -> str:
+    from ..operators.text import HASH_MOD, portable_hash_sql
+
+    h = portable_hash_sql("'kmv|' || CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH e AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             {h} AS h
+      FROM events
+    ),
+    d AS (SELECT DISTINCT window_start, h FROM e),
+    ranked AS (
+      SELECT window_start, h,
+             row_number() OVER (PARTITION BY window_start ORDER BY h) AS rn
+      FROM d
+    )
+    SELECT window_start,
+           CAST(count(*) AS BIGINT) AS k_used,
+           CAST(max(h) AS BIGINT) AS kth,
+           round((count(*) - 1) * {HASH_MOD}.0 / max(h), 6) AS est_distinct
+    FROM ranked WHERE rn <= 64
+    GROUP BY window_start
+    """
+
+
+@spark_query("s10_windowed_kmv_users", _s10_oracle())
+def s10_windowed_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per tumbling hour, estimated by a deterministic
+    KMV sketch inside a SINGLE streamable aggregate
+    (streaming/incremental.py::windowed_kmv_distinct) — no window
+    function, no second stateful op, so the identical plan runs under
+    readStream with append mode. d48 is the batch-audit twin (daily,
+    with the exact count joined alongside); this face is the one a
+    100-TB event stream actually deploys, where an exact distinct per
+    window would hold unbounded state."""
+    events = load_table(spark, sf_dir, "events")
+    from ..streaming.incremental import windowed_kmv_distinct
+
+    return windowed_kmv_distinct(events, timestamp_col="ts")
+
+
+@spark_query(
+    "s11_segment_event_counts",
+    """
+    SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS window_start,
+           c.c_mktsegment, count(*) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def s11_segment_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrich + windowed rollup: events gain
+    their customer's market segment (the dimension is broadcast —
+    re-read per micro-batch, the stream side never repartitions for
+    the join) and count per (hour, segment)
+    (streaming/incremental.py::segment_windowed_counts). The
+    streaming deployment of J1's left-enrich; state is
+    (windows × 5 segments)-sized."""
+    events = load_table(spark, sf_dir, "events")
+    customers = load_table(spark, sf_dir, "customer")
+    from ..streaming.incremental import segment_windowed_counts
+
+    return segment_windowed_counts(events, customers, timestamp_col="ts")

@@ -274,3 +274,91 @@ def correlate_event_pairs(
         left["key"].alias(key_col),
         (epoch_micros("left_ts") - epoch_micros("right_ts")).alias("gap_us"),
     )
+
+
+def windowed_kmv_distinct(
+    events: DataFrame,
+    timestamp_col: str = "event_time",
+    id_col: str = "user_id",
+    window_duration: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+    k: int = 64,
+) -> DataFrame:
+    """Approximate distinct-count per tumbling window via a KMV
+    sketch — the streaming form of d48's daily rollup.
+
+    ``approx_count_distinct`` (HLL) would also stream, but its
+    estimate is engine-specific; the k-minimum-values sketch over the
+    portable hash is deterministic, hence oracle-checkable AND
+    mergeable (union of sketches = k smallest of the union), which is
+    what late-arriving data needs. The aggregate is a single
+    streamable groupBy (collect_set, array_sort, slice — no window
+    function, which streams forbid). State per window is the distinct
+    hash set; a transformWithState accumulator could cap it at k
+    exactly, but the set is already bounded by distinct ids per
+    window, the quantity being estimated.
+
+    Works on batch and streaming frames identically (watermark is a
+    batch no-op).
+    """
+    from ..operators.text import HASH_MOD, portable_hash
+
+    h = portable_hash(
+        F.concat(F.lit("kmv|"), F.col(id_col).cast("string"))
+    )
+    mins = F.slice(F.array_sort(F.collect_set(h)), 1, k)
+    return (
+        events.withWatermark(timestamp_col, watermark_delay)
+        .groupBy(F.window(timestamp_col, window_duration).alias("win"))
+        .agg(mins.alias("mins"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.size("mins").cast("long").alias("k_used"),
+            F.element_at("mins", -1).alias("kth"),
+            F.round(
+                (F.size("mins").cast("double") - 1.0)
+                * F.lit(float(HASH_MOD))
+                / F.element_at("mins", -1),
+                6,
+            ).alias("est_distinct"),
+        )
+    )
+
+
+def segment_windowed_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    timestamp_col: str = "event_time",
+    join_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    segment_col: str = "c_mktsegment",
+    window_duration: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-static dimension enrich + windowed rollup: each event
+    joins a SLOW-changing dimension (broadcast — re-read per
+    micro-batch, never shuffled against the stream) and aggregates
+    per (window, segment). This is the deployment shape of J1's
+    broadcast enrich under continuous arrival: the stream side never
+    repartitions for the join, and the aggregate's state is
+    (windows × segments)-sized.
+
+    Works on batch and streaming frames identically.
+    """
+    enriched = events.join(
+        F.broadcast(dim.select(dim_key, segment_col)),
+        F.col(join_key) == F.col(dim_key),
+    )
+    return (
+        enriched.withWatermark(timestamp_col, watermark_delay)
+        .groupBy(
+            F.window(timestamp_col, window_duration).alias("win"),
+            F.col(segment_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            segment_col,
+            "n_events",
+        )
+    )
