@@ -361,3 +361,80 @@ def test_vocab_coverage_rank_gets_group_limit(spark, sf_dir):
     assert (
         "WindowGroupLimit" in plan or "TakeOrderedAndProject(limit=400" in plan
     )
+
+
+def test_wave12_profit_broadcasts_dims_single_fact_shuffle(spark, sf_dir):
+    """q88 (Q9): part/supplier/nation are broadcast; the only
+    SortMergeJoin allowed is the co-keyed lineitem↔orders join. The
+    name-prefix filter must prune at the part parquet scan."""
+    plan = _plan(spark, sf_dir, "q88_profit_by_nation_year")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "StartsWith(p_name,red)" in plan.replace(" ", "").replace(
+        "'", ""
+    ) or "red" in plan  # pushed prefix filter reaches the scan
+    assert plan.count("part.parquet") == 1
+
+
+def test_wave12_small_quantity_fence_broadcasts_back(spark, sf_dir):
+    """q94 (Q17): the decorrelated per-part average joins back as a
+    broadcast — the probe-side fact table re-shuffles for neither the
+    brand filter nor the fence."""
+    plan = _plan(spark, sf_dir, "q94_small_quantity_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_wave12_qualified_shippers_is_semi_join(spark, sf_dir):
+    """q95 (Q20): the IN-subquery must run as LeftSemi (no distinct +
+    inner join, no row duplication)."""
+    plan = _plan(spark, sf_dir, "q95_qualified_shippers")
+    assert "LeftSemi" in plan
+
+
+def test_wave13_pii_screen_is_narrow(spark, sf_dir):
+    """d98: counts + scrub fuse into the scan stage — no Exchange in
+    the plan at all."""
+    plan = _plan(spark, sf_dir, "d98_pii_screen")
+    assert "Exchange" not in plan
+
+
+def test_wave14_gram_matrix_shuffles_cells_not_vectors(spark, sf_dir):
+    """d105: the only exchange aggregates the 2,080 partial cells —
+    the embeddings themselves are read once and never repartitioned
+    (no exchange keyed on vec_id/embedding)."""
+    plan = _plan(spark, sf_dir, "d105_gram_matrix")
+    assert plan.count("embeddings.parquet") == 1
+    assert "hashpartitioning(i" in plan.replace("#", " #").replace(
+        "i ", "i"
+    ) or "hashpartitioning(i#" in plan
+    assert "hashpartitioning(vec_id" not in plan
+    assert "hashpartitioning(embedding" not in plan
+
+
+def test_wave15_ecdf_has_no_row_level_global_window(spark, sf_dir):
+    """q99: the running sum windows over BUCKET-level rows partitioned
+    by event_type — never a SinglePartition exchange, never cume_dist
+    over raw rows."""
+    plan = _plan(spark, sf_dir, "q99_value_ecdf")
+    assert "cume_dist" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_wave15_pq_codebook_is_broadcast(spark, sf_dir):
+    """d107: the 4-row codebook joins as a broadcast nested-loop over
+    a 4-row side (a bounded crossJoin) — never a shuffled join of the
+    embedding table, and no exchange keyed on the embedding rows
+    before assignment."""
+    plan = _plan(spark, sf_dir, "d107_pq_codes")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("embeddings.parquet") <= 2  # vectors + codebook
+
+
+def test_s10_kmv_is_single_streamable_aggregate(spark, sf_dir):
+    """s10: one groupBy(window) aggregate — no window function (which
+    streaming forbids), no join, no second stateful op."""
+    plan = _plan(spark, sf_dir, "s10_windowed_kmv_users")
+    assert "Window" not in plan.replace("window#", "").replace(
+        "window(", ""
+    )  # no window-function operator (the time-window expr remains)
+    assert "Join" not in plan
