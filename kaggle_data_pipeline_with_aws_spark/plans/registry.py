@@ -53,3 +53,4 @@ def load_all() -> None:
     from . import wave13  # noqa: F401
     from . import wave14  # noqa: F401
     from . import wave15  # noqa: F401
+    from . import wave16  # noqa: F401
