@@ -195,6 +195,38 @@ SHOWCASE: list[tuple[str, str]] = [
         " joins). The naive inverted-index self-join this replaces is"
         " quadratic in the hottest posting list.",
     ),
+    (
+        "d42_shingle_containment",
+        "The asymmetric PPJoin: only the CONTAINED side emits a prefix"
+        " (|x|-ceil(t|x|)+1 rarest shingles) joined against the"
+        " container's full posting list — containment bounds nothing on"
+        " the container, and the verify joins are shuffle_hash-hinted"
+        " like d06. This replaced the repo's last quadratic posting-list"
+        " self-join in round 4.",
+    ),
+    (
+        "d105_gram_matrix",
+        "X^T X over the embedding table: numpy computes each Arrow"
+        " batch's d×d outer-product sum inside mapInPandas, so the only"
+        " exchange aggregates 2,080 partial cells — the vectors"
+        " themselves are read once and never repartitioned. The"
+        " distributed half of PCA (d106 adds the bounded driver-side"
+        " eigen step).",
+    ),
+    (
+        "d110_semdedup",
+        "SemDeDup: pairwise cosine exists ONLY inside an IVF-cell"
+        " equi-join (Σ cell² pairs, never n²); the 16-row codebook"
+        " broadcasts for assignment and the drop rule is a single"
+        " order-independent projection over the surviving pairs.",
+    ),
+    (
+        "q99_value_ecdf",
+        "cume_dist without the row-level global window: rows collapse"
+        " to (type, bucket) counts first, and the running sum windows"
+        " over the BUCKET-level table — state bounded by value-range/0.1"
+        " per type regardless of corpus size.",
+    ),
 ]
 
 
