@@ -110,3 +110,19 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)
     return df
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC read face (interchange with Hive-era warehouses). ORC is
+    columnar with predicate pushdown like parquet — the same pruning
+    and filter guarantees the plan tests assert for parquet scans
+    apply (Spark's OrcFileFormat pushes filters and reads only
+    referenced columns)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC write face: columnar output with the default zlib codec —
+    the interchange format when the downstream is a Hive/Trino
+    warehouse instead of the parquet lake."""
+    df.write.mode(mode).orc(path)

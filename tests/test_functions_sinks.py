@@ -345,3 +345,31 @@ def test_epoch_micros_ntz_safe_on_real_events(spark):
         S.epoch_micros(F.col("ts").cast("timestamp")).alias("us")
     ).first()
     assert aware["us"] is not None
+
+
+def test_orc_round_trip_preserves_rows_and_pushes_filters(spark, tmp_path):
+    """ORC interchange face: write→read round-trips values exactly,
+    and an equality predicate on the read side reaches the ORC scan
+    (PushedFilters), same as the parquet guarantees."""
+    from kaggle_data_pipeline_with_aws_spark.sources.readers import (
+        load_table,
+        read_orc,
+        write_orc,
+    )
+
+    src = load_table(spark, "/root/testdata/sf0.001", "orders")
+    out = str(tmp_path / "orders_orc")
+    write_orc(src, out)
+    back = read_orc(spark, out)
+    assert back.count() == src.count()
+    assert sorted(back.columns) == sorted(src.columns)
+    a = sorted(map(tuple, src.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+    plan = (
+        back.filter(F.col("o_orderstatus") == "F")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)" in plan.replace("\n", " ") or "EqualTo(o_orderstatus,F)" in plan
