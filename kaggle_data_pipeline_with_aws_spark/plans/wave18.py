@@ -190,3 +190,33 @@ def d116_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("rules_pass", "dedup_keep", "lang_confident")
     )
+
+
+# ---------------------------------------------------------------------------
+# q105 — the SQL API face: one query text, two engines.
+# ---------------------------------------------------------------------------
+_Q105_SQL = """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           round(avg(o_totalprice), 6) AS avg_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+
+@spark_query("q105_sql_face", _Q105_SQL)
+def q105_sql_face(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `spark.sql` surface, demonstrated with ZERO dialect drift:
+    the exact same ANSI text runs on Spark (over `register_views`'s
+    temp views) and on DuckDB as its own oracle. Everything else in
+    the registry builds plans with the DataFrame API and lets
+    Catalyst plan them; this face proves the SQL entry point shares
+    that machinery — same scan, same partial/final aggregate, same
+    pushdowns (spark.sql and the DataFrame build the identical
+    logical plan)."""
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q105_SQL)

@@ -335,3 +335,31 @@ def write_training_shards(
         "/".join(f"{c}={r[c]}" for c in partition_cols): r["count"]
         for r in counts
     }
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    order_cols: tuple[str, ...] = ("doc_id",),
+    max_records_per_file: int = 10000,
+    codec: str = "gzip",
+) -> int:
+    """Export as JSON-lines — the interchange format LLM training
+    loaders actually consume. Spark's json sink IS jsonl (one object
+    per line); rows are clustered by ``order_cols`` within files so a
+    fixed input yields byte-stable shards (same rerun-checksum
+    guarantee as write_training_shards), and the per-file cap keeps
+    shards loader-sized. Returns the row count written (verified by
+    reading back the directory)."""
+    out = (
+        df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+        if order_cols
+        else df
+    )
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .option("compression", codec)
+        .json(path)
+    )
+    return df.sparkSession.read.json(path).count()

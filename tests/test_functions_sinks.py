@@ -373,3 +373,30 @@ def test_orc_round_trip_preserves_rows_and_pushes_filters(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)" in plan.replace("\n", " ") or "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_write_jsonl_round_trips_and_is_line_delimited(spark, tmp_path):
+    """JSONL export: one JSON object per line, gzip-compressed parts,
+    values round-trip through a schema'd read."""
+    import gzip
+    import glob
+    import json as _json
+
+    from kaggle_data_pipeline_with_aws_spark.sources.readers import load_table
+    from kaggle_data_pipeline_with_aws_spark.sources.sinks import write_jsonl
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "docs_jsonl")
+    n = write_jsonl(docs, out)
+    assert n == docs.count()
+    parts = sorted(glob.glob(out + "/part-*.json.gz"))
+    assert parts, "expected gzip json parts"
+    with gzip.open(parts[0], "rt") as f:
+        first = f.readline()
+    obj = _json.loads(first)  # every line is a standalone JSON object
+    assert "doc_id" in obj and "text" in obj
+    back = spark.read.json(out)
+    assert back.count() == docs.count()
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }

@@ -73,3 +73,30 @@ def test_d116_cells_partition_corpus_and_match_signals(spark):
     assert (
         sum(r["n_docs"] for r in rows if r["lang_confident"]) == confident
     )
+
+
+def test_q105_sql_face_matches_dataframe_twin(spark):
+    """The spark.sql face must produce the same result as the
+    equivalent DataFrame-API build — same logical plan machinery."""
+    from pyspark.sql import functions as F
+
+    got = {
+        r["o_orderstatus"]: r
+        for r in Q["q105_sql_face"](spark, SF).collect()
+    }
+    want = {
+        r["o_orderstatus"]: r
+        for r in load_table(spark, SF, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for k in got:
+        assert got[k]["n_orders"] == want[k]["n_orders"]
+        assert abs(got[k]["total_price"] - want[k]["total_price"]) < 1e-9
+        assert abs(got[k]["avg_price"] - want[k]["avg_price"]) < 1e-9
