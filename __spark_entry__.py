@@ -21,7 +21,7 @@ SF0001 = "/root/testdata/sf0.001"
 # Extra bench-headline ops (bench.py appends these to HEADLINE): the
 # exact set-similarity PPJoins — the repo's biggest plan-level perf
 # work — so BENCH_r{N}.json carries their time series going forward.
-BENCH_EXTRA = ["d06_ngram_jaccard", "d42_shingle_containment"]
+BENCH_EXTRA = ["d06_ngram_jaccard", "d42_shingle_containment", "d110_semdedup"]
 
 
 def entry(spark: SparkSession) -> DataFrame:
