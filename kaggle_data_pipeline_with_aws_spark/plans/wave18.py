@@ -99,8 +99,7 @@ def q104_lag_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c = confident language ID (top-1 margin > 1, d102's rule).
 # ---------------------------------------------------------------------------
 def _d116_oracle() -> str:
-    from .wave13 import _RULES_SQL  # noqa: F401 (rule battery source)
-
+    # rule expressions inlined from wave13's _RULES_SQL battery
     structs = []
     for lang, words in sorted(text.LANG_MARKERS.items()):
         lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
