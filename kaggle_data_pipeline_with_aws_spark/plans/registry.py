@@ -57,3 +57,4 @@ def load_all() -> None:
     from . import wave17  # noqa: F401
     from . import wave18  # noqa: F401
     from . import wave19  # noqa: F401
+    from . import wave20  # noqa: F401
