@@ -122,3 +122,62 @@ def test_s11_stream_equals_batch(spark, tmp_path):
 
     keys = ["window_start", "c_mktsegment", "n_events"]
     assert _sorted(got, keys) == _sorted(_closed(batch), keys)
+
+
+def test_stream_merge_sink_upserts_across_batches(spark, tmp_path):
+    """s12/T7: a keyed stream MERGEs into a parquet table per
+    micro-batch — later files update existing keys and insert new
+    ones, replays do not duplicate."""
+    from kaggle_data_pipeline_with_aws_spark.streaming.incremental import (
+        stream_merge_sink,
+    )
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def land(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    schema = "user_id LONG, event_time TIMESTAMP, value DOUBLE"
+    land(
+        "a.jsonl",
+        [
+            {"user_id": 1, "event_time": "2024-01-01T00:00:00Z", "value": 1.0},
+            {"user_id": 2, "event_time": "2024-01-01T00:01:00Z", "value": 2.0},
+        ],
+    )
+    q = stream_merge_sink(
+        spark.readStream.schema(schema).json(src), target, ckpt, ["user_id"]
+    )
+    q.awaitTermination()
+    t1 = {r["user_id"]: r["value"] for r in spark.read.parquet(target).collect()}
+    assert t1 == {1: 1.0, 2: 2.0}
+
+    # second landing: update key 2, insert key 3; key 1 untouched
+    land(
+        "b.jsonl",
+        [
+            {"user_id": 2, "event_time": "2024-01-01T01:00:00Z", "value": 20.0},
+            {"user_id": 3, "event_time": "2024-01-01T01:01:00Z", "value": 3.0},
+        ],
+    )
+    q = stream_merge_sink(
+        spark.readStream.schema(schema).json(src), target, ckpt, ["user_id"]
+    )
+    q.awaitTermination()
+    t2 = {r["user_id"]: r["value"] for r in spark.read.parquet(target).collect()}
+    assert t2 == {1: 1.0, 2: 20.0, 3: 3.0}
+    assert spark.read.parquet(target).count() == 3
+
+    # replay with the same checkpoint: nothing reprocessed
+    q = stream_merge_sink(
+        spark.readStream.schema(schema).json(src), target, ckpt, ["user_id"]
+    )
+    q.awaitTermination()
+    assert {
+        r["user_id"]: r["value"] for r in spark.read.parquet(target).collect()
+    } == t2
