@@ -438,3 +438,21 @@ def test_s10_kmv_is_single_streamable_aggregate(spark, sf_dir):
         "window(", ""
     )  # no window-function operator (the time-window expr remains)
     assert "Join" not in plan
+
+
+def test_zorder_key_is_codegen_and_single_exchange(spark, sf_dir):
+    """d121: the Morton key is row-local bit arithmetic; the only
+    row-level exchange is the range partitioning of the file split
+    (plus the broadcast of the two one-row aggregates)."""
+    plan = _plan(spark, sf_dir, "d121_zorder_layout")
+    assert "rangepartitioning" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_schema_evolution_union_has_no_shuffle_before_sort(spark, sf_dir):
+    """q108: unionByName is a concat of two pushed-down scans — no
+    join, no aggregate-shuffle; the only exchange serves the final
+    presentation ORDER BY."""
+    plan = _plan(spark, sf_dir, "q108_schema_evolution_union")
+    assert "Join" not in plan
+    assert plan.count("events.parquet") == 2  # one pruned scan per side
