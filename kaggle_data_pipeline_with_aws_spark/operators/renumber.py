@@ -207,3 +207,76 @@ def global_prefix_sum(
         .withColumn(out_col, (F.col("__offset") + F.col("__local")).cast("long"))
         .drop("__bucket", "__local", "__offset")
     )
+
+
+def global_running_max(
+    df: DataFrame,
+    order_by: list[str | Column],
+    value_col: str,
+    out_col: str = "running_max",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``max(value) OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)`` — strictly-preceding running max over
+    a TOTAL order — without the single-partition window.
+
+    Same decomposition as ``contiguous_row_number`` (deliberately
+    re-stated rather than refactored out of it, so this addition
+    cannot perturb that function's proven plan): quantile-bucket the
+    leading key, run the bounded window INSIDE each bucket, and carry
+    the maximum of all EARLIER buckets in via a bucket-sized prefix
+    window + broadcast join — ``greatest(carry, within)``. Rows with
+    no predecessor (the global first; ties handled by the full
+    ``order_by`` inside the bucket) get NULL, matching the global
+    window's semantics. Because the surrogate is monotone and ties
+    share a bucket, every strictly-preceding row is either in the same
+    bucket (covered by the local window) or an earlier bucket
+    (covered by the carry) — exact.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    first = order_by[0]
+    fcol = F.col(first) if isinstance(first, str) else first
+    dtype = df.select(fcol.alias("__k")).schema[0].dataType
+    surr = _order_surrogate(fcol, dtype)
+    if surr is None:
+        w = Window.orderBy(*order_by).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return df.withColumn(out_col, F.max(value_col).over(w))
+
+    probs = [i / n for i in range(1, n)] or [0.5]
+    row = df.select(
+        F.percentile_approx(
+            surr, F.array(*[F.lit(p) for p in probs]), F.lit(10_000)
+        ).alias("__b")
+    ).first()
+    quantiles = row["__b"] if row is not None and row["__b"] is not None else []
+    bounds = sorted({b for b in quantiles if b is not None})
+    if bounds:
+        bucket = F.when(surr.isNull(), F.lit(0))
+        for i, b in enumerate(bounds):
+            bucket = bucket.when(surr < F.lit(b), F.lit(i))
+        bucket = bucket.otherwise(F.lit(len(bounds)))
+    else:
+        bucket = F.lit(0)
+
+    bucketed = df.withColumn("__rbucket", bucket.cast("int"))
+    w_in = Window.partitionBy("__rbucket").orderBy(*order_by).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    within = F.max(value_col).over(w_in)
+    per_bucket = bucketed.groupBy("__rbucket").agg(
+        F.max(value_col).alias("__bmax")
+    )
+    w_prev = Window.orderBy("__rbucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carries = per_bucket.select(
+        "__rbucket", F.max("__bmax").over(w_prev).alias("__carry")
+    )
+    return (
+        bucketed.withColumn("__within", within)
+        .join(F.broadcast(carries), "__rbucket")
+        .withColumn(out_col, F.greatest("__carry", "__within"))
+        .drop("__rbucket", "__within", "__carry")
+    )

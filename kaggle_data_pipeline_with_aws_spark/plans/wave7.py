@@ -149,9 +149,11 @@ def s08_late_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the max event-time already arrived minus the delay — exactly
     Structured Streaming's discard rule. Arrival order is simulated as
     ts + hash-jitter (deterministic, oracle-reproducible). The running
-    max is one ordered window; in production this audit runs per
-    source partition (where arrival order actually exists), keeping it
-    shuffle-free. Sizing the real `withWatermark` delay IS this query
+    max runs through `global_running_max`'s quantile-bucket
+    decomposition (per-bucket bounded windows + a bucket-sized carry
+    of earlier buckets' maxima — the d82/d93 prefix-sum discipline
+    applied to MAX), so no task ever windows more than ~1/n of the
+    stream. Sizing the real `withWatermark` delay IS this query
     iterated over candidate delays."""
     from ..functions.scalars import epoch_micros
 
@@ -172,10 +174,14 @@ def s08_late_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (epoch_micros("ts") + jitter).alias("arrival_us"),
         epoch_micros("ts").alias("ts_us"),
     )
-    w = Window.orderBy(F.col("arrival_us").asc(), F.col("event_id").asc()).rowsBetween(
-        Window.unboundedPreceding, -1
+    from ..operators.renumber import global_running_max
+
+    seen = global_running_max(
+        arr,
+        [F.col("arrival_us"), F.col("event_id")],
+        "ts_us",
+        out_col="max_seen_us",
     )
-    seen = arr.withColumn("max_seen_us", F.max("ts_us").over(w))
     return (
         seen.withColumn(
             "late_by_us", F.col("max_seen_us") - F.col("ts_us")

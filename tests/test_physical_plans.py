@@ -456,3 +456,15 @@ def test_schema_evolution_union_has_no_shuffle_before_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q108_schema_evolution_union")
     assert "Join" not in plan
     assert plan.count("events.parquet") == 2  # one pruned scan per side
+
+
+def test_s08_running_max_stays_distributed(spark, sf_dir):
+    """s08: the arrival-order running max must come from the
+    quantile-bucket decomposition — per-bucket windows over
+    hashpartitioned data, never a corpus-sized SinglePartition sort
+    (the only SinglePartition window allowed is the bucket-count
+    carry)."""
+    df = QUERIES["s08_late_event_audit"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__rbucket" in plan
