@@ -10,11 +10,15 @@ non-dimension table with per-replica key offsets:
   the base data's fan-out — the join graph scales, it doesn't densify;
 - nation/region (true dimensions) stay fixed, and nationkey columns are
   NOT shifted so the replicated customers/suppliers still hit them;
-- document text gets a per-replica token spliced in after every 3rd
-  word, so EVERY 3-shingle differs across replicas: exact AND near-dup
-  cliques keep their base size instead of growing 10x (a suffix-only
-  perturbation leaves cross-replica Jaccard ~1 and near-dup pair
-  output grows ~100x — a different workload, not a scale-up);
+- document text: every 3rd word is REPLACED by a replica-salted
+  variant, so EVERY 3-shingle differs across replicas (gap between
+  perturbed positions is 2 < 3) and token counts are unchanged: exact
+  AND near-dup cliques keep their base size instead of growing 10x.
+  (Two rejected forms: a suffix-only perturbation leaves cross-replica
+  Jaccard ~1 and pair output grows ~100x; a token SPLICED after every
+  3rd word leaves 1-in-4 trigram windows shared across all replicas,
+  so their doc-frequency grows ×N and set-similarity candidate
+  generation grows ×N² — both are different workloads, not scale-ups);
 - timestamps and measures are unchanged.
 
 This is BENCH-ONLY data (correctness runs exclusively on the driver's
@@ -70,18 +74,28 @@ def main() -> None:
             for k in keys:
                 r = r.withColumn(k, F.col(k) + F.lit(i * OFFSET))
             if t == "documents":
+                # Perturb by REPLACING every 3rd word with a replica-
+                # salted variant. A splice-after-every-3rd-word scheme
+                # (the original form) leaves 1-in-4 trigram windows
+                # with no replica token — those shingles stay shared
+                # across ALL replicas, their doc-frequency grows ×N,
+                # and PPJoin candidate generation grows ×N² (a
+                # stressor artifact the 30× run exposed, not a plan
+                # property). Replacement puts a replica-distinct token
+                # inside EVERY 3-token window (gap between replaced
+                # positions is 2 < 3) and keeps token counts exactly.
                 toks = F.split(F.col("text"), " ")
-                spliced = F.array_join(
+                perturbed = F.array_join(
                     F.zip_with(
                         toks,
                         F.sequence(F.lit(1), F.size(toks)),
                         lambda x, j: F.when(
-                            j % 3 == 0, F.concat(x, F.lit(f" r{i}"))
+                            j % 3 == 0, F.concat(x, F.lit(f"r{i}"))
                         ).otherwise(x),
                     ),
                     " ",
                 )
-                r = r.withColumn("text", spliced)
+                r = r.withColumn("text", perturbed)
             reps.append(r)
         out = reps[0]
         for r in reps[1:]:
