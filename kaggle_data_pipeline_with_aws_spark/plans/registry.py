@@ -63,3 +63,4 @@ def load_all() -> None:
     from . import wave23  # noqa: F401
     from . import wave24  # noqa: F401
     from . import wave25  # noqa: F401
+    from . import wave26  # noqa: F401
