@@ -95,7 +95,14 @@ _WINDOW_PRIORITY = [
     "d91_hard_negatives",
     "d92_vocab_growth",
     # wave 11 (new this round; locally oracle-green at sf0.01) —
-    # fills the 50-slot window exactly
+    # fills the 50-slot window exactly. Waves 12-26 (q87-q110,
+    # d98-d126, s10-s11 — ~60 further queries added later in round 4)
+    # queue immediately after the window via _ordered()'s rest_oracle
+    # block: ALL are locally oracle-green at sf0.01 (tools/gate.sh +
+    # per-wave check_correctness runs) and form the staged proof
+    # queue for the round-5 window. s08's impl changed late in round
+    # 4 (distributed running max) — it is ALREADY in this round's
+    # window below, so its proof row will reflect the new plan.
     "q85_events_since_purchase",
     "q86_except_all_views",
     "d93_quantile_normalize",
