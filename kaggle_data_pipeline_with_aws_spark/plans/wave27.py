@@ -293,3 +293,74 @@ def q111_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# d129 — dedup impact report (corpus stats before vs after keep-first).
+# ---------------------------------------------------------------------------
+@spark_query(
+    "d129_dedup_impact",
+    """
+    WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+    m AS (
+      SELECT d.doc_id, d.n_chars,
+             len(string_split(d.text, ' ')) AS n_tok,
+             kk.doc_id IS NOT NULL AS kept
+      FROM documents d LEFT JOIN k kk ON d.doc_id = kk.doc_id
+    )
+    SELECT
+      CAST(count(*) AS BIGINT) AS docs_before,
+      CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS docs_after,
+      CAST(sum(n_tok) AS BIGINT) AS tokens_before,
+      CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT)
+        AS tokens_after,
+      CAST(round(1.0 - sum(CASE WHEN kept THEN n_tok ELSE 0.0 END)
+           / sum(n_tok), 6) AS DOUBLE) AS token_reduction,
+      CAST(round(avg(n_chars), 6) AS DOUBLE) AS mean_chars_before,
+      CAST(round(avg(CASE WHEN kept THEN n_chars END), 6) AS DOUBLE)
+        AS mean_chars_after
+    FROM m
+    """,
+)
+def d129_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What exact dedup actually buys: document/token counts and mean
+    length before vs after keep-first survivorship, plus the token-
+    mass reduction — the one-row report a curation run logs next to
+    d113's dataset card. The keeper set is the text-keyed min-agg
+    (hash-sized shuffle, same as d21); both 'before' and 'after'
+    aggregate in ONE conditional pass over the flagged corpus — never
+    two scans. avg(CASE WHEN kept THEN x END) ignores non-kept rows
+    via NULL in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    keepers = (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .withColumn("__keep", F.lit(True))
+    )
+    m = docs.join(keepers, "doc_id", "left").select(
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.col("__keep").isNotNull().alias("kept"),
+    )
+    kept_tok = F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0))
+    return m.agg(
+        F.count("*").alias("docs_before"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("docs_after"),
+        F.sum("n_tok").alias("tokens_before"),
+        kept_tok.alias("tokens_after"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(
+                F.when(F.col("kept"), F.col("n_tok").cast("double")).otherwise(
+                    0.0
+                )
+            )
+            / F.sum("n_tok"),
+            6,
+        ).alias("token_reduction"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars_before"),
+        F.round(
+            F.avg(F.when(F.col("kept"), F.col("n_chars"))), 6
+        ).alias("mean_chars_after"),
+    )

@@ -89,3 +89,17 @@ def test_q111_deciles_partition_and_lift_reconciles(spark):
     assert abs(weighted - base) < 1e-4
     for r in rows.values():
         assert abs(r["lift"] - round(r["pos_rate"] / base, 6)) < 2e-6
+
+
+def test_d129_reconciles_with_exact_dedup(spark):
+    row = Q["d129_dedup_impact"](spark, SF).collect()[0]
+    docs = load_table(spark, SF, "documents").collect()
+    texts = [d["text"] for d in docs]
+    kept = len(set(texts))
+    assert row["docs_before"] == len(docs)
+    assert row["docs_after"] == kept
+    assert row["tokens_before"] == sum(len(t.split(" ")) for t in texts)
+    assert row["tokens_after"] == sum(len(t.split(" ")) for t in set(texts))
+    assert 0.0 <= row["token_reduction"] < 1.0
+    want_red = 1.0 - row["tokens_after"] / row["tokens_before"]
+    assert abs(row["token_reduction"] - want_red) < 1e-6
