@@ -160,3 +160,56 @@ def pagerank(
     deg.unpersist()
     e.unpersist()
     return ranks.select("node", F.round("rank", 6).alias("pagerank"))
+
+
+def bfs_min_hops(
+    seeds: DataFrame,
+    edges: DataFrame,
+    src: str = "node_a",
+    dst: str = "node_b",
+    max_hops: int = 4,
+) -> DataFrame:
+    """(node, hops): minimum hop distance from any seed node over the
+    undirected ``edges``, breadth-first, capped at ``max_hops``.
+
+    Level-synchronous frontier expansion: each round joins only the
+    CURRENT frontier (nodes first reached last round) against the
+    adjacency — never the full visited set — then anti-joins the
+    visited set so every node is emitted exactly once, at its minimum
+    distance. Per round that is one equi-join shuffle keyed on the
+    node id plus one anti-join against the (node)-keyed visited set;
+    the frontier shrinks as the traversal saturates, so late rounds
+    are cheap. ``max_hops`` bounds the work regardless of graph
+    diameter — the standard k-hop neighborhood contract.
+
+    ``seeds`` must have a ``node`` column; output hops is 0 for seeds
+    even when they also appear deeper in the traversal.
+    """
+    adj = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .cache()
+    )
+    dist = seeds.select("node", F.lit(0).cast("long").alias("hops")).cache()
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        reached = (
+            adj.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        new = reached.join(dist, "node", "left_anti").select(
+            "node", F.lit(h).cast("long").alias("hops")
+        )
+        new_dist = dist.union(new).cache()
+        # materialize this level so the next round's anti-join does not
+        # recompute the whole prefix; stop early once the frontier dies
+        n_new = new.count()
+        dist.unpersist()
+        dist = new_dist
+        if n_new == 0:
+            break
+        frontier = new.select("node")
+    adj.unpersist()
+    return dist
