@@ -95,8 +95,8 @@ _WINDOW_PRIORITY = [
     "d91_hard_negatives",
     "d92_vocab_growth",
     # wave 11 (new this round; locally oracle-green at sf0.01) —
-    # fills the 50-slot window exactly. Waves 12-26 (q87-q110,
-    # d98-d126, s10-s11 — ~60 further queries added later in round 4)
+    # fills the 50-slot window exactly. Waves 12-31 (q87-q113,
+    # d98-d136, s10-s13 — the further queries added later in round 4)
     # queue immediately after the window via _ordered()'s rest_oracle
     # block: ALL are locally oracle-green at sf0.01 (tools/gate.sh +
     # per-wave check_correctness runs) and form the staged proof
