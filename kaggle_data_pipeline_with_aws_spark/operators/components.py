@@ -185,13 +185,21 @@ def bfs_min_hops(
     ``seeds`` must have a ``node`` column; output hops is 0 for seeds
     even when they also appear deeper in the traversal.
     """
+    # localCheckpoint (not cache) on the adjacency: the edge generator
+    # upstream may be an arbitrarily deep plan (e.g. the IVF-scored
+    # mutual-kNN pipeline) and every per-level job would re-analyze and
+    # re-schedule that whole lineage — checkpointing truncates it to
+    # the materialized edge list once, so each BFS level is a join over
+    # two narrow checkpointed tables.
     adj = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    dist = seeds.select("node", F.lit(0).cast("long").alias("hops")).cache()
+    dist = seeds.select(
+        "node", F.lit(0).cast("long").alias("hops")
+    ).localCheckpoint(eager=True)
     frontier = dist.select("node")
     for h in range(1, max_hops + 1):
         reached = (
@@ -199,17 +207,13 @@ def bfs_min_hops(
             .select(F.col("v").alias("node"))
             .distinct()
         )
-        new = reached.join(dist, "node", "left_anti").select(
-            "node", F.lit(h).cast("long").alias("hops")
+        new = (
+            reached.join(dist, "node", "left_anti")
+            .select("node", F.lit(h).cast("long").alias("hops"))
+            .localCheckpoint(eager=True)  # one job: this level, settled
         )
-        new_dist = dist.union(new).cache()
-        # materialize this level so the next round's anti-join does not
-        # recompute the whole prefix; stop early once the frontier dies
-        n_new = new.count()
-        dist.unpersist()
-        dist = new_dist
-        if n_new == 0:
+        if not new.take(1):
             break
+        dist = dist.union(new).localCheckpoint(eager=True)
         frontier = new.select("node")
-    adj.unpersist()
     return dist
