@@ -227,6 +227,14 @@ SHOWCASE: list[tuple[str, str]] = [
         " over the BUCKET-level table — state bounded by value-range/0.1"
         " per type regardless of corpus size.",
     ),
+    (
+        "d135_ks_source_drift",
+        "Two-sample KS on a bounded grid: the corpus collapses to"
+        " (source × distinct-value) counts in ONE shuffle; the ECDF"
+        " window and the all-pairs sup-distance join run entirely on"
+        " that grid-sized table — no corpus-sized sort or partition"
+        " anywhere in the plan.",
+    ),
 ]
 
 
