@@ -72,13 +72,20 @@ def main() -> None:
                 qs[name](spark, warm_dir).count()
             except Exception:
                 pass
+        # Drop warm-up-scale cached frames (several plans cache()
+        # intermediates) so the timed passes don't measure under the
+        # memory/GC pressure of stale sf0.01 blocks.
+        spark.catalog.clearCache()
 
-    # Two timed passes, per-query MIN: a single pass is hostage to
+    # Three timed passes, per-query MIN: a single pass is hostage to
     # whatever else the machine is doing in that instant (GC, another
     # process's burst); the min over repetitions is the standard
-    # noise-robust point estimate for sustained throughput.
+    # noise-robust point estimate for sustained throughput. (Raised
+    # from 2 after r4's q17 datapoint: the first sf-target execution
+    # of the quantile-boundary job carries a one-off allocation cost
+    # that two passes didn't always absorb — see BENCH_SCALING.md.)
     timings: dict[str, float] = {}
-    for _rep in range(2):
+    for _rep in range(3):
         for name in names:
             fn = qs[name]
             t0 = time.time()

@@ -214,6 +214,11 @@ def bfs_min_hops(
         )
         if not new.take(1):
             break
-        dist = dist.union(new).localCheckpoint(eager=True)
+        # dist stays a LAZY union of the already-checkpointed per-level
+        # pieces: each piece's lineage is truncated, the union is at
+        # most max_hops+1 frames wide, and we avoid re-materializing
+        # (and re-storing) the whole accumulated set every level —
+        # which grew executor storage O(levels × |dist|).
+        dist = dist.union(new)
         frontier = new.select("node")
     return dist

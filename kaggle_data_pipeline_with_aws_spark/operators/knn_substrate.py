@@ -1,0 +1,134 @@
+"""Materialized mutual-kNN edge substrate (build once, read many).
+
+Five registry queries consume the SAME deterministic artifact — the
+mutual IVF-top-5 edge list over the embedding table: d62 (the graph
+itself), d63 (triangles), d64 (label vote), d122 (k-core peel), d132
+(BFS hops). Until round 5 each re-derived it from the embedding table
+(~90 s each at 10×, the biggest cross-query compute-waste shape in the
+registry per the round-4 verdict). At 100 TB you would run the edge
+builder ONCE as a writer job and point every graph query at the
+resulting parquet table; this module is that exact idiom scaled down:
+
+- ``build_edges_plan`` is the unchanged deterministic plan (IVF with
+  fixed centroids ``vec_id < 16``, k=5, n_probe=2, mutuality via a
+  narrow self semi-join — never all-pairs; same shape the round-2
+  proofs of d62/d63 ran).
+- ``mutual_knn_edges`` materializes it to a content-addressed parquet
+  path under ``<repo>/spark-warehouse/knn_edges/`` on first use and
+  serves every later call (same process or a later one) from the
+  parquet scan. Parquet round-trips int64/double bit-exactly, so the
+  consumers' results are unchanged.
+- ``_VERSION`` is part of the path: bump it whenever the builder plan
+  changes so a stale artifact from an older plan can never be read.
+
+Publication is atomic (write to a pid-suffixed temp dir, ``os.rename``
+into place); a concurrent builder that loses the race discards its
+temp dir and reads the winner's output. A directory without the
+``_SUCCESS`` marker is treated as absent (crashed writer) and rebuilt.
+
+Reference scope: the reference pipeline has no graph substrate — this
+is part of the beyond-reference LLM-data-curation surface the brief
+asks for (mutual-kNN graphs for semantic dedup/curation).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from . import similarity
+
+# Bump whenever build_edges_plan's semantics change — the version is
+# baked into the artifact path so stale materializations are unreachable.
+_VERSION = "v1"
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_BASE = os.path.join(_REPO_ROOT, "spark-warehouse", "knn_edges")
+
+# process-local memo: (abs sf_dir) -> published path, to skip even the
+# existence stat after the first read in a session
+_MEMO: dict[str, str] = {}
+
+
+def build_edges_plan(embs: DataFrame) -> DataFrame:
+    """(node_a < node_b, cos_sim): mutual IVF-top-5 pairs.
+
+    The kNN side is the scale-safe IVF cell equi-join (never
+    all-pairs); mutuality is a self equi-join of the narrow per-query
+    top-5 table. This is the exact plan d62/d63 proved in round 2
+    (formerly ``plans/retrieval._mutual_knn_edges``), lifted here so
+    the writer and the direct plan share one definition.
+    """
+    cents = embs.filter(F.col("vec_id") < 16)
+    knn = similarity.ivf_topk_fixed_centroids(
+        embs, embs, cents, k=5, n_probe=2
+    ).select("query_id", "neighbor_id", "cos_sim")
+    rev = knn.select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("query_id").alias("neighbor_id"),
+    )
+    return (
+        knn.join(rev, ["query_id", "neighbor_id"], "left_semi")
+        .filter(F.col("query_id") < F.col("neighbor_id"))
+        .select(
+            F.col("query_id").alias("node_a"),
+            F.col("neighbor_id").alias("node_b"),
+            "cos_sim",
+        )
+    )
+
+
+def edges_artifact_path(sf_dir: str) -> str:
+    sf_abs = os.path.abspath(sf_dir)
+    token = hashlib.md5(sf_abs.encode("utf-8")).hexdigest()[:10]
+    name = f"{_VERSION}-{os.path.basename(sf_abs)}-{token}"
+    return os.path.join(_BASE, name)
+
+
+def mutual_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substrate table, materializing it on first use.
+
+    Returns (node_a, node_b, cos_sim) with node_a < node_b. The first
+    caller per (dataset, plan version) pays one builder job; everyone
+    after reads a narrow 3-column parquet scan, so the BFS/k-core/
+    triangle queries' lineage starts at the edge list instead of at
+    the embedding table.
+    """
+    sf_abs = os.path.abspath(sf_dir)
+    memo = _MEMO.get(sf_abs)
+    if memo is not None:
+        return _read(spark, memo)
+
+    path = edges_artifact_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        embs = load_table(spark, sf_dir, "embeddings")
+        tmp = f"{path}.tmp-{os.getpid()}"
+        # The edge list is ~5n rows of 3 scalars — tiny next to the
+        # embedding table. Default write partitioning: at cluster
+        # scale you want it spread; locally the files are small either
+        # way and the read coalesces via maxPartitionBytes.
+        build_edges_plan(embs).write.mode("overwrite").parquet(tmp)
+        os.makedirs(_BASE, exist_ok=True)
+        if os.path.exists(path) and not os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        ):
+            shutil.rmtree(path, ignore_errors=True)  # crashed writer
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # a concurrent builder published first; its artifact is
+            # byte-equivalent (deterministic plan) — use it
+            shutil.rmtree(tmp, ignore_errors=True)
+    _MEMO[sf_abs] = path
+    return _read(spark, path)
+
+
+def _read(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).select("node_a", "node_b", "cos_sim")

@@ -68,12 +68,20 @@ def contiguous_row_number(
     order_by: list[str | Column],
     out_col: str = "row_number",
     num_partitions: int | None = None,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Add a dense 1..N column defined by a total order.
 
     ``order_by`` must be a total order (include a unique tie-breaker
     key) — same requirement the reference's sort-then-range has
     implicitly via ``(date, match_id)``.
+
+    ``accuracy`` feeds ``percentile_approx`` for the bucket boundaries.
+    Boundaries only have to BALANCE the buckets, not be precise
+    quantiles — any monotone cut is correct — so ~1,000 (≈0.1% relative
+    rank error) keeps the ~n buckets within noise of even while the
+    boundary job's sketch is 10× smaller. The 10,000 default is kept
+    for existing callers whose plans are driver-proven.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     first = order_by[0]
@@ -88,7 +96,7 @@ def contiguous_row_number(
     probs = [i / n for i in range(1, n)] or [0.5]
     row = df.select(
         F.percentile_approx(
-            surr, F.array(*[F.lit(p) for p in probs]), F.lit(10_000)
+            surr, F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
         ).alias("__b")
     ).first()
     quantiles = row["__b"] if row is not None and row["__b"] is not None else []

@@ -126,9 +126,9 @@ def d122_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     alive sets are node-sized. Note the semi-join filter ordering:
     rounds_survived is monotone by construction (a node peeled in
     round r is absent from every later alive set)."""
-    # the kNN build is the expensive lineage — checkpoint it ONCE so
-    # the per-round degree jobs don't re-run the IVF join (same
-    # discipline as components.py's per-round localCheckpoint)
+    # the substrate is a materialized parquet table (knn_substrate.py),
+    # so lineage already starts at the edge list; checkpoint it once
+    # anyway so the per-round degree jobs hit memory, not the scan
     edges = (
         _mutual_knn_edges(spark, sf_dir)
         .select("node_a", "node_b")

@@ -42,6 +42,9 @@ def _d132_oracle() -> str:
     # recursive CTE (UNION recursion dedups (node, hops) pairs, the
     # hop cap bounds it), min() collapses to the first-reached level.
     graph = _knn_graph_cte().replace("WITH cents", "WITH RECURSIVE cents", 1)
+    # a rename/reformat of _knn_graph_cte would make the replace a
+    # silent no-op and only fail later at oracle-run time — fail HERE
+    assert graph != _knn_graph_cte(), "WITH-prefix rewrite missed"
     return f"""{graph},
     sym AS (
       SELECT node_a AS u, node_b AS v FROM edges

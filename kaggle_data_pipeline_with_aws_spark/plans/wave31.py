@@ -145,10 +145,12 @@ _KEYNESS_TOPK = 3  # keywords reported per source
     SELECT source, token, chi2, CAST(rk AS BIGINT) AS rk FROM (
       SELECT source, token,
              round(n * (a * d - b * c) * (a * d - b * c)
-                   / ((a + b) * (a + c) * (b + d) * (c + d)), 6) AS chi2,
+                   / NULLIF((a + b) * (a + c) * (b + d) * (c + d), 0),
+                   6) AS chi2,
              row_number() OVER (PARTITION BY source
                  ORDER BY n * (a * d - b * c) * (a * d - b * c)
-                          / ((a + b) * (a + c) * (b + d) * (c + d)) DESC,
+                          / NULLIF((a + b) * (a + c) * (b + d) * (c + d), 0)
+                          DESC NULLS LAST,
                           token ASC) AS rk
       FROM chi)
     WHERE rk <= {_KEYNESS_TOPK}
@@ -201,16 +203,24 @@ def d136_chi2_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double").alias("n"),
         )
     )
-    stat = (
+    # (b+d) = n − tok_n and (c+d) = n − src_n are 0 on degenerate
+    # corpora (single source / single token in vocab); guard the
+    # denominator to NULL so both engines agree instead of diverging
+    # on IEEE inf/nan vs NULL division semantics. NULL chi2 rows sort
+    # last (desc + nulls-last on both engines by the explicit oracle
+    # NULLS LAST and Spark's desc default).
+    denom = (
+        (F.col("a") + F.col("b"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+        * (F.col("c") + F.col("d"))
+    )
+    stat = F.when(
+        denom != 0,
         F.col("n")
         * (F.col("a") * F.col("d") - F.col("b") * F.col("c"))
         * (F.col("a") * F.col("d") - F.col("b") * F.col("c"))
-        / (
-            (F.col("a") + F.col("b"))
-            * (F.col("a") + F.col("c"))
-            * (F.col("b") + F.col("d"))
-            * (F.col("c") + F.col("d"))
-        )
+        / denom,
     )
     w = Window.partitionBy("source").orderBy(
         stat.desc(), F.col("token").asc()
