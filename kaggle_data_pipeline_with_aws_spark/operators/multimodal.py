@@ -3,11 +3,18 @@ with typed metadata.
 
 The Spark-side plumbing is real and tested — binary payload column,
 explicit output schema, Arrow-batched ``mapInPandas`` iteration, bounded
-batch sizes — while the actual codec calls are stubbed behind
-``DECODERS`` (the image/audio libraries are not in this container): the
-default "decoder" derives deterministic fake features from the bytes, so
-plans are verifiable end-to-end; swapping in Pillow/librosa is a
-one-function change, not a plan change.
+batch sizes. Codecs come in two tiers:
+
+- REAL decode for uncompressed container formats, stdlib-only: BMP
+  (width/height parsed from the BITMAPINFOHEADER with ``struct``) and
+  WAV (sample layout from the RIFF fmt/data chunks). ``encode_bmp`` /
+  ``encode_wav`` build genuine files for fixtures, so decode is tested
+  against real bytes, not length arithmetic.
+- The deterministic ``fake_decode`` stand-in remains ONLY for
+  compressed formats (JPEG/MP3/MP4 — their codec libraries are not in
+  this container): features derived purely from payload length, so
+  oracles can still reproduce them. Swapping in Pillow/librosa is a
+  one-function change, not a plan change.
 
 Scale notes: ``mapInPandas`` streams Arrow record batches — the decode
 stage never materializes a partition in Python memory at once;
@@ -19,6 +26,7 @@ splits. For petabyte media, store payloads as separate objects and keep
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Callable, Iterator
 from typing import Any
 
@@ -70,16 +78,85 @@ def fake_decode(payload: bytes, media_type: str) -> dict[str, Any]:
     }
 
 
-def _unavailable_decode(payload: bytes, media_type: str) -> dict[str, Any]:
-    raise NotImplementedError(
-        "real media codecs are not available in this environment; "
-        "register one via DECODERS['real'] = your_decoder"
+# --- real uncompressed-format codecs (stdlib struct, no deps) -------------
+
+
+def encode_bmp(width: int, height: int) -> bytes:
+    """A genuine bottom-up 24-bit uncompressed BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER + zeroed pixel rows padded to 4 bytes)."""
+    row = (3 * width + 3) // 4 * 4
+    data_len = row * height
+    file_len = 14 + 40 + data_len
+    header = struct.pack("<2sIHHI", b"BM", file_len, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, data_len, 2835, 2835, 0, 0
     )
+    return header + info + b"\x00" * data_len
+
+
+def decode_bmp(payload: bytes) -> dict[str, Any]:
+    """Parse width/height from the BITMAPINFOHEADER — the real decode
+    path for uncompressed images. Height is stored negative for
+    top-down rows; geometry is its magnitude. Single still: 1 frame."""
+    if payload[:2] != b"BM" or len(payload) < 26:
+        raise ValueError("not a BMP payload")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    return {
+        "byte_len": len(payload),
+        "width": abs(width),
+        "height": abs(height),
+        "n_frames": 1,
+    }
+
+
+def encode_wav(sample_rate: int, n_frames: int) -> bytes:
+    """A genuine RIFF/WAVE file: PCM16 mono fmt chunk + zeroed data."""
+    data_len = 2 * n_frames  # 16-bit mono
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    data = struct.pack("<4sI", b"data", data_len) + b"\x00" * data_len
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    return riff + fmt + data
+
+
+def decode_wav(payload: bytes) -> dict[str, Any]:
+    """Walk the RIFF chunk list for fmt/data — the real decode path for
+    uncompressed audio. ``n_frames`` = PCM frames (data bytes / block
+    align); width/height are 0 (no spatial geometry for audio)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, block_align, n_frames = 12, None, 0
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"fmt ":
+            block_align = struct.unpack_from("<H", payload, pos + 20)[0]
+        elif cid == b"data" and block_align:
+            n_frames = size // block_align
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    return {
+        "byte_len": len(payload),
+        "width": 0,
+        "height": 0,
+        "n_frames": n_frames,
+    }
+
+
+def real_decode(payload: bytes, media_type: str) -> dict[str, Any]:
+    """Magic-sniffing dispatcher: real struct-parse for the uncompressed
+    containers (BMP, WAV); anything else — i.e. compressed formats whose
+    codec libraries are not in this container — falls through to the
+    documented deterministic stand-in."""
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        return decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    return fake_decode(payload, media_type)
 
 
 DECODERS: dict[str, Callable[[bytes, str], dict[str, Any]]] = {
     "fake": fake_decode,
-    "real": _unavailable_decode,
+    "real": real_decode,
 }
 
 
@@ -106,6 +183,62 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
             .alias("byte_len"),
         ).alias("meta"),
     )
+
+
+def documents_as_real_media(docs: DataFrame) -> DataFrame:
+    """Like ``documents_as_media`` but the image/audio payloads are
+    REAL container files (uncompressed BMP / PCM16 WAV built by the
+    stdlib encoders), so the decode stage exercises genuine header
+    parsing. Geometry derives deterministically from the utf-8 text
+    length n (oracle-reproducible):
+
+    - image → BMP, width = 8 + n % 16, height = 8 + (n*7) % 16
+    - audio → WAV, 16 kHz, n_frames = 1 + n % 256
+    - video → raw utf-8 bytes (compressed video codecs are the
+      documented stub tier — ``real_decode`` falls back to the fake)
+
+    Payload construction is itself an Arrow-batched mapInPandas — the
+    same narrow-map shape a real binary ingest has.
+    """
+    from ..sources.readers import spread_for_compute
+
+    base = spread_for_compute(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.encode("text", "utf-8").alias("text_bytes"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads: list[bytes] = []
+            fmts: list[str] = []
+            for mtype, tb in zip(pdf["media_type"], pdf["text_bytes"]):
+                n = len(tb)
+                if mtype == "image":
+                    payloads.append(encode_bmp(8 + n % 16, 8 + (n * 7) % 16))
+                    fmts.append("bmp")
+                elif mtype == "audio":
+                    payloads.append(encode_wav(16_000, 1 + n % 256))
+                    fmts.append("wav")
+                else:
+                    payloads.append(bytes(tb))
+                    fmts.append("synthetic")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_type": pdf["media_type"].values,
+                    "payload": payloads,
+                    "meta": [
+                        {"format": f, "byte_len": len(p)}
+                        for f, p in zip(fmts, payloads)
+                    ],
+                }
+            )
+
+    return base.mapInPandas(run, MEDIA_SCHEMA)
 
 
 def extract_features(

@@ -400,19 +400,44 @@ def d10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 'video' END AS media_type,
              octet_length(encode(text)) AS n
       FROM documents
+    ),
+    geo AS (
+      SELECT doc_id, media_type, n,
+             8 + n % 16 AS bmp_w,
+             8 + (n * 7) % 16 AS bmp_h,
+             1 + n % 256 AS wav_frames
+      FROM m
     )
     SELECT doc_id, media_type,
-           CAST(n AS BIGINT) AS byte_len,
-           CAST(64 + n % 64 AS BIGINT) AS width,
-           CAST(64 + (n * 7) % 64 AS BIGINT) AS height,
-           CAST(CASE WHEN media_type = 'image' THEN 1
-                     ELSE 1 + n % 16 END AS BIGINT) AS n_frames
-    FROM m
+           CAST(CASE media_type
+                  -- BMP file size: 54-byte headers + 4-byte-padded rows
+                  WHEN 'image' THEN 54 + bmp_h * ((3 * bmp_w + 3) // 4 * 4)
+                  -- WAV file size: 44-byte canonical header + PCM16 mono
+                  WHEN 'audio' THEN 44 + 2 * wav_frames
+                  ELSE n END AS BIGINT) AS byte_len,
+           CAST(CASE media_type WHEN 'image' THEN bmp_w
+                  WHEN 'audio' THEN 0
+                  ELSE 64 + n % 64 END AS BIGINT) AS width,
+           CAST(CASE media_type WHEN 'image' THEN bmp_h
+                  WHEN 'audio' THEN 0
+                  ELSE 64 + (n * 7) % 64 END AS BIGINT) AS height,
+           CAST(CASE media_type WHEN 'image' THEN 1
+                  WHEN 'audio' THEN wav_frames
+                  ELSE 1 + n % 16 END AS BIGINT) AS n_frames
+    FROM geo
     """,
 )
 def d11_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = multimodal.documents_as_media(_docs(spark, sf_dir))
-    return multimodal.extract_features(media, decoder="fake")
+    """Feature extraction over REAL container payloads: image rows are
+    genuine uncompressed BMPs and audio rows genuine PCM16 WAVs (built
+    by the stdlib encoders in operators/multimodal.py), and the decode
+    stage struct-parses their actual headers — so the oracle's CASE
+    arms assert real file geometry (BMP row padding, WAV header size),
+    not length arithmetic. Video rows remain the documented stub tier
+    (compressed codecs unavailable in-container): raw bytes through the
+    deterministic fake decode."""
+    media = multimodal.documents_as_real_media(_docs(spark, sf_dir))
+    return multimodal.extract_features(media, decoder="real")
 
 
 @spark_query(

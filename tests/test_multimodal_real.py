@@ -1,0 +1,86 @@
+"""Real (stdlib-struct) BMP/WAV codec tier of operators/multimodal.py —
+the round-5 closure of the "fake features" gap: uncompressed container
+formats are now genuinely encoded and header-parsed; the deterministic
+fake tier remains only for compressed formats."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from kaggle_data_pipeline_with_aws_spark.operators import multimodal
+from kaggle_data_pipeline_with_aws_spark.plans import registry
+from kaggle_data_pipeline_with_aws_spark.sources.readers import load_table
+
+registry.load_all()
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (8, 8), (13, 21), (23, 9)])
+def test_bmp_roundtrip(w, h):
+    payload = multimodal.encode_bmp(w, h)
+    assert payload[:2] == b"BM"
+    # declared file length matches actual bytes (incl. 4-byte row pad)
+    assert struct.unpack_from("<I", payload, 2)[0] == len(payload)
+    feats = multimodal.decode_bmp(payload)
+    assert (feats["width"], feats["height"]) == (w, h)
+    assert feats["n_frames"] == 1
+    assert feats["byte_len"] == 54 + h * ((3 * w + 3) // 4 * 4)
+
+
+def test_bmp_top_down_height_is_magnitude():
+    payload = bytearray(multimodal.encode_bmp(5, 7))
+    struct.pack_into("<i", payload, 22, -7)  # top-down row order
+    assert multimodal.decode_bmp(bytes(payload))["height"] == 7
+
+
+@pytest.mark.parametrize("rate,frames", [(8000, 1), (16000, 255), (44100, 97)])
+def test_wav_roundtrip(rate, frames):
+    payload = multimodal.encode_wav(rate, frames)
+    feats = multimodal.decode_wav(payload)
+    assert feats["n_frames"] == frames
+    assert feats["byte_len"] == 44 + 2 * frames
+    assert feats["width"] == 0 and feats["height"] == 0
+
+
+def test_real_decode_dispatch_and_compressed_fallback():
+    bmp = multimodal.encode_bmp(4, 4)
+    wav = multimodal.encode_wav(16000, 10)
+    raw = b"not a container format"
+    assert multimodal.real_decode(bmp, "image")["width"] == 4
+    assert multimodal.real_decode(wav, "audio")["n_frames"] == 10
+    # unknown magic (stands in for compressed formats) -> fake tier
+    assert multimodal.real_decode(raw, "video") == multimodal.fake_decode(
+        raw, "video"
+    )
+
+
+def test_decoders_reject_garbage():
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(b"PNG....")
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFFxxxxAVI ")
+
+
+def test_d11_features_match_local_real_decode(spark):
+    """The full Spark path (real-media fixture builder + real decode
+    through mapInPandas) reproduces the local struct parse per row."""
+    docs = load_table(spark, SF, "documents").limit(60)
+    media = multimodal.documents_as_real_media(docs)
+    rows = {
+        r["doc_id"]: r
+        for r in multimodal.extract_features(media, decoder="real").collect()
+    }
+    payloads = {r["doc_id"]: r for r in media.collect()}
+    assert rows
+    saw = set()
+    for doc_id, row in rows.items():
+        src = payloads[doc_id]
+        want = multimodal.real_decode(
+            bytes(src["payload"]), src["media_type"]
+        )
+        saw.add(src["meta"]["format"])
+        for k in ("byte_len", "width", "height", "n_frames"):
+            assert row[k] == want[k], (doc_id, k)
+    assert {"bmp", "wav", "synthetic"} <= saw
