@@ -14,13 +14,16 @@ cd "$(dirname "$0")/.."
 SF_DIR="${1:-/root/testdata/sf0.01}"
 fail=0
 
-echo "=== gate 1/3: pytest (includes test_all_queries_run_sf0001) ==="
+echo "=== gate 1/4: pytest (includes test_all_queries_run_sf0001) ==="
 python -m pytest tests/ -x -q || fail=1
 
-echo "=== gate 2/3: oracle result-type audit ==="
+echo "=== gate 2/4: oracle result-type audit ==="
 python tools/check_types.py /root/testdata/sf0.001 || fail=1
 
-echo "=== gate 3/3: full oracle correctness at ${SF_DIR} ==="
+echo "=== gate 3/4: proof-invalidation audit (stale driver proofs) ==="
+python tools/proof_audit.py || fail=1
+
+echo "=== gate 4/4: full oracle correctness at ${SF_DIR} ==="
 python tools/check_correctness.py "${SF_DIR}" > /tmp/gate_correctness.out \
     2>/tmp/gate_correctness.err || fail=1
 tail -3 /tmp/gate_correctness.out
