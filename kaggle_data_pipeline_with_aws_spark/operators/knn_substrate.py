@@ -110,11 +110,19 @@ def mutual_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         embs = load_table(spark, sf_dir, "embeddings")
         tmp = f"{path}.tmp-{os.getpid()}"
-        # The edge list is ~5n rows of 3 scalars — tiny next to the
-        # embedding table. Default write partitioning: at cluster
-        # scale you want it spread; locally the files are small either
-        # way and the read coalesces via maxPartitionBytes.
-        build_edges_plan(embs).write.mode("overwrite").parquet(tmp)
+        try:
+            # The edge list is ~5n rows of 3 scalars — tiny next to the
+            # embedding table. Default write partitioning: at cluster
+            # scale you want it spread; locally the files are small
+            # either way and the read coalesces via maxPartitionBytes.
+            build_edges_plan(embs).write.mode("overwrite").parquet(tmp)
+        except Exception:
+            # Unwritable artifact dir (read-only checkout, full disk):
+            # correctness must not depend on the cache — serve the
+            # direct deterministic plan instead. Only the
+            # materialize-once speedup is lost.
+            shutil.rmtree(tmp, ignore_errors=True)
+            return build_edges_plan(embs)
         os.makedirs(_BASE, exist_ok=True)
         if os.path.exists(path) and not os.path.exists(
             os.path.join(path, "_SUCCESS")

@@ -63,6 +63,36 @@ def test_substrate_artifact_is_version_and_dataset_keyed(spark):
     assert knn_substrate._VERSION in os.path.basename(p1)
 
 
+def test_unwritable_store_falls_back_to_direct_plan(spark, monkeypatch):
+    """If the artifact can't be written, the reader serves the direct
+    deterministic plan — correctness never depends on the cache."""
+    _fresh_artifact(spark)
+
+    orig = knn_substrate.build_edges_plan
+    calls = {"n": 0}
+
+    def counting(embs):
+        calls["n"] += 1
+        df = orig(embs)
+
+        class _W:
+            def __getattr__(self, item):
+                return getattr(df, item)
+
+            @property
+            def write(self):
+                raise OSError("read-only store")
+
+        return _W() if calls["n"] == 1 else df
+
+    monkeypatch.setattr(knn_substrate, "build_edges_plan", counting)
+    df = knn_substrate.mutual_knn_edges(spark, SF)
+    assert df.count() > 0
+    assert calls["n"] == 2  # write attempt failed -> direct plan served
+    # and the failure was not memoized as a published artifact
+    assert os.path.abspath(SF) not in knn_substrate._MEMO
+
+
 def test_corrupt_artifact_is_rebuilt(spark):
     """A directory without _SUCCESS (crashed writer) is replaced."""
     path = _fresh_artifact(spark)
