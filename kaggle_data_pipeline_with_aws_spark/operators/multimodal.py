@@ -130,6 +130,8 @@ def decode_wav(payload: bytes) -> dict[str, Any]:
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         if cid == b"fmt ":
+            if pos + 22 > len(payload):  # truncated fmt chunk
+                raise ValueError("malformed WAV: truncated fmt chunk")
             block_align = struct.unpack_from("<H", payload, pos + 20)[0]
         elif cid == b"data" and block_align:
             n_frames = size // block_align

@@ -8,6 +8,7 @@ from __future__ import annotations
 import struct
 
 import pytest
+from hypothesis import given, settings, strategies as st
 
 from kaggle_data_pipeline_with_aws_spark.operators import multimodal
 from kaggle_data_pipeline_with_aws_spark.plans import registry
@@ -56,11 +57,48 @@ def test_real_decode_dispatch_and_compressed_fallback():
     )
 
 
+@settings(max_examples=50, deadline=None)
+@given(st.integers(1, 512), st.integers(1, 512))
+def test_bmp_roundtrip_property(w, h):
+    feats = multimodal.decode_bmp(multimodal.encode_bmp(w, h))
+    assert (feats["width"], feats["height"], feats["n_frames"]) == (w, h, 1)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.sampled_from([8000, 16000, 22050, 44100]), st.integers(0, 65536))
+def test_wav_roundtrip_property(rate, frames):
+    feats = multimodal.decode_wav(multimodal.encode_wav(rate, frames))
+    assert feats["n_frames"] == frames
+    assert feats["byte_len"] == 44 + 2 * frames
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=256))
+def test_real_decode_never_crashes_on_arbitrary_bytes(payload):
+    """The dispatcher must classify-or-fall-back, never raise: headers
+    that LOOK like BMP/WAV but are truncated/garbled go through the
+    struct parsers' own validation, everything else hits the fake tier."""
+    try:
+        feats = multimodal.real_decode(payload, "image")
+    except ValueError:
+        # only the two real parsers may reject, and only when the magic
+        # matched but the container is malformed
+        assert payload[:2] == b"BM" or payload[:4] == b"RIFF"
+        return
+    assert set(feats) == {"byte_len", "width", "height", "n_frames"}
+    assert feats["byte_len"] == len(payload)
+
+
 def test_decoders_reject_garbage():
     with pytest.raises(ValueError):
         multimodal.decode_bmp(b"PNG....")
     with pytest.raises(ValueError):
         multimodal.decode_wav(b"RIFFxxxxAVI ")
+    # WAVE magic but the fmt chunk is cut off mid-header: must raise
+    # ValueError, never a bare struct.error
+    truncated = b"RIFF\x24\x00\x00\x00WAVE" + struct.pack("<4sI", b"fmt ", 16)
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(truncated)
 
 
 def test_d11_features_match_local_real_decode(spark):
