@@ -84,6 +84,64 @@ def test_oracle_sql_is_part_of_the_symbol():
     )
 
 
+def test_changed_symbols_against_a_synthetic_history(tmp_path, monkeypatch):
+    """End-to-end git-diff logic on a throwaway repo: only the edited
+    function flags; its docstring-only sibling does not; a new symbol
+    flags; import changes flag the whole module."""
+    import subprocess
+
+    repo = tmp_path / "r"
+    pkg = repo / pa.PKG
+    pkg.mkdir(parents=True)
+    mod = pkg / "m.py"
+    mod.write_text(
+        "import os\n"
+        'def f():\n    """doc."""\n    return 1\n'
+        "def g():\n    return 2\n"
+    )
+
+    def git(*args):
+        subprocess.run(
+            ["git", "-C", str(repo), *args], check=True, capture_output=True
+        )
+
+    git("init", "-q")
+    git("-c", "user.email=t@t", "-c", "user.name=t", "add", "-A")
+    git(
+        "-c", "user.email=t@t", "-c", "user.name=t",
+        "commit", "-q", "-m", "base",
+    )
+    base = subprocess.run(
+        ["git", "-C", str(repo), "rev-parse", "HEAD"],
+        check=True, capture_output=True, text=True,
+    ).stdout.strip()
+
+    # edit f's body, leave g alone (docstring tweak only), add h
+    mod.write_text(
+        "import os\n"
+        'def f():\n    """doc."""\n    return 99\n'
+        'def g():\n    return 2\n'
+        "def h():\n    return 3\n"
+    )
+    monkeypatch.setattr(pa, "ROOT", str(repo))
+    graph = pa._RefGraph()
+    changed = pa.changed_symbols(base, graph)
+    names = {s for _, s in changed}
+    assert "f" in names and "h" in names
+    assert "g" not in names
+
+    # an import change flags every symbol in the module
+    mod.write_text(
+        "import sys\n"
+        'def f():\n    """doc."""\n    return 99\n'
+        "def g():\n    return 2\n"
+        "def h():\n    return 3\n"
+    )
+    graph2 = pa._RefGraph()
+    changed2 = pa.changed_symbols(base, graph2)
+    assert {s for _, s in changed2} >= {"f", "g", "h"}
+
+
 def test_audit_is_clean_at_head():
     """Enforced end-state: every stale proof is staged in the window.
     (Same check as gate stage 3 — kept here so plain pytest runs catch
