@@ -108,7 +108,12 @@ _WINDOW_PRIORITY = [
     "d110_semdedup",
     "d111_logreg_steps",
     "d112_calibration_curve",
-    "q101_ab_ztest",
+    # late re-proof: the round-5 sf0.1 robustness sweep caught q61's
+    # avg() crossing a round(,6) boundary cross-engine (1 row of 3,498
+    # at sf0.1; invisible at the sf0.01 driver scale) — fixed with a
+    # sorted-fold mean and swapped into the window's last slot
+    # (q101_ab_ztest moves to the head of the round-6 queue).
+    "q61_min_cost_supplier",
 ]
 
 

@@ -142,3 +142,25 @@ def epoch_micros(col: str | Column) -> Column:
     deterministic). Route EVERY ``unix_micros`` call through here.
     """
     return F.unix_micros(_c(col).cast("timestamp"))
+
+
+def round6_pos_portable(col: str | Column) -> Column:
+    """Cross-engine-stable round-half-up to 6 dp for NON-NEGATIVE
+    doubles: ``floor(x*1e6 + 0.5)/1e6`` — every step is an IEEE double
+    op, so Spark and DuckDB (``ROUND6_POS_SQL``) produce bit-identical
+    results even on exact .5 ties, where Spark's BigDecimal HALF_UP and
+    DuckDB's native double rounding disagree (found by the round-5
+    sf0.1 robustness sweep: q61's n=1 group mean 1046.3109375 rounded
+    to ...938 on Spark and ...937 on DuckDB). Use this instead of
+    ``F.round(x, 6)`` when a tie at the 7th decimal is plausible; the
+    caller must guarantee x >= 0 (floor(+0.5) rounds negatives toward
+    +inf, unlike half-up).
+    """
+    return (
+        F.floor(_c(col) * F.lit(1e6) + F.lit(0.5)).cast("double")
+        / F.lit(1e6)
+    )
+
+
+# DuckDB twin of round6_pos_portable — same IEEE ops, same result.
+ROUND6_POS_SQL = "(floor({x} * 1000000.0 + 0.5) / 1000000.0)"

@@ -48,8 +48,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       WHERE r_name = 'EUROPE'
     ),
     pp AS (
+      -- mean via a SORTED left fold (pins the summation order in both
+      -- engines) and the all-IEEE portable rounding (round() itself
+      -- diverges cross-engine on exact .5 ties at the 7th decimal —
+      -- see functions/scalars.py::round6_pos_portable).
       SELECT l_partkey, l_suppkey,
-             round(avg(l_extendedprice / l_quantity), 6) AS unit_price
+             floor(list_reduce(list_prepend(0.0,
+                     list_sort(list(l_extendedprice / l_quantity))),
+                     (a, b) -> a + b) / count(*)
+                   * 1000000.0 + 0.5) / 1000000.0 AS unit_price
       FROM lineitem GROUP BY 1, 2
     ),
     j AS (
@@ -72,7 +79,17 @@ def q61_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle (the (part, supplier) groupBy — partial-agg'd map-side);
     part and the supplier→nation→region chain are broadcast; the final
     argmin is a per-part window over a dimension-sized intermediate.
-    Prices are rounded BEFORE ranking so the rank is engine-stable."""
+    Prices are rounded BEFORE ranking so the rank is engine-stable.
+
+    Determinism (both found by the round-5 sf0.1 sweep): the per-pair
+    mean is a sorted left fold (array_sort + aggregate), not avg() —
+    plain double avg sums in partition/scan order and can differ by an
+    ulp cross-engine — and the rounding is the all-IEEE portable form
+    (scalars.round6_pos_portable), because round(x, 6) itself diverges
+    between Spark and DuckDB on exact .5 ties at the 7th decimal
+    (observed: a single-row group's mean 1046.3109375). The collected
+    group is bounded by lineitems per (part, supplier) pair — ~dozens
+    in TPC-H-shaped data — so the array stays row-local and tiny."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10)
     sup = (
@@ -89,10 +106,16 @@ def q61_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "n_name")
     )
+    from ..functions.scalars import round6_pos_portable
+
+    ratios = F.array_sort(
+        F.collect_list(F.col("l_extendedprice") / F.col("l_quantity"))
+    )
     pp = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias(
-            "unit_price"
-        )
+        round6_pos_portable(
+            F.aggregate(ratios, F.lit(0.0), lambda a, b: a + b)
+            / F.size(ratios)
+        ).alias("unit_price")
     )
     j = (
         pp.join(F.broadcast(part), pp["l_partkey"] == part["p_partkey"])
