@@ -114,6 +114,14 @@ _WINDOW_PRIORITY = [
     # sorted-fold mean and swapped into the window's last slot
     # (q101_ab_ztest moves to the head of the round-6 queue).
     "q61_min_cost_supplier",
+    # ---- position 51+: BEYOND this round's 50-slot window ----
+    # q38: the 10× sweep caught half-cent double-summation ties
+    # flipping its rank order between engines; revenue now sums in
+    # exact DECIMAL money arithmetic. The impl change invalidates its
+    # r2 proof, so it is staged here — head of the round-6 queue —
+    # satisfying the proof audit while the 50 slots above keep their
+    # committed order.
+    "q38_supplier_revenue_rank",
 ]
 
 

@@ -448,8 +448,15 @@ def d39_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q38_supplier_revenue_rank",
     """
     WITH rev AS (
+      -- EXACT decimal money arithmetic: prices/discounts are 2-decimal
+      -- amounts, so the per-supplier revenue sum is an integer number
+      -- of 10^-4 units — order-independent and bit-identical across
+      -- engines at ANY scale (double summation ties at the half-cent
+      -- flipped rank order in the 10x sweep).
       SELECT l_suppkey,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                  AS DOUBLE) AS revenue
       FROM lineitem GROUP BY l_suppkey
     )
     SELECT s_suppkey, n_name, revenue,
@@ -461,17 +468,31 @@ def d39_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q38_supplier_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Each supplier's revenue percentile within its nation. Revenue is
-    rounded to cents BEFORE ranking so the sort key is engine-stable
-    (raw double sums can differ in the last ulp and swap near-ties);
+    """Each supplier's revenue percentile within its nation. The
+    revenue sort key is computed in EXACT decimal money arithmetic
+    (cast to DECIMAL(18,2) before multiply/sum): prices and discounts
+    are 2-decimal amounts, so the sum is an integer number of 10^-4
+    units — order-independent, engine-identical at any scale, and
+    still a partial-aggregable JVM-side sum. (The earlier
+    round-after-double-sum form hit half-cent summation ties in the
+    round-5 10× sweep, flipping rank order between engines;
+    rounding can't fix a tie that the summation order itself moves.)
     (revenue, suppkey) makes the order total. The rank window
     partitions by nation → parallel across nations, and it ranks the
     pre-aggregated supplier rollup, not raw lineitems."""
     li = _t(spark, sf_dir, "lineitem")
     supplier = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
+    dec = "decimal(18,2)"
     rev = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast(dec)
+                * (F.lit(1).cast(dec) - F.col("l_discount").cast(dec))
+            ),
+            2,
+        )
+        .cast("double")
         .alias("revenue")
     )
     joined = rev.join(

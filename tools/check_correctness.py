@@ -71,10 +71,13 @@ def main() -> int:
     con = duckdb.connect()
     from kaggle_data_pipeline_with_aws_spark.sources.readers import TABLES
 
+    import os
+
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark directory-per-table layout
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
