@@ -122,6 +122,11 @@ _WINDOW_PRIORITY = [
     # satisfying the proof audit while the 50 slots above keep their
     # committed order.
     "q38_supplier_revenue_rank",
+    # d95: same sweep — engine-native avg/stddev_pop accumulation
+    # algorithms diverged ~2e-8 at 20k vectors, flipping rounded
+    # z-scores; stats now derive from exact integer micro-unit
+    # moments. r4 proof invalidated; staged for round 6.
+    "d95_embedding_norm_outliers",
 ]
 
 

@@ -217,17 +217,38 @@ def d94_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d95_embedding_norm_outliers",
     """
     WITH norms AS (
+      -- quantize each norm to integer 1e-10 units (finer than the
+      -- ~3e-8 normalization noise the corpus actually varies by, so
+      -- the distribution survives; row-local, bit-identical across
+      -- engines). Every corpus statistic below is then an EXACT
+      -- integer sum — order-independent and identical at any scale.
+      -- Engine-native avg/stddev_pop diverged ~2e-8 at 10×
+      -- (different accumulation algorithms), flipping rounded z's.
       SELECT vec_id,
-             sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+             CAST(floor(sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(range(1, 65),
                   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
-                  (acc, x) -> acc + x)) AS nrm
+                  (acc, x) -> acc + x)) * 10000000000.0 + 0.5) AS BIGINT) AS m
       FROM embeddings
     ),
-    stats AS (SELECT avg(nrm) AS mu, stddev_pop(nrm) AS sigma FROM norms)
-    SELECT vec_id, round(nrm, 6) AS l2_norm,
-           round((nrm - mu) / sigma, 6) AS z
-    FROM norms, stats
-    WHERE abs((nrm - mu) / sigma) > 2
+    -- min-center before the moments: d = m - min(m) keeps the exact
+    -- integers small, so E[d²] - E[d]² has no catastrophic
+    -- cancellation in the double domain
+    centered AS (
+      SELECT vec_id, m, m - (SELECT min(m) FROM norms) AS d FROM norms
+    ),
+    stats AS (
+      SELECT CAST(sum(CAST(d AS HUGEINT)) AS DOUBLE) AS s1,
+             CAST(sum(CAST(d AS HUGEINT) * d) AS DOUBLE) AS s2,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM centered
+    )
+    SELECT vec_id, m / 10000000000.0 AS l2_norm,
+           round((d - s1 / n)
+                 / NULLIF(sqrt(s2 / n - (s1 / n) * (s1 / n)), 0), 6) AS z
+    FROM centered, stats
+    WHERE abs((d - s1 / n)
+              / NULLIF(sqrt(s2 / n - (s1 / n) * (s1 / n)), 0)) > 2
     """,
 )
 def d95_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,19 +256,47 @@ def d95_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoders, zero vectors, and scale drift show up here before they
     poison a cosine index. Norm is a narrow higher-order fold per row;
     the (μ, σ) pair is a broadcast 1-row aggregate — two passes over
-    the vector column, no shuffle of vectors at any scale."""
+    the vector column, no shuffle of vectors at any scale.
+
+    Cross-engine determinism (round-5 10× find): each norm is
+    quantized per row to integer 1e-10 units — finer than the ~3e-8
+    normalization noise this corpus varies by, so the distribution is
+    preserved — then MIN-CENTERED so Σd and Σd² are small EXACT
+    integer sums (no catastrophic cancellation in E[d²] − E[d]²).
+    Engine-native avg/stddev_pop use different accumulation
+    algorithms and diverged ~2e-8 at 20k vectors, flipping rounded
+    z's; μ and σ now derive from the two exact moments with identical
+    op order in both engines. The decimal casts keep the sums exact
+    past bigint range at cluster row counts."""
     from ..operators.similarity import norm
 
     e = _t(spark, sf_dir, "embeddings")
-    norms = e.select("vec_id", norm(F.col("embedding")).alias("nrm"))
-    stats = norms.agg(
-        F.avg("nrm").alias("mu"), F.stddev_pop("nrm").alias("sigma")
+    quant = F.floor(
+        norm(F.col("embedding")) * F.lit(1e10) + F.lit(0.5)
+    ).cast("long")
+    norms = e.select("vec_id", quant.alias("m"))
+    m0 = norms.agg(F.min("m").alias("m0"))
+    centered = norms.crossJoin(F.broadcast(m0)).select(
+        "vec_id", "m", (F.col("m") - F.col("m0")).alias("d")
     )
+    dec = "decimal(18,0)"
+    stats = centered.agg(
+        F.sum(F.col("d").cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum(F.col("d").cast(dec) * F.col("d").cast(dec))
+        .cast("double")
+        .alias("s2"),
+        F.count("*").cast("double").alias("n"),
+    )
+    mu = F.col("s1") / F.col("n")
+    sigma = F.sqrt(F.col("s2") / F.col("n") - mu * mu)
+    z = (F.col("d") - mu) / F.nullif(sigma, F.lit(0.0))
     return (
-        norms.crossJoin(F.broadcast(stats))
-        .withColumn("z", F.round((F.col("nrm") - F.col("mu")) / F.col("sigma"), 6))
-        .filter(F.abs((F.col("nrm") - F.col("mu")) / F.col("sigma")) > 2)
-        .select("vec_id", F.round("nrm", 6).alias("l2_norm"), "z")
+        centered.crossJoin(F.broadcast(stats))
+        .withColumn("z", F.round(z, 6))
+        .filter(F.abs(z) > 2)
+        .select(
+            "vec_id", (F.col("m") / F.lit(1e10)).alias("l2_norm"), "z"
+        )
     )
 
 

@@ -69,22 +69,38 @@ def test_d94_coverage_monotone_in_k(spark):
 
 
 def test_d95_zscores_match_definition(spark):
-    import statistics
+    """Replays the QUANTIZED + MIN-CENTERED definition (round 5):
+    norms in integer 1e-10 units (finer than the corpus's ~3e-8
+    normalization noise), μ/σ from the exact centered integer moments
+    — the cross-engine determinism fix after native avg/stddev_pop
+    diverged at 10×."""
+    import math
 
     rows = {r["vec_id"]: r for r in Q["d95_embedding_norm_outliers"](spark, SF).collect()}
     embs = load_table(spark, SF, "embeddings").collect()
-    norms = {
-        e["vec_id"]: sum(float(x) * float(x) for x in e["embedding"]) ** 0.5
+    micro = {
+        e["vec_id"]: math.floor(
+            sum(float(x) * float(x) for x in e["embedding"]) ** 0.5 * 1e10
+            + 0.5
+        )
         for e in embs
     }
-    mu = statistics.fmean(norms.values())
-    sigma = statistics.pstdev(norms.values())
+    m0 = min(micro.values())
+    d = {v: m - m0 for v, m in micro.items()}
+    n = len(d)
+    s1 = float(sum(d.values()))
+    s2 = float(sum(x * x for x in d.values()))
+    mu = s1 / n
+    sigma = math.sqrt(s2 / n - mu * mu)
+    assert sigma > 0, "corpus noise must survive the quantization"
     expected = {
-        v: (n - mu) / sigma for v, n in norms.items() if abs((n - mu) / sigma) > 2
+        v: (x - mu) / sigma for v, x in d.items() if abs((x - mu) / sigma) > 2
     }
+    assert expected, "no outliers at sf0.001 — semantic collapsed"
     assert set(rows) == set(expected)
     for v, z in expected.items():
-        assert abs(rows[v]["z"] - round(z, 6)) < 1e-5
+        assert abs(rows[v]["z"] - round(z, 6)) < 1e-9
+        assert abs(rows[v]["l2_norm"] - micro[v] / 1e10) < 1e-12
 
 
 def test_d96_cosine_bounds_and_symmetry_convention(spark):
