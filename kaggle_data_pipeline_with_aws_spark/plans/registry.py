@@ -69,3 +69,4 @@ def load_all() -> None:
     from . import wave29  # noqa: F401
     from . import wave30  # noqa: F401
     from . import wave31  # noqa: F401
+    from . import wave32  # noqa: F401
