@@ -235,6 +235,15 @@ SHOWCASE: list[tuple[str, str]] = [
         " that grid-sized table — no corpus-sized sort or partition"
         " anywhere in the plan.",
     ),
+    (
+        "d137_ivfpq_adc",
+        "IVF-PQ ADC serving path: codebook, coarse table, probe list,"
+        " and per-query distance tables all BroadcastExchange; the"
+        " probe→cells join is a BroadcastHashJoin (an SMJ here would"
+        " repartition the corpus onto ≤8 cell keys); the per-query"
+        " top-k pushes WindowGroupLimit below its exchange so each"
+        " candidate partition emits at most k rows.",
+    ),
 ]
 
 
