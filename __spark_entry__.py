@@ -53,7 +53,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose impl changed with the substrate + BFS lineage fix), then the
 # OLDEST 32 of the wave-12-31 proof queue. The remaining ~35 queued
 # queries stay staged after the window via _ordered()'s rest_oracle
-# block for round 6; rows-only twins (d15/d23) stay dead last.
+# block for round 6 (joined by wave 32's d137/d138/d139, added after
+# this window was sealed — 38 queued total, fits the one-window
+# budget); rows-only twins (d15/d23) stay dead last.
 _WINDOW_PRIORITY = [
     # re-proofs: implementation changed after an earlier green row
     "q17_global_renumber",
