@@ -129,6 +129,15 @@ _WINDOW_PRIORITY = [
     # z-scores; stats now derive from exact integer micro-unit
     # moments. r4 proof invalidated; staged for round 6.
     "d95_embedding_norm_outliers",
+    # round-5 performance pass on the three 10× hotspots the r4 run
+    # flagged: pair enumeration moved INSIDE tasks (bucket-local /
+    # block-pair numpy kernels, fold-order-exact, survivors-only
+    # output) — d10 182→9.7 s, d53 65→6.8 s, d85 66→5.5 s at 10×,
+    # value-exact at sf0.001/sf0.01. Impl changes invalidate their
+    # r2/r3/r4 proofs; staged here for round 6.
+    "d10_embedding_neardup",
+    "d53_translation_candidates",
+    "d85_translation_length_filter",
 ]
 
 

@@ -278,6 +278,55 @@ def _explode_bands(
     )
 
 
+def _block_cosines(ids_a, A, ids_b, B, keep_floor, upper, chunk=512):
+    """All cross-pair raw cosines between two row blocks, keeping pairs
+    with cos ≥ ``keep_floor``.
+
+    Fold-order-exact: dots and squared norms accumulate SEQUENTIALLY
+    over dimensions (``acc = acc + x_j · y_j``), the same IEEE-754
+    order as the ``F.aggregate`` fold, ``_seq_dot``, and the DuckDB
+    ``list_reduce`` oracle — results are bit-identical per pair, not
+    just close.  ``keep_floor`` must sit BELOW the operator threshold
+    (slack for the final round-to-6): the exact ``F.round`` +
+    threshold filter stays in Spark so the survivor set is decided by
+    the very same expression as before.  ``upper`` computes only the
+    i<j triangle of one block against itself.  A-rows stream in
+    ``chunk``-sized slices so peak memory is chunk × |B| regardless of
+    block size."""
+    import numpy as np
+
+    na = np.sqrt(_seq_dot(A, A))
+    nb = na if B is A else np.sqrt(_seq_dot(B, B))
+    out_i: list = []
+    out_j: list = []
+    out_c: list = []
+    for lo in range(0, A.shape[0], chunk):
+        hi = min(lo + chunk, A.shape[0])
+        acc = np.zeros((hi - lo, B.shape[0]))
+        for j in range(A.shape[1]):
+            acc = acc + A[lo:hi, j][:, None] * B[:, j][None, :]
+        cos = acc / (na[lo:hi][:, None] * nb[None, :])
+        if upper:
+            # strict upper triangle in ROW ORDER; callers pre-sort by id
+            mask = cos >= keep_floor
+            rows = np.arange(lo, hi)[:, None]
+            mask &= rows < np.arange(B.shape[0])[None, :]
+        else:
+            mask = cos >= keep_floor
+        ii, jj = np.nonzero(mask)
+        if len(ii):
+            out_i.append(ids_a[ii + lo])
+            out_j.append(ids_b[jj])
+            out_c.append(cos[ii, jj])
+    if not out_i:
+        return None
+    return (
+        np.concatenate(out_i),
+        np.concatenate(out_j),
+        np.concatenate(out_c),
+    )
+
+
 def near_duplicate_pairs_banded(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -288,51 +337,161 @@ def near_duplicate_pairs_banded(
     dim: int = 64,
     vectorized: bool = True,
 ) -> DataFrame:
-    """Scale-safe embedding near-dup: candidate pairs come from a band
-    equi-join over hyperplane-LSH signatures, then the exact cosine
-    filter.  The *contract* is ``cos ≥ threshold AND signatures agree on
-    ≥1 of n_bands bands`` — band agreement is part of the operator
-    semantics (exactly the d14 simhash-pairs pattern), so the DuckDB
-    oracle states the same condition and the result is fully
-    value-checkable while the plan never enumerates all pairs.
+    """Scale-safe embedding near-dup: pairs are enumerated INSIDE each
+    LSH band bucket, then the exact cosine filter.  The *contract* is
+    ``cos ≥ threshold AND signatures agree on ≥1 of n_bands bands`` —
+    band agreement is part of the operator semantics (exactly the d14
+    simhash-pairs pattern), so the DuckDB oracle states the same
+    condition and the result is fully value-checkable while the plan
+    never enumerates all pairs.
 
-    Shuffle shape: both sides hash-partition on (band_id, band_val);
-    candidates (not the corpus) are deduped and scored.  Guarantees
-    every pair within Hamming ≤ n_bands-1 by pigeonhole; higher-Hamming
-    pairs are caught band-probabilistically — recall tested against the
-    all-pairs twin in tests."""
+    Shuffle shape: each vector ships ONCE PER BAND to its
+    (band_id, band_val) bucket (n·n_bands narrow rows); the bucket's
+    pairwise cosines run as one Arrow-batched numpy kernel
+    (``applyInPandas``) that emits only near-threshold survivors — the
+    m²-pair candidate set never leaves the task, which is what the
+    earlier band self-JOIN got wrong (it shuffled every candidate pair
+    with both 64-float payloads attached: ~50 GB at 20k vectors for a
+    137k-pair answer).  Parallelism is bounded by bucket count
+    (n_bands · 2^band_bits); per-bucket work is the pigeonhole-required
+    m² — chunked so memory stays bounded.  Guarantees every pair within
+    Hamming ≤ n_bands-1 by pigeonhole; higher-Hamming pairs are caught
+    band-probabilistically — recall tested against the all-pairs twin
+    in tests."""
+    import numpy as np
+    import pandas as pd
+
     bounds = band_bounds(num_planes, n_bands)
     sigd = spread_for_compute(embeddings).select(
-        F.col(id_col).alias("__id"),
+        F.col(id_col).cast("long").alias("__id"),
         F.col(vec_col).alias("__v"),
         _signature(F.col(vec_col), num_planes, dim, vectorized).alias("__sig"),
     )
-    a = _explode_bands(
-        sigd.select(
-            F.col("__id").alias("id_1"),
-            F.col("__v").alias("__a"),
-            F.col("__sig").alias("__sig_a"),
-        ),
-        "__sig_a",
-        bounds,
+    bands = _explode_bands(sigd, "__sig", bounds).select(
+        "band_id", "band_val", "__id", "__v"
     )
-    b = _explode_bands(
-        sigd.select(
-            F.col("__id").alias("id_2"),
-            F.col("__v").alias("__b"),
-            F.col("__sig").alias("__sig_b"),
-        ),
-        "__sig_b",
-        bounds,
+    keep_floor = threshold - 1e-6
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_1": pd.Series([], dtype="int64"),
+                "id_2": pd.Series([], dtype="int64"),
+                "cos": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("__id")
+        ids = pdf["__id"].to_numpy()
+        V = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+        got = _block_cosines(ids, V, ids, V, keep_floor, upper=True)
+        if got is None:
+            return empty
+        i, j, c = got
+        return pd.DataFrame({"id_1": i, "id_2": j, "cos": c})
+
+    pairs = bands.groupBy("band_id", "band_val").applyInPandas(
+        bucket_pairs, "id_1 long, id_2 long, cos double"
     )
     return (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("id_1") < F.col("id_2"))
+        pairs.withColumn("cos_sim", F.round(F.col("cos"), 6))
+        .filter(F.col("cos_sim") >= threshold)
         .dropDuplicates(["id_1", "id_2"])
-        .withColumn(
-            "cos_sim",
-            F.round(_cosine(F.col("__a"), F.col("__b"), vectorized), 6),
+        .select("id_1", "id_2", "cos_sim")
+    )
+
+
+def near_duplicate_pairs_blocked(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_blocks: int | None = None,
+    chunk: int = 512,
+) -> DataFrame:
+    """EXACT all-pairs cosine near-dup (id1 < id2, round6(cos) ≥
+    threshold) — same contract and bit-identical values as
+    ``near_duplicate_pairs``, restructured for scale: vectors are
+    hash-assigned to ``n_blocks`` blocks, every unordered block pair
+    becomes one task holding both blocks' vectors ONCE, and the task's
+    pairwise cosines run as a chunked numpy kernel that emits only
+    near-threshold survivors.
+
+    Data shipped is n·(n_blocks+1) narrow vector rows instead of the
+    theta join's n² pair rows with two 64-float payloads each; the
+    O(n²·d) arithmetic is unavoidable (the contract IS all pairs) but
+    runs vectorized inside tasks instead of per-pair through a join.
+    Block assignment uses ``xxhash64`` — it affects only which task
+    computes a pair, never the result, so engine-portability of the
+    hash is irrelevant here (contrast the banded operator, where
+    bucket membership is part of the contract)."""
+    import numpy as np
+    import pandas as pd
+
+    sc = embeddings.sparkSession.sparkContext
+    nb = n_blocks or sc.defaultParallelism
+    base = spread_for_compute(embeddings).select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int").alias("__p"),
+    )
+    a = base.select(
+        F.col("__p").alias("__ka"),
+        F.explode(F.sequence(F.col("__p"), F.lit(nb - 1))).alias("__kb"),
+        F.lit(0).alias("__side"),
+        "__id",
+        "__v",
+    )
+    b = base.select(
+        F.explode(F.sequence(F.lit(0), F.col("__p"))).alias("__ka"),
+        F.col("__p").alias("__kb"),
+        F.lit(1).alias("__side"),
+        "__id",
+        "__v",
+    )
+    keep_floor = threshold - 1e-6
+
+    def block_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_1": pd.Series([], dtype="int64"),
+                "id_2": pd.Series([], dtype="int64"),
+                "cos": pd.Series([], dtype="float64"),
+            }
         )
+        ka, kb = key
+        if ka == kb:
+            part = pdf[pdf["__side"] == 0].sort_values("__id")
+            if len(part) < 2:
+                return empty
+            ids = part["__id"].to_numpy()
+            V = np.stack(part["__v"].to_numpy()).astype(np.float64)
+            got = _block_cosines(ids, V, ids, V, keep_floor, upper=True, chunk=chunk)
+        else:
+            pa = pdf[pdf["__side"] == 0]
+            pb = pdf[pdf["__side"] == 1]
+            if len(pa) == 0 or len(pb) == 0:
+                return empty
+            ia = pa["__id"].to_numpy()
+            ib = pb["__id"].to_numpy()
+            A = np.stack(pa["__v"].to_numpy()).astype(np.float64)
+            B = np.stack(pb["__v"].to_numpy()).astype(np.float64)
+            got = _block_cosines(ia, A, ib, B, keep_floor, upper=False, chunk=chunk)
+        if got is None:
+            return empty
+        i, j, c = got
+        lo = np.minimum(i, j)
+        hi = np.maximum(i, j)
+        return pd.DataFrame({"id_1": lo, "id_2": hi, "cos": c})
+
+    pairs = (
+        a.unionByName(b)
+        .groupBy("__ka", "__kb")
+        .applyInPandas(block_pairs, "id_1 long, id_2 long, cos double")
+    )
+    return (
+        pairs.withColumn("cos_sim", F.round(F.col("cos"), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_1", "id_2", "cos_sim")
     )

@@ -1605,14 +1605,18 @@ def d53_translation_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-lingual mining: embedding pairs that are near-duplicates in
     vector space but written in DIFFERENT languages — the candidate set
     for parallel-corpus extraction (and for "same content, different
-    language" dedup policy decisions). Same cosine kernel as d10, with
-    the (doc_id → lang) dimension broadcast onto both sides; at scale
-    the pair generation goes through the LSH bucketing (d13) instead of
-    the quadratic join — the language filter is unchanged."""
+    language" dedup policy decisions). Same cosine contract as the
+    naive all-pairs twin, computed through the blocked kernel: vectors
+    hash into block-pair tasks (each holding both blocks ONCE) and the
+    chunked numpy cosine emits only near-threshold survivors — the n²
+    arithmetic the oracle demands runs vectorized inside tasks instead
+    of per-pair through a theta join. The (doc_id → lang) dimension
+    broadcasts onto the surviving pairs; the language filter is
+    unchanged."""
     from ..operators import similarity
 
     e = _emb(spark, sf_dir)
-    pairs = similarity.near_duplicate_pairs(e, threshold=0.4)
+    pairs = similarity.near_duplicate_pairs_blocked(e, threshold=0.4)
     langs = _docs(spark, sf_dir).select(
         F.col("doc_id"), F.col("lang")
     )

@@ -150,12 +150,16 @@ def test_ann_lsh_candidates_are_hash_joined(spark, sf_dir):
 
 
 def test_embedding_neardup_is_banded_not_allpairs(spark, sf_dir):
-    """d10: the registered near-dup plan buckets candidates by signature
-    band (shuffle hash join on band keys) instead of the O(n²) theta
-    join; the all-pairs form survives only as the verification twin."""
+    """d10: the registered near-dup plan groups vectors by signature
+    band and enumerates pairs INSIDE each bucket's Arrow kernel
+    (FlatMapGroupsInPandas) — no O(n²) theta join, and no join of any
+    kind carrying vector payloads; the all-pairs form survives only as
+    the verification twin."""
     plan = _plan(spark, sf_dir, "d10_embedding_neardup")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan
 
 
 def test_banded_neardup_is_subset_of_exact(spark, sf_dir):
