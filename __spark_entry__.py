@@ -21,7 +21,14 @@ SF0001 = "/root/testdata/sf0.001"
 # Extra bench-headline ops (bench.py appends these to HEADLINE): the
 # exact set-similarity PPJoins — the repo's biggest plan-level perf
 # work — so BENCH_r{N}.json carries their time series going forward.
-BENCH_EXTRA = ["d06_ngram_jaccard", "d42_shingle_containment", "d110_semdedup"]
+BENCH_EXTRA = [
+    "d06_ngram_jaccard",
+    "d42_shingle_containment",
+    "d110_semdedup",
+    # added round 5 after its in-task pair-kernel rewrite (182→9.7 s
+    # at 10×) so the series tracks the flagship embedding-pair op
+    "d10_embedding_neardup",
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:
