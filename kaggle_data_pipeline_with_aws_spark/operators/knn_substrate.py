@@ -9,10 +9,12 @@ registry per the round-4 verdict). At 100 TB you would run the edge
 builder ONCE as a writer job and point every graph query at the
 resulting parquet table; this module is that exact idiom scaled down:
 
-- ``build_edges_plan`` is the unchanged deterministic plan (IVF with
-  fixed centroids ``vec_id < 16``, k=5, n_probe=2, mutuality via a
-  narrow self semi-join — never all-pairs; same shape the round-2
-  proofs of d62/d63 ran).
+- ``build_edges_plan`` is the deterministic round-2-proven semantics
+  (IVF with fixed centroids ``vec_id < 16``, k=5, n_probe=2,
+  mutuality via a narrow self semi-join — never all-pairs), served
+  since round 5 by the grouped in-task kernel
+  (``similarity.ivf_topk_fixed_centroids_grouped``) — bit-identical
+  values, ~10× less build wall at 10×.
 - ``mutual_knn_edges`` materializes it to a content-addressed parquet
   path under ``<repo>/spark-warehouse/knn_edges/`` on first use and
   serves every later call (same process or a later one) from the
@@ -45,7 +47,9 @@ from . import similarity
 
 # Bump whenever build_edges_plan's semantics change — the version is
 # baked into the artifact path so stale materializations are unreachable.
-_VERSION = "v1"
+# v2: within-cell scoring moved into the cell tasks (grouped kernel) —
+# values are bit-identical to v1, but the rule is any plan change bumps.
+_VERSION = "v2"
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -60,14 +64,17 @@ _MEMO: dict[str, str] = {}
 def build_edges_plan(embs: DataFrame) -> DataFrame:
     """(node_a < node_b, cos_sim): mutual IVF-top-5 pairs.
 
-    The kNN side is the scale-safe IVF cell equi-join (never
-    all-pairs); mutuality is a self equi-join of the narrow per-query
-    top-5 table. This is the exact plan d62/d63 proved in round 2
-    (formerly ``plans/retrieval._mutual_knn_edges``), lifted here so
-    the writer and the direct plan share one definition.
+    The kNN side is the scale-safe IVF with fixed centroids (never
+    all-pairs), in its grouped form: because the query set here IS the
+    corpus, the join-based plan would shuffle every candidate pair
+    with both vector payloads attached; the grouped kernel co-groups
+    members and probers by cell and scores in-task (10× build wall
+    107 s → 10 s, bit-identical values — the same semantics d62/d63
+    proved in round 2, formerly ``plans/retrieval._mutual_knn_edges``).
+    Mutuality is a self equi-join of the narrow per-query top-5 table.
     """
     cents = embs.filter(F.col("vec_id") < 16)
-    knn = similarity.ivf_topk_fixed_centroids(
+    knn = similarity.ivf_topk_fixed_centroids_grouped(
         embs, embs, cents, k=5, n_probe=2
     ).select("query_id", "neighbor_id", "cos_sim")
     rev = knn.select(
