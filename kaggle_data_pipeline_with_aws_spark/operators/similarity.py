@@ -278,46 +278,61 @@ def _explode_bands(
     )
 
 
-def _block_cosines(ids_a, A, ids_b, B, keep_floor, upper, chunk=512):
-    """All cross-pair raw cosines between two row blocks, keeping pairs
-    with cos ≥ ``keep_floor``.
+# BLAS summation order differs from the sequential fold only by
+# blocked/pairwise accumulation: for unit-scale cosines over d=O(100)
+# dims the absolute difference is bounded by ~d·eps ≈ 1e-14.  Widening
+# a candidate cut by this slack makes the GEMM-selected set a superset
+# of the fold-selected one by eight orders of magnitude of margin.
+_GEMM_SLACK = 1e-9
 
-    Fold-order-exact: dots and squared norms accumulate SEQUENTIALLY
-    over dimensions (``acc = acc + x_j · y_j``), the same IEEE-754
-    order as the ``F.aggregate`` fold, ``_seq_dot``, and the DuckDB
-    ``list_reduce`` oracle — results are bit-identical per pair, not
-    just close.  ``keep_floor`` must sit BELOW the operator threshold
-    (slack for the final round-to-6): the exact ``F.round`` +
-    threshold filter stays in Spark so the survivor set is decided by
-    the very same expression as before.  ``upper`` computes only the
-    i<j triangle of one block against itself.  A-rows stream in
-    ``chunk``-sized slices so peak memory is chunk × |B| regardless of
-    block size."""
+
+def _block_cosines(ids_a, A, ids_b, B, keep_floor, upper, chunk=512):
+    """All cross-pair cosines between two row blocks, keeping pairs
+    with (fold-exact) cos ≥ ``keep_floor``.
+
+    Two phases so the n²·d arithmetic runs at BLAS speed without
+    giving up bit-exactness:
+
+    1. CUT — one GEMM per A-chunk (``A @ B.T``) scores every pair;
+       candidates are kept at ``keep_floor - _GEMM_SLACK``, a strict
+       superset of the exact-fold keep set (see ``_GEMM_SLACK``).
+    2. EMIT — survivors only (near-threshold pairs, output-sized) are
+       re-scored with the dimension-SEQUENTIAL fold (``_seq_dot``, the
+       same IEEE-754 add/mul order as the ``F.aggregate`` expression
+       and the DuckDB ``list_reduce`` oracle) and re-filtered at the
+       exact ``keep_floor`` — emitted values and the survivor set are
+       bit-identical to an all-fold kernel.
+
+    ``keep_floor`` must sit BELOW the operator threshold (slack for
+    the final round-to-6): the exact ``F.round`` + threshold filter
+    stays in Spark so the final set is decided by the very same
+    expression as before.  ``upper`` computes only the i<j triangle of
+    one block against itself.  A-rows stream in ``chunk``-sized slices
+    so peak memory is chunk × |B| regardless of block size."""
     import numpy as np
 
     na = np.sqrt(_seq_dot(A, A))
     nb = na if B is A else np.sqrt(_seq_dot(B, B))
+    cut = keep_floor - _GEMM_SLACK
     out_i: list = []
     out_j: list = []
     out_c: list = []
     for lo in range(0, A.shape[0], chunk):
         hi = min(lo + chunk, A.shape[0])
-        acc = np.zeros((hi - lo, B.shape[0]))
-        for j in range(A.shape[1]):
-            acc = acc + A[lo:hi, j][:, None] * B[:, j][None, :]
-        cos = acc / (na[lo:hi][:, None] * nb[None, :])
+        cos_fast = (A[lo:hi] @ B.T) / (na[lo:hi][:, None] * nb[None, :])
+        mask = cos_fast >= cut
         if upper:
             # strict upper triangle in ROW ORDER; callers pre-sort by id
-            mask = cos >= keep_floor
             rows = np.arange(lo, hi)[:, None]
             mask &= rows < np.arange(B.shape[0])[None, :]
-        else:
-            mask = cos >= keep_floor
         ii, jj = np.nonzero(mask)
         if len(ii):
-            out_i.append(ids_a[ii + lo])
-            out_j.append(ids_b[jj])
-            out_c.append(cos[ii, jj])
+            exact = _seq_dot(A[ii + lo], B[jj]) / (na[ii + lo] * nb[jj])
+            keep = exact >= keep_floor
+            if keep.any():
+                out_i.append(ids_a[ii[keep] + lo])
+                out_j.append(ids_b[jj[keep]])
+                out_c.append(exact[keep])
     if not out_i:
         return None
     return (
@@ -733,12 +748,14 @@ def ivf_topk_fixed_centroids_grouped(
     both vector payloads attached — Σ|cell|·n_probe·|cell| pair rows of
     2·dim doubles each — to keep only k per query. Here members and
     probers are co-grouped by cell (one shuffle of n + n_probe·n
-    VECTOR rows, not pair rows) and an Arrow-batched kernel scores
-    each cell in-task, emitting only rows that can still make the
-    rounded top-k. Assignment and probing stay the same relational
-    argmax; the exact ``F.round`` + row_number cut stays in Spark, so
-    results are bit-identical to the join plan (same sequential
-    IEEE-754 fold order as ``_seq_dot`` / the DuckDB oracle).
+    VECTOR rows, not pair rows) and an Arrow-batched two-phase kernel
+    scores each cell in-task (GEMM-speed candidate cut, survivors
+    re-scored with the exact sequential fold — see ``_block_cosines``),
+    emitting only rows that can still make the rounded top-k.
+    Assignment and probing stay the same relational argmax; the exact
+    ``F.round`` + row_number cut stays in Spark, so results are
+    bit-identical to the join plan (the IEEE-754 fold order of
+    ``_seq_dot`` / the DuckDB oracle on every emitted value).
 
     Parallelism is #cells and in-task memory is chunk × |cell|
     doubles: at production scale raise the centroid count with the
@@ -803,31 +820,35 @@ def ivf_topk_fixed_centroids_grouped(
         out_c: list = []
         for lo in range(0, Q.shape[0], chunk):
             hi = min(lo + chunk, Q.shape[0])
-            acc = np.zeros((hi - lo, M.shape[0]))
-            for j in range(Q.shape[1]):
-                acc = acc + Q[lo:hi, j][:, None] * M[:, j][None, :]
-            cos = acc / (nq[lo:hi][:, None] * nm[None, :])
+            # CUT at GEMM speed: exact values aren't needed to decide
+            # who might still make the rounded top-k (see
+            # ``_block_cosines`` / ``_GEMM_SLACK``)
+            cos_fast = (Q[lo:hi] @ M.T) / (nq[lo:hi][:, None] * nm[None, :])
             # a member sits in exactly one cell, so self-pairs can be
-            # masked here without a later distinct
+            # masked here without a later distinct; at most one self
+            # match per row (ids are unique)
             self_mask = qid_all[lo:hi][:, None] == mid[None, :]
-            cos_for_cut = np.where(self_mask, -np.inf, cos)
-            m_eff = M.shape[0] - self_mask.sum(axis=1)
+            cfc = np.where(self_mask, -np.inf, cos_fast)
             # value cut: keep everything that could still make the
-            # ROUNDED top-k. round-to-6 moves a value ≤ 5e-7, so any
-            # raw cos below kth_raw - 2e-6 is strictly under ≥ k
-            # candidates after rounding — the Spark-side cut decides
-            # the survivor set with the exact original expression.
-            for r in range(hi - lo):
-                row = cos_for_cut[r]
-                if m_eff[r] <= k:
-                    keep = np.flatnonzero(~self_mask[r])
-                else:
-                    kth = np.partition(row, -k)[-k]
-                    keep = np.flatnonzero(row >= kth - 2e-6)
-                if len(keep):
-                    out_q.append(np.full(len(keep), qid_all[lo + r]))
-                    out_n.append(mid[keep])
-                    out_c.append(cos[r, keep])
+            # ROUNDED top-k. round-to-6 moves a value ≤ 5e-7 and the
+            # GEMM cut ≤ _GEMM_SLACK, so any cos below kth - 2e-6 is
+            # strictly under ≥ k candidates after rounding. Extra
+            # survivors are fine — the Spark-side row_number cut
+            # (deterministic neighbor_id tiebreak) decides the final
+            # set over exact values.
+            if M.shape[0] > k + 1:
+                kth = np.partition(cfc, -k, axis=1)[:, -k]
+                mask = cfc >= (kth - 2e-6)[:, None]
+            else:
+                mask = ~self_mask
+            ii, jj = np.nonzero(mask)
+            if len(ii):
+                # EMIT exact: survivors re-scored with the sequential
+                # fold — bit-identical to the join-based plan
+                exact = _seq_dot(Q[ii + lo], M[jj]) / (nq[ii + lo] * nm[jj])
+                out_q.append(qid_all[ii + lo])
+                out_n.append(mid[jj])
+                out_c.append(exact)
         if not out_q:
             return empty
         return pd.DataFrame(

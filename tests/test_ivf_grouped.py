@@ -76,3 +76,28 @@ def test_grouped_small_chunk_exact(spark):
         )
     )
     assert base == tiny
+
+
+def test_grouped_tie_heavy_replicas(spark):
+    """Exact-replica groups (the 10×/100× scale-data structure) put
+    many candidates at identical cosine — the kth cut must keep every
+    tie so the Spark-side deterministic row_number picks the same set
+    as the join plan."""
+    base = [[float((i * 7 + j * 3) % 11 - 5) for j in range(8)] for i in range(6)]
+    rows = [
+        (g * 50 + r, base[g])
+        for g in range(6)
+        for r in range(12)  # 12 exact replicas per group
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = embs.filter("vec_id % 50 = 0")  # one centroid per group
+    old = _maps(
+        similarity.ivf_topk_fixed_centroids(embs, embs, cents, k=5, n_probe=2)
+    )
+    new = _maps(
+        similarity.ivf_topk_fixed_centroids_grouped(
+            embs, embs, cents, k=5, n_probe=2
+        )
+    )
+    assert old == new
+    assert len(new) == 72 * 5  # every vector has ≥11 cos-1.0 ties
