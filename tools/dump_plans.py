@@ -205,6 +205,26 @@ SHOWCASE: list[tuple[str, str]] = [
         " self-join in round 4.",
     ),
     (
+        "d10_embedding_neardup",
+        "Banded embedding near-dup with in-task pair enumeration: each"
+        " vector ships ONCE PER BAND (FlatMapGroupsInPandas over the"
+        " (band_id, band_val) buckets) and the bucket's m² candidate"
+        " cosines never leave the task — a GEMM cut keeps only"
+        " near-threshold pairs, re-scored with the exact fold before"
+        " the Spark-side round+threshold. The band self-JOIN this"
+        " replaced shuffled every candidate pair with two 64-float"
+        " payloads (~50 GB at 20k vectors for a 137k-pair answer).",
+    ),
+    (
+        "d62_knn_graph",
+        "The materialize-once substrate in action: the mutual-kNN edge"
+        " list is ONE parquet scan (3 narrow columns) — the IVF build"
+        " ran once as a writer job (grouped cell kernel, vectors"
+        " shuffled once, never pair rows) and d63/d64/d122/d132 start"
+        " from the same artifact instead of re-deriving the graph from"
+        " the embedding table per query.",
+    ),
+    (
         "d105_gram_matrix",
         "X^T X over the embedding table: numpy computes each Arrow"
         " batch's d×d outer-product sum inside mapInPandas, so the only"
