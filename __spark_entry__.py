@@ -145,6 +145,14 @@ _WINDOW_PRIORITY = [
     "d10_embedding_neardup",
     "d53_translation_candidates",
     "d85_translation_length_filter",
+    # the 100× full-registry sweep found d69's hot (lang, bucket)
+    # block running as one ~15-min join-key straggler task; both
+    # blocked-linkage queries now enumerate pairs via
+    # dedup.salted_block_pairs (identical pair set, sub-block join
+    # groups). Impl changes invalidate their r3 proofs; staged for
+    # round 6.
+    "d69_edit_distance_linkage",
+    "d43_fuzzy_prefix_match",
 ]
 
 

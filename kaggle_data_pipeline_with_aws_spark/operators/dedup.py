@@ -739,3 +739,64 @@ def duplicated_span_coverage(
             ),
         )
     )
+
+
+def salted_block_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    n_salts: int = 8,
+    id_col: str = "__id",
+) -> DataFrame:
+    """Every unordered intra-key row pair EXACTLY ONCE, with the key
+    group split into ``n_salts·(n_salts+1)/2`` sub-block join groups.
+
+    A blocked linkage join (same-key candidate pairs verified by a
+    per-pair residual, e.g. Levenshtein) has a skew failure mode the
+    100× sweep demonstrated on d69: a hot block is a single join-key
+    group, so its |block|² residual work runs as ONE task — neither
+    AQE skew-join (which splits partitions, not key groups) nor more
+    executors can break it up. Salting each row by ``hash(id) %
+    n_salts`` and enumerating sub-block PAIRS (the per-block form of
+    ``similarity.near_duplicate_pairs_blocked``'s global scheme)
+    splits that group's work ~n_salts² ways at the cost of shipping
+    each row n_salts+1 times.
+
+    Pair {x, y} with salts (px ≤ py) meets exactly once under key
+    (key, ka=px, kb=py): the left leg carries each row at (p, q) for
+    q ∈ [p, n_salts-1], the right leg at (q, p) for q ∈ [0, p]; the
+    diagonal (ka = kb) would see both orientations, so it keeps only
+    ``left.id < right.id``. Salt choice moves pairs BETWEEN tasks,
+    never changes the pair set — xxhash64 portability is irrelevant
+    (contrast band membership in the LSH ops, which is contractual).
+
+    Returns one row per pair with two struct columns ``a`` and ``b``
+    (the full input row minus the salt legs); callers project and
+    apply their residual.  ``id_col`` must be unique per row.
+    """
+    cols = df.columns
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).cast("int")
+    )
+    left = salted.select(
+        F.col("__salt").alias("__ka"),
+        F.explode(F.sequence(F.col("__salt"), F.lit(n_salts - 1))).alias("__kb"),
+        F.struct(*cols).alias("a"),
+    )
+    right = salted.select(
+        F.explode(F.sequence(F.lit(0), F.col("__salt"))).alias("__ka2"),
+        F.col("__salt").alias("__kb2"),
+        F.struct(*cols).alias("b"),
+    )
+    cond = (F.col("__ka") == F.col("__ka2")) & (
+        F.col("__kb") == F.col("__kb2")
+    )
+    for k in key_cols:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    return (
+        left.join(right, cond)
+        .filter(
+            (F.col("__ka") != F.col("__kb"))
+            | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        )
+        .select("a", "b")
+    )

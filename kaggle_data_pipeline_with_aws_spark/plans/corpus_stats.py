@@ -824,27 +824,33 @@ def d43_fuzzy_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(len²) per pair, so the plan bounds candidates FIRST with an
     8-char exact-bucket equi-join; the DP runs only inside buckets as a
     post-join residual. Same filter-before-compute shape as the LSH
-    dedup family."""
-    d = _docs(spark, sf_dir).filter(F.length("text") >= _FZ_BUCKET)
-    a = d.select(
-        F.col("doc_id").alias("doc_id_1"),
-        F.substring("text", 1, _FZ_HEAD).alias("head_1"),
+    dedup family; pairs come from ``dedup.salted_block_pairs`` so a
+    hot prefix bucket splits into sub-block tasks instead of one
+    join-key straggler (the d69 finding from the 100× sweep — this
+    query shares the blocked-linkage shape)."""
+    from ..operators import dedup as dedup_ops
+
+    d = _docs(spark, sf_dir).filter(F.length("text") >= _FZ_BUCKET).select(
+        "doc_id",
+        F.substring("text", 1, _FZ_HEAD).alias("head"),
         F.substring("text", 1, _FZ_BUCKET).alias("b"),
     )
-    l = d.select(
-        F.col("doc_id").alias("doc_id_2"),
-        F.substring("text", 1, _FZ_HEAD).alias("head_2"),
-        F.substring("text", 1, _FZ_BUCKET).alias("b"),
-    )
+    pairs = dedup_ops.salted_block_pairs(d, ["b"], id_col="doc_id")
+    # bounded Levenshtein: exact for dist <= threshold, -1 beyond —
+    # identical kept set/values on a banded DP
     return (
-        a.join(l, "b")
-        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
-        .withColumn(
+        pairs.withColumn(
             "edit_dist",
-            F.levenshtein("head_1", "head_2").cast("long"),
+            F.levenshtein(
+                F.col("a.head"), F.col("b.head"), _FZ_MAXDIST
+            ).cast("long"),
         )
-        .filter(F.col("edit_dist") <= _FZ_MAXDIST)
-        .select("doc_id_1", "doc_id_2", "edit_dist")
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= _FZ_MAXDIST))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_id_1"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_id_2"),
+            "edit_dist",
+        )
     )
 
 
