@@ -34,7 +34,9 @@ the LOG is skipped).
 
 Usage:
     python tools/verify_heavy_10x.py [SF_DIR] [LOG] [query ...]
-    # defaults: /tmp/sf1.0  /tmp/heavy10x.log  <all ten>
+    # defaults: /tmp/sf1.0  /tmp/heavy10x.log  <the ten heavy queries>
+    # "--all" as the query list = every oracle-backed registry query
+    # (heavy ones via their ALT/numpy stand-ins), one resumable log.
 """
 
 from __future__ import annotations
@@ -290,6 +292,12 @@ def main() -> int:
 
     registry.load_all()
     _load_alts()
+    if only == ["--all"]:
+        # every oracle-backed query; heavy ones keep their stand-ins.
+        only = [n for n in registry.QUERIES if n in registry.ORACLE_SQL]
+        # the heavy set last (so the cheap 95% of the artifact lands
+        # even if a long oracle is interrupted — the log resumes).
+        only.sort(key=lambda n: n in DEFAULT_QUERIES)
     done = set()
     if os.path.exists(log_path):
         with open(log_path) as fh:
