@@ -1,0 +1,68 @@
+"""Unit tests for tools/verify_heavy_10x.py's pure pieces.
+
+The tool carries the heavy-set 10x exactness evidence, so its two
+replication claims are pinned here: (1) `_round6_half_up` is
+bit-identical to Spark's `F.round(double, 6)` including the HALF_UP
+ties the sf0.1 sweep caught (q61), and (2) the numpy d10 oracle
+reproduces the registered Spark result on the driver's own parquet.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+from verify_heavy_10x import (  # noqa: E402
+    _d14_alt,
+    _d63_alt,
+    _round6_half_up,
+    numpy_oracle_d10,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def test_round6_half_up_matches_spark_round(spark):
+    from pyspark.sql import functions as F
+
+    # exact .5 tie at the 7th decimal (the q61 class), representable
+    # doubles, negatives, and a spread of ordinary values
+    vals = [
+        1046.3109375,
+        0.1234565,
+        0.12345650000001,
+        0.9999995,
+        -0.1234565,
+        0.4,
+        0.3999995,
+        2.5e-7,
+        1.0,
+        0.0,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r[0] for r in df.select(F.round("x", 6)).collect()]
+    assert got == [_round6_half_up(v) for v in vals]
+
+
+def test_alt_oracle_builders_shape():
+    d14 = _d14_alt()
+    assert "chunk = b.chunk" in d14 and "32767" in d14
+    stmts = _d63_alt()
+    assert len(stmts) == 3
+    assert stmts[1].startswith("CREATE TEMP TABLE __edges_t")
+    assert "__edges_t e3" in stmts[2]
+
+
+def test_numpy_d10_oracle_matches_spark(spark):
+    pytest.importorskip("numpy")
+    from kaggle_data_pipeline_with_aws_spark.plans import registry
+
+    registry.load_all()
+    sdf = registry.QUERIES["d10_embedding_neardup"](spark, SF0001)
+    s_rows = sorted(tuple(r) for r in sdf.collect())
+    o_rows, o_cols = numpy_oracle_d10(SF0001)
+    assert o_cols == ["id_1", "id_2", "cos_sim"]
+    assert sorted(o_rows) == s_rows
