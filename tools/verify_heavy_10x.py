@@ -75,8 +75,10 @@ def connect(sf_dir: str):
     from kaggle_data_pipeline_with_aws_spark.sources.readers import TABLES
 
     con = duckdb.connect()
-    con.execute("SET memory_limit='56GB'")
-    con.execute("SET threads=16")
+    con.execute(
+        f"SET memory_limit='{os.environ.get('HEAVY_DUCK_MEM', '56GB')}'"
+    )
+    con.execute(f"SET threads={os.environ.get('HEAVY_DUCK_THREADS', '16')}")
     os.makedirs("/tmp/duck_spill", exist_ok=True)
     con.execute("SET temp_directory='/tmp/duck_spill'")
     con.execute("SET preserve_insertion_order=false")
