@@ -19,7 +19,9 @@ from verify_heavy_10x import (  # noqa: E402
     _d14_alt,
     _d63_alt,
     _round6_half_up,
+    _round6_vec,
     numpy_oracle_d10,
+    numpy_oracle_d62,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -54,6 +56,29 @@ def test_alt_oracle_builders_shape():
     assert len(stmts) == 3
     assert stmts[1].startswith("CREATE TEMP TABLE __edges_t")
     assert "__edges_t e3" in stmts[2]
+
+
+def test_round6_vec_matches_scalar():
+    import numpy as np
+
+    vals = np.array(
+        [1046.3109375, 0.1234565, -0.1234565, 0.4, 0.3999995, 0.0, -0.9999995]
+    )
+    got = _round6_vec(vals.copy())
+    want = [_round6_half_up(v) for v in vals]
+    assert list(got) == want
+
+
+def test_numpy_d62_oracle_matches_spark(spark):
+    pytest.importorskip("numpy")
+    from kaggle_data_pipeline_with_aws_spark.plans import registry
+
+    registry.load_all()
+    sdf = registry.QUERIES["d62_knn_graph"](spark, SF0001)
+    s_rows = sorted(tuple(r) for r in sdf.collect())
+    o_rows, o_cols = numpy_oracle_d62(SF0001)
+    assert o_cols == ["node_a", "node_b", "cos_sim"]
+    assert sorted(tuple(r) for r in o_rows) == s_rows
 
 
 def test_numpy_d10_oracle_matches_spark(spark):

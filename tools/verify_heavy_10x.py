@@ -258,6 +258,165 @@ def numpy_oracle_d10(sf_dir: str, threshold: float = 0.4, chunk: int = 2048):
 
 
 # ---------------------------------------------------------------------------
+# Independent numpy oracle for the mutual-kNN substrate (d62) and its
+# triangle consumer (d63) — the SQL form's candidate stage is ~5e11
+# rows at 100x (2M vectors x 2 probes x 125k-vector cells), infeasible
+# in any engine that materializes it; numpy streams it through GEMM
+# chunks. Enabled by HEAVY_NUMPY_GRAPH=1 (the DuckDB ALT stays the
+# default where it fits).
+# ---------------------------------------------------------------------------
+def _round6_vec(x):
+    """Vectorized HALF_UP round-to-6 with a boundary audit: the fast
+    sign*floor(|x|*1e6+0.5) form agrees with BigDecimal HALF_UP except
+    when |x|*1e6 sits within float noise of a .5 tie — those few are
+    re-rounded through the exact Decimal path."""
+    import numpy as np
+
+    ax = np.abs(x)
+    y = np.sign(x) * np.floor(ax * 1e6 + 0.5) / 1e6
+    f = ax * 1e6
+    # the *1e6 product and the shortest-repr shortening each sit within
+    # a few ULPs of f, so the tie band must scale with spacing(f), not
+    # be a fixed absolute epsilon
+    tie_band = 4.0 * np.spacing(np.maximum(f, 0.5))
+    sus = np.abs(f - np.floor(f) - 0.5) <= tie_band
+    if sus.any():
+        flat_y = y.reshape(-1)
+        flat_x = x.reshape(-1)
+        for i in np.nonzero(sus.reshape(-1))[0]:
+            flat_y[i] = _round6_half_up(float(flat_x[i]))
+    return y
+
+
+def numpy_mutual_knn_edges(sf_dir: str):
+    """Edges (node_a < node_b, cos_sim) of the IVF top-5 MUTUAL graph,
+    re-derived from numpy primitives with the registered oracle's exact
+    semantics: fixed centroids vec_id<16, assignment/probing ranked on
+    round6(fold cosine) with centroid-id tiebreak, candidates = probed
+    cell's assigned vectors, top-5 per query ranked on round6(fold
+    cosine) DESC then neighbor_id ASC, then the mutuality filter."""
+    import numpy as np
+
+    ids, V = _load_embeddings(sf_dir)
+    n = V.shape[0]
+
+    def seq_dot_mat(A, B):  # rows of A vs rows of B, sequential dims
+        acc = np.zeros(A.shape[0])
+        for j in range(A.shape[1]):
+            acc = acc + A[:, j] * B[:, j]
+        return acc
+
+    order = np.argsort(ids, kind="stable")
+    ids, V = ids[order], V[order]
+    cmask = ids < 16
+    cent_ids, C = ids[cmask], V[cmask]
+    norm = np.sqrt(seq_dot_mat(V, V))
+    cnorm = norm[cmask]
+
+    # cscore[n, n_cents]: round6(fold cos) — the ranking domain
+    cs = np.empty((n, len(cent_ids)))
+    for p in range(len(cent_ids)):
+        acc = np.zeros(n)
+        for j in range(V.shape[1]):
+            acc = acc + V[:, j] * C[p, j]
+        cs[:, p] = _round6_vec(acc / (norm * cnorm[p]))
+    # rank by (cscore DESC, centroid_id ASC); cent_ids ascend already
+    rk = np.argsort(-cs, axis=1, kind="stable")
+    assigned = rk[:, 0]
+    probed = rk[:, :2]
+
+    keep_q = []
+    keep_n = []
+    keep_c = []
+    chunk = 512
+    for cell in range(len(cent_ids)):
+        a_sel = np.nonzero(assigned == cell)[0]
+        q_sel = np.nonzero((probed == cell).any(axis=1))[0]
+        if not len(a_sel) or not len(q_sel):
+            continue
+        A, an, aid = V[a_sel], norm[a_sel], ids[a_sel]
+        for lo in range(0, len(q_sel), chunk):
+            qs = q_sel[lo : lo + chunk]
+            cos_fast = (V[qs] @ A.T) / (norm[qs][:, None] * an[None, :])
+            # self-candidates out of the running
+            self_pos = ids[qs][:, None] == aid[None, :]
+            cos_fast[self_pos] = -2.0
+            t = min(128, cos_fast.shape[1])
+            top = np.argpartition(-cos_fast, t - 1, axis=1)[:, :t]
+            rowv = np.take_along_axis(cos_fast, top, axis=1)
+            if cos_fast.shape[1] > t:
+                # the cut must clear the 5th-best by more than fold
+                # noise + a full round-to-6 quantum, else widen
+                kth = np.sort(rowv, axis=1)[:, -5] if t >= 5 else None
+                worst_kept = rowv.min(axis=1)
+                assert kth is None or (
+                    worst_kept < kth - 3e-6
+                ).all(), "top-t cut too tight; raise t"
+            qi = np.repeat(np.arange(len(qs)), t)
+            ai = top.reshape(-1)
+            valid = rowv.reshape(-1) > -1.5
+            qi, ai = qi[valid], ai[valid]
+            exact = seq_dot_mat(V[qs][qi], A[ai]) / (norm[qs][qi] * an[ai])
+            keep_q.append(ids[qs][qi])
+            keep_n.append(aid[ai])
+            keep_c.append(_round6_vec(exact))
+    import pandas as pd
+
+    cand = pd.DataFrame(
+        {
+            "query_id": np.concatenate(keep_q),
+            "neighbor_id": np.concatenate(keep_n),
+            "cos_sim": np.concatenate(keep_c),
+        }
+    ).drop_duplicates(["query_id", "neighbor_id"])  # a pair can meet in 2 cells
+    cand = cand.sort_values(
+        ["query_id", "cos_sim", "neighbor_id"],
+        ascending=[True, False, True],
+        kind="stable",
+    )
+    knn = cand.groupby("query_id", sort=False).head(5)
+    rev = knn.rename(
+        columns={"query_id": "neighbor_id", "neighbor_id": "query_id"}
+    )[["query_id", "neighbor_id"]]
+    mutual = knn.merge(rev, on=["query_id", "neighbor_id"], how="inner")
+    edges = mutual[mutual["query_id"] < mutual["neighbor_id"]].rename(
+        columns={"query_id": "node_a", "neighbor_id": "node_b"}
+    )
+    return edges.reset_index(drop=True)
+
+
+def numpy_oracle_d62(sf_dir: str):
+    e = numpy_mutual_knn_edges(sf_dir)
+    return (
+        list(e[["node_a", "node_b", "cos_sim"]].itertuples(index=False)),
+        ["node_a", "node_b", "cos_sim"],
+    )
+
+
+def numpy_oracle_d63(sf_dir: str):
+    e = numpy_mutual_knn_edges(sf_dir)[["node_a", "node_b"]]
+    e1 = e.rename(columns={"node_a": "a", "node_b": "b"})
+    e2 = e.rename(columns={"node_a": "b", "node_b": "c"})
+    e3 = e.rename(columns={"node_a": "a", "node_b": "c"})
+    tri = e1.merge(e2, on="b").merge(e3, on=["a", "c"])
+    tri = tri.rename(columns={"a": "node_a", "b": "node_b", "c": "node_c"})
+    return (
+        list(tri[["node_a", "node_b", "node_c"]].itertuples(index=False)),
+        ["node_a", "node_b", "node_c"],
+    )
+
+
+NUMPY_ORACLES = {"d10_embedding_neardup": numpy_oracle_d10}
+
+
+def _load_numpy_graph() -> None:
+    if os.environ.get("HEAVY_NUMPY_GRAPH"):
+        NUMPY_ORACLES["d62_knn_graph"] = numpy_oracle_d62
+        NUMPY_ORACLES["d63_knn_triangles"] = numpy_oracle_d63
+        ALT_ORACLES.pop("d63_knn_triangles", None)
+
+
+# ---------------------------------------------------------------------------
 # Comparison (same discipline as check_correctness)
 # ---------------------------------------------------------------------------
 def compare(s_rows, s_cols, o_rows, o_cols):
@@ -294,6 +453,7 @@ def main() -> int:
 
     registry.load_all()
     _load_alts()
+    _load_numpy_graph()
     if only == ["--all"]:
         # every oracle-backed query; heavy ones keep their stand-ins.
         only = [n for n in registry.QUERIES if n in registry.ORACLE_SQL]
@@ -339,8 +499,8 @@ def main() -> int:
 
             # 3. Oracle side at sf_dir.
             t1 = time.time()
-            if name == "d10_embedding_neardup":
-                o_rows, o_cols = numpy_oracle_d10(sf_dir)
+            if name in NUMPY_ORACLES:
+                o_rows, o_cols = NUMPY_ORACLES[name](sf_dir)
             elif name in ALT_ORACLES:
                 o_rows, o_cols = run_sql(con, ALT_ORACLES[name])
             else:
