@@ -58,6 +58,20 @@ def test_alt_oracle_builders_shape():
     assert "__edges_t e3" in stmts[2]
 
 
+def test_row_alignment_floats_do_not_lead_sort():
+    # two rows identical in label columns; one engine's float is an
+    # ulp off — rows must still align by label, not swap (the q23@10x
+    # artifact)
+    from check_correctness import normalize
+
+    cols = ["ts", "val"]
+    spark_rows = [("t1", 16413.499999999996), ("t2", 16413.5)]
+    duck_rows = [("t2", 16413.5), ("t1", 16413.5)]
+    sn, _ = normalize(spark_rows, cols)
+    on, _ = normalize(duck_rows, cols)
+    assert [r[0] for r in sn] == [r[0] for r in on] == ["t1", "t2"]
+
+
 def test_round6_vec_matches_scalar():
     import numpy as np
 

@@ -25,6 +25,21 @@ sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tools")
 
 
+def _row_sort_key(t: tuple):
+    """Order-insensitive alignment key: non-float columns lead (as
+    strings), float columns trail (numerically, NaNs last). Floats
+    must NOT participate in the primary key — two rows identical in
+    every label column but with ulp-level float noise would otherwise
+    sort-swap between engines and misalign the comparison (seen on
+    q23 at 10x: two windows with equal sums in DuckDB, one an ulp off
+    in Spark, flagged the TIMESTAMP column as a 4-value mismatch)."""
+    labels = tuple(str(x) for x in t if not isinstance(x, float))
+    floats = tuple(
+        (x != x, 0.0 if x != x else x) for x in t if isinstance(x, float)
+    )
+    return labels, floats
+
+
 def normalize(rows: list[tuple], cols: list[str]):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -36,7 +51,7 @@ def normalize(rows: list[tuple], cols: list[str]):
                 v = v.isoformat()
             vals.append(v)
         out.append(tuple(vals))
-    return sorted(out, key=lambda t: tuple(str(x) for x in t)), [cols[i] for i in order]
+    return sorted(out, key=_row_sort_key), [cols[i] for i in order]
 
 
 def values_equal(a, b) -> tuple[bool, bool]:
