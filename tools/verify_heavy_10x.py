@@ -79,8 +79,11 @@ def connect(sf_dir: str):
         f"SET memory_limit='{os.environ.get('HEAVY_DUCK_MEM', '56GB')}'"
     )
     con.execute(f"SET threads={os.environ.get('HEAVY_DUCK_THREADS', '16')}")
-    os.makedirs("/tmp/duck_spill", exist_ok=True)
-    con.execute("SET temp_directory='/tmp/duck_spill'")
+    # per-process spill dir: two concurrent sweeps sharing one
+    # temp_directory delete each other's spill files (hard abort)
+    spill = f"/tmp/duck_spill_{os.getpid()}"
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
