@@ -520,8 +520,15 @@ def main() -> int:
         only.sort(key=lambda n: n in DEFAULT_QUERIES)
     done = set()
     if os.path.exists(log_path):
+        # only OK rows count as done — a FAIL (e.g. a transient
+        # disk-pressure spill abort) must retry on resume, not be
+        # silently skipped as if verified.
         with open(log_path) as fh:
-            done = {ln.split("\t")[0] for ln in fh if "\t" in ln}
+            done = {
+                parts[0]
+                for ln in fh
+                if len(parts := ln.split("\t")) > 1 and parts[1] == "OK"
+            }
 
     spark = get_spark("verify-heavy-10x")
     con = connect(sf_dir)
