@@ -464,7 +464,45 @@ def numpy_oracle_d63(sf_dir: str):
     )
 
 
-NUMPY_ORACLES = {"d10_embedding_neardup": numpy_oracle_d10}
+def numpy_oracle_d132(sf_dir: str):
+    """BFS min-hops from seeds vec_id<16 over the mutual-kNN graph,
+    hop-capped at wave30's _BFS_MAX_HOPS — the registered oracle's
+    recursive CTE inlines the kNN `edges` derivation inside a WITH
+    RECURSIVE (twice, via sym), which DuckDB cannot materialize once;
+    at 10x that grinds for hours. Same edge substrate as d62/d63's
+    numpy oracles, plain frontier BFS on top."""
+    from collections import defaultdict
+
+    from kaggle_data_pipeline_with_aws_spark.plans.wave30 import (
+        _BFS_MAX_HOPS,
+    )
+
+    e = numpy_mutual_knn_edges(sf_dir)[["node_a", "node_b"]]
+    adj = defaultdict(list)
+    for a, b in zip(e["node_a"], e["node_b"]):
+        adj[int(a)].append(int(b))
+        adj[int(b)].append(int(a))
+    ids, _ = _load_embeddings(sf_dir)
+    dist = {int(v): 0 for v in ids if v < 16}
+    frontier = list(dist)
+    for h in range(1, _BFS_MAX_HOPS + 1):
+        nxt = [
+            v for u in frontier for v in adj[u] if v not in dist
+        ]
+        frontier = []
+        for v in nxt:
+            if v not in dist:
+                dist[v] = h
+                frontier.append(v)
+        if not frontier:
+            break
+    return (sorted(dist.items()), ["node", "hops"])
+
+
+NUMPY_ORACLES = {
+    "d10_embedding_neardup": numpy_oracle_d10,
+    "d132_bfs_hops": numpy_oracle_d132,
+}
 
 
 def _load_numpy_graph() -> None:
