@@ -204,6 +204,32 @@ def _d66_alt() -> list[str]:
     ]
 
 
+def _d40_alt() -> list[str]:
+    """The registered oracle's `pairs` CTE (the full MinHash-LSH
+    near-dup pipeline) is unmaterialized and referenced twice each by
+    `nodes` and `g` — four concurrent evaluations of the md5-shingle
+    pipeline at 10x exhaust the spill disk (>72 GB). Derived from the
+    registered SQL at runtime so it cannot drift: everything up to
+    `pairs` lands in a temp table once; the materialized pagerank
+    iterations run unchanged on top."""
+    from kaggle_data_pipeline_with_aws_spark.plans import registry
+
+    sql = registry.ORACLE_SQL["d40_pagerank"]
+    marker = "nodes AS MATERIALIZED"
+    i = sql.find(marker)
+    assert i > 0, "d40 oracle shape changed: nodes CTE marker missing"
+    head = sql[:i].rstrip().rstrip(",")
+    tail = sql[i:].replace("FROM pairs", "FROM _d40_pairs")
+    assert "FROM pairs" not in tail, "unexpected pairs reference form"
+    return [
+        "DROP TABLE IF EXISTS _d40_pairs",
+        "CREATE TEMP TABLE _d40_pairs AS "
+        + head
+        + "\n    SELECT * FROM pairs",
+        "WITH " + tail,
+    ]
+
+
 ALT_ORACLES: dict[str, list[str]] = {}
 
 
@@ -211,6 +237,7 @@ def _load_alts() -> None:
     ALT_ORACLES["d14_simhash_pairs"] = [_d14_alt()]
     ALT_ORACLES["d63_knn_triangles"] = _d63_alt()
     ALT_ORACLES["d66_sorted_neighborhood"] = _d66_alt()
+    ALT_ORACLES["d40_pagerank"] = _d40_alt()
 
 
 def run_sql(con, stmts: list[str]):
