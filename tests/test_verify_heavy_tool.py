@@ -105,3 +105,52 @@ def test_numpy_d10_oracle_matches_spark(spark):
     o_rows, o_cols = numpy_oracle_d10(SF0001)
     assert o_cols == ["id_1", "id_2", "cos_sim"]
     assert sorted(o_rows) == s_rows
+
+
+def _oracle_equiv(alt_stmts, name):
+    """ALT/registered equivalence at sf0.001 through the tool's own
+    connect/run_sql/compare path (the same code the sweep trusts)."""
+    from kaggle_data_pipeline_with_aws_spark.plans import registry
+    from verify_heavy_10x import compare, connect, run_sql
+
+    registry.load_all()
+    con = connect(SF0001)
+    try:
+        a_rows, a_cols = run_sql(con, alt_stmts)
+        r_rows, r_cols = run_sql(con, [registry.ORACLE_SQL[name]])
+    finally:
+        con.close()
+    ok, note = compare(a_rows, a_cols, r_rows, r_cols)
+    assert ok and note == "exact", (name, note)
+    return len(a_rows)
+
+
+def test_alt_d66_matches_registered_oracle():
+    from verify_heavy_10x import _d66_alt
+
+    assert _oracle_equiv(_d66_alt(), "d66_sorted_neighborhood") > 0
+
+
+def test_alt_d40_matches_registered_oracle():
+    from verify_heavy_10x import _d40_alt
+
+    assert _oracle_equiv(_d40_alt(), "d40_pagerank") > 0
+
+
+def test_numpy_d132_oracle_matches_registered_oracle():
+    pytest.importorskip("numpy")
+    from kaggle_data_pipeline_with_aws_spark.plans import registry
+    from verify_heavy_10x import compare, connect, numpy_oracle_d132, run_sql
+
+    registry.load_all()
+    n_rows, n_cols = numpy_oracle_d132(SF0001)
+    con = connect(SF0001)
+    try:
+        r_rows, r_cols = run_sql(
+            con, [registry.ORACLE_SQL["d132_bfs_hops"]]
+        )
+    finally:
+        con.close()
+    ok, note = compare(n_rows, n_cols, r_rows, r_cols)
+    assert ok and note == "exact", note
+    assert n_cols == ["node", "hops"] and len(n_rows) > 16
