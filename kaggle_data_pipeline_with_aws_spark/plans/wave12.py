@@ -92,8 +92,17 @@ def q87_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q88_profit_by_nation_year",
     """
     SELECT n.n_name, CAST(year(o.o_orderdate) AS INT) AS o_year,
-           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)
-                 - p.p_retailprice * l.l_quantity * 0.8), 2) AS DOUBLE)
+           -- EXACT decimal money arithmetic (the q38 rule): every
+           -- factor is a 2-decimal amount or an integer, so the sum
+           -- is an integer number of 10^-6 units — order-independent
+           -- and engine-identical at any scale (the raw double sum
+           -- drifted the displayed cent at 10x).
+           CAST(round(sum(
+                 CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                 - CAST(p.p_retailprice AS DECIMAL(18,2))
+                   * CAST(l.l_quantity AS DECIMAL(18,2))
+                   * CAST(0.8 AS DECIMAL(18,2))), 2) AS DOUBLE)
              AS profit
     FROM lineitem l
     JOIN part p     ON l.l_partkey = p.p_partkey
@@ -112,8 +121,12 @@ def q88_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier→nation are broadcast; orders is the one non-broadcast
     join, co-keyed on orderkey. The only wide exchange after it is
     the (nation, year) aggregate, which partial-aggregates map-side
-    to 25 nations × 7 years. Profit is rounded before the sort so
-    ordering is engine-stable."""
+    to 25 nations × 7 years. Profit sums in EXACT decimal money
+    arithmetic (2-decimal factors × integer quantity × 0.80 → an
+    integer count of 10^-6 units), so the value is order-independent
+    and engine-identical at any scale — the 10× sweep caught the raw
+    double sum drifting the displayed cent — and still a
+    partial-aggregable JVM-side sum."""
     li = _t(spark, sf_dir, "lineitem")
     part = F.broadcast(
         _t(spark, sf_dir, "part")
@@ -129,9 +142,12 @@ def q88_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "n_name")
     )
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity") * F.lit(0.8)
+    dec = "decimal(18,2)"
+    profit = F.col("l_extendedprice").cast(dec) * (
+        F.lit(1).cast(dec) - F.col("l_discount").cast(dec)
+    ) - F.col("p_retailprice").cast(dec) * F.col("l_quantity").cast(
+        dec
+    ) * F.lit(0.8).cast(dec)
     return (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
@@ -139,7 +155,7 @@ def q88_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "n_name", F.year("o_orderdate").cast("int").alias("o_year")
         )
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
         .orderBy("n_name", "o_year")
     )
 

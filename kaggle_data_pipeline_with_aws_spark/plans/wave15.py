@@ -92,7 +92,11 @@ def q99_value_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r_name, n_name,
            CAST(grouping(r_name)*2 + grouping(n_name) AS BIGINT) AS gid,
            count(*) AS n_lines,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           -- EXACT decimal money sum (the q38 rule): the raw double
+           -- sum drifted the displayed cent at 10x magnitudes.
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+             AS revenue
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
@@ -126,9 +130,20 @@ def q100_region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             F.count("*").alias("n_lines"),
+            # exact decimal money sum (q38 rule): order-independent,
+            # engine-identical at any scale, still partial-aggregable
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (
+                        F.lit(1).cast("decimal(18,2)")
+                        - F.col("l_discount").cast("decimal(18,2)")
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
         )
         .select("r_name", "n_name", "gid", "n_lines", "revenue")
     )
