@@ -40,119 +40,82 @@ def entry(spark: SparkSession) -> DataFrame:
 # in dict order, so ordering is part of the contract. CORRECTNESS_r{N}
 # files are cumulative proof, so each round the window holds (a) queries
 # whose implementation or oracle changed since their last green row —
-# they must re-prove (now ENFORCED by tools/proof_audit.py, gate
-# stage 4: symbol-level AST diff of each proven query's dependency
-# closure against its proof-baseline commit) — and (b) as many
-# never-driver-checked oracle-backed queries as fit.
+# they must re-prove (ENFORCED by tools/proof_audit.py, gate stage 3:
+# symbol-level AST diff of each proven query's dependency closure
+# against its proof-baseline commit) — and (b) as many
+# never-driver-checked queries as fit.
 #
-# Round-5 window: 16 re-proofs first. Seven carry this round's
-# changes — q17/d66/d82/d93 (contiguous_row_number gained an
-# `accuracy` parameter for the q17 bench re-pin; results identical
-# for default callers, but the rule is any impl change re-proves),
-# d11/d51 (real BMP/WAV decode tier), d62/d63/d64 (mutual-kNN edges
-# now served from the materialize-once parquet substrate). Nine are
-# LEGACY staleness the new audit uncovered — queries proven in r1-r3
-# whose dependency symbols changed in later rounds without re-proof
-# (d01/d08 via dedup constants+fingerprints, d09 via the cosine
-# helpers, d31/d40 via minhash_signatures_vectorized, s01/s02 via
-# their streaming twins) — all locally gate-green every round, but
-# claims-not-proof until re-proven. Then d122/d132 (graph consumers
-# whose impl changed with the substrate + BFS lineage fix), then the
-# OLDEST 32 of the wave-12-31 proof queue. The remaining ~35 queued
-# queries stay staged after the window via _ordered()'s rest_oracle
-# block for round 6 (joined by wave 32's d137/d138/d139, added after
-# this window was sealed — 38 queued total, fits the one-window
-# budget); rows-only twins (d15/d23) stay dead last.
+# Round-6 window: THE CLOSING WINDOW. After five rounds, exactly 48
+# registry queries lack a currently-valid driver proof — 7 whose r2-r4
+# proofs were invalidated by round-5 determinism/performance rewrites
+# (q38 exact-DECIMAL money sums, d95 exact integer moments, d10/d53/d85
+# in-task pair kernels, d69/d43 salted block pairs) and 41 never-proven
+# (the wave-17-32 tail: q101-q113, d113-d139, s13, plus the two
+# rows-only-by-design twins d15/d23). All 48 fit in one 50-slot window:
+# invalidated re-proofs first (oldest original proof first), then the
+# never-proven queue oldest-wave-first, rows-only twins last among the
+# never-proven. The 2 spare slots carry d11/d51 re-proofs — their
+# decode tier gained a real stdlib PNG codec this round (see
+# operators/multimodal.py), which changes their dependency closure and
+# invalidates the r5 proofs per the audit rule. 50/50 staged; if every
+# row comes back green, all 263 registry queries carry a currently-
+# valid driver proof and the proof ledger is COMPLETE.
 _WINDOW_PRIORITY = [
-    # re-proofs: implementation changed after an earlier green row
-    "q17_global_renumber",
-    "d66_sorted_neighborhood",
-    "d82_perplexity_buckets",
-    "d93_quantile_normalize",
-    "d11_multimodal_features",
-    "d51_image_patches",
-    "d62_knn_graph",
-    "d63_knn_triangles",
-    "d64_label_vote",
-    "d01_dedup_exact",
-    "d08_simhash",
-    "d09_ann_topk",
-    "d31_dedup_components",
-    "d40_pagerank",
-    "s01_windowed_event_counts",
-    "s02_session_windows",
-    # substrate/BFS impl-changed graph queries, never yet proven
-    "d122_kcore_peel",
-    "d132_bfs_hops",
-    # proof queue, oldest waves first (12-14)
-    "s10_windowed_kmv_users",
-    "s11_segment_event_counts",
-    "q87_forecast_revenue",
-    "q88_profit_by_nation_year",
-    "q89_late_priority_matrix",
-    "q90_customer_order_distribution",
-    "q91_promo_revenue_share",
-    "q92_top_supplier",
-    "q93_part_supplier_variety",
-    "q94_small_quantity_revenue",
-    "q95_qualified_shippers",
-    "d98_pii_screen",
-    "d99_gopher_quality_rules",
-    "d100_padding_waste",
-    "d101_bigram_diversity",
-    "d102_lang_margin",
-    "d103_filter_funnel",
-    "q96_fk_orphan_audit",
-    "q97_customer_journey",
-    "q98_modal_value_bucket",
-    "d104_jackknife_variance",
-    "d105_gram_matrix",
-    "d106_pca_top_component",
-    # waves 15-16
-    "q99_value_ecdf",
-    "q100_region_nation_rollup",
-    "d107_pq_codes",
-    "d108_incremental_dedup",
-    "d109_hapax_ratio",
-    "d110_semdedup",
-    "d111_logreg_steps",
-    "d112_calibration_curve",
-    # late re-proof: the round-5 sf0.1 robustness sweep caught q61's
-    # avg() crossing a round(,6) boundary cross-engine (1 row of 3,498
-    # at sf0.1; invisible at the sf0.01 driver scale) — fixed with a
-    # sorted-fold mean and swapped into the window's last slot
-    # (q101_ab_ztest moves to the head of the round-6 queue).
-    "q61_min_cost_supplier",
-    # ---- position 51+: BEYOND this round's 50-slot window ----
-    # q38: the 10× sweep caught half-cent double-summation ties
-    # flipping its rank order between engines; revenue now sums in
-    # exact DECIMAL money arithmetic. The impl change invalidates its
-    # r2 proof, so it is staged here — head of the round-6 queue —
-    # satisfying the proof audit while the 50 slots above keep their
-    # committed order.
+    # ---- re-proofs: impl changed after an earlier green row (r5 work) ----
     "q38_supplier_revenue_rank",
-    # d95: same sweep — engine-native avg/stddev_pop accumulation
-    # algorithms diverged ~2e-8 at 20k vectors, flipping rounded
-    # z-scores; stats now derive from exact integer micro-unit
-    # moments. r4 proof invalidated; staged for round 6.
     "d95_embedding_norm_outliers",
-    # round-5 performance pass on the three 10× hotspots the r4 run
-    # flagged: pair enumeration moved INSIDE tasks (bucket-local /
-    # block-pair numpy kernels, fold-order-exact, survivors-only
-    # output) — d10 182→9.7 s, d53 65→6.8 s, d85 66→5.5 s at 10×,
-    # value-exact at sf0.001/sf0.01. Impl changes invalidate their
-    # r2/r3/r4 proofs; staged here for round 6.
     "d10_embedding_neardup",
     "d53_translation_candidates",
     "d85_translation_length_filter",
-    # the 100× full-registry sweep found d69's hot (lang, bucket)
-    # block running as one ~15-min join-key straggler task; both
-    # blocked-linkage queries now enumerate pairs via
-    # dedup.salted_block_pairs (identical pair set, sub-block join
-    # groups). Impl changes invalidate their r3 proofs; staged for
-    # round 6.
     "d69_edit_distance_linkage",
     "d43_fuzzy_prefix_match",
+    # ---- never-proven queue, oldest wave first (waves 17-32) ----
+    "q101_ab_ztest",
+    "q102_dow_seasonality",
+    "q103_conversion_latency",
+    "d113_dataset_card",
+    "d114_tail_token_exposure",
+    "d115_cross_source_dup_matrix",
+    "q104_lag_gap_sessions",
+    "d116_signal_agreement",
+    "q105_sql_face",
+    "d117_packed_sequences",
+    "d118_packing_efficiency",
+    "q106_dynamic_pivot",
+    "d119_feature_corr_matrix",
+    "d120_psi_drift",
+    "d121_zorder_layout",
+    "q107_json_key_profile",
+    "q108_schema_evolution_union",
+    "d123_source_gini",
+    "d124_quality_residuals",
+    "q109_time_weighted_avg",
+    "d125_prefix_cache_rates",
+    "d126_dedup_threshold_sweep",
+    "q110_rfm_segments",
+    "d127_shard_manifest",
+    "d128_temperature_weights",
+    "q111_decile_lift",
+    "d129_dedup_impact",
+    "q112_point_in_time_join",
+    "d130_kcenter_coreset",
+    "s13_windowed_countmin",
+    "d131_forget_purge_audit",
+    "d133_rrf_fusion",
+    "d134_ndcg_eval",
+    "d135_ks_source_drift",
+    "d136_chi2_keyness",
+    "q113_benford_audit",
+    "d137_ivfpq_adc",
+    "d138_dsir_importance",
+    "d139_curriculum_order",
+    # ---- rows-only-by-design twins, never driver-recorded ----
+    "d15_ann_ivf",
+    "d23_frame_sample",
+    # ---- spare slots: d11/d51 re-proofs (round-6 real PNG decode tier
+    # ---- changes operators/multimodal.py symbols in their closure) ----
+    "d11_multimodal_features",
+    "d51_image_patches",
 ]
 
 

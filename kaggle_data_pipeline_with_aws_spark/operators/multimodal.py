@@ -5,16 +5,19 @@ The Spark-side plumbing is real and tested — binary payload column,
 explicit output schema, Arrow-batched ``mapInPandas`` iteration, bounded
 batch sizes. Codecs come in two tiers:
 
-- REAL decode for uncompressed container formats, stdlib-only: BMP
-  (width/height parsed from the BITMAPINFOHEADER with ``struct``) and
-  WAV (sample layout from the RIFF fmt/data chunks). ``encode_bmp`` /
-  ``encode_wav`` build genuine files for fixtures, so decode is tested
-  against real bytes, not length arithmetic.
-- The deterministic ``fake_decode`` stand-in remains ONLY for
-  compressed formats (JPEG/MP3/MP4 — their codec libraries are not in
-  this container): features derived purely from payload length, so
-  oracles can still reproduce them. Swapping in Pillow/librosa is a
-  one-function change, not a plan change.
+- REAL decode for stdlib-decodable container formats: BMP
+  (width/height parsed from the BITMAPINFOHEADER with ``struct``),
+  WAV (sample layout from the RIFF fmt/data chunks), and — round 6 —
+  PNG (chunk walk with CRC verification, zlib inflate of the IDAT
+  stream, full scanline filter reconstruction for all five filter
+  types). ``encode_bmp`` / ``encode_wav`` / ``encode_png`` build
+  genuine files for fixtures, so decode is tested against real bytes,
+  not length arithmetic.
+- The deterministic ``fake_decode`` stand-in remains ONLY for formats
+  whose codecs are genuinely absent from this container (JPEG/MP3/MP4):
+  features derived purely from payload length, so oracles can still
+  reproduce them. Swapping in Pillow/librosa is a one-function change,
+  not a plan change.
 
 Scale notes: ``mapInPandas`` streams Arrow record batches — the decode
 stage never materializes a partition in Python memory at once;
@@ -27,6 +30,7 @@ splits. For petabyte media, store payloads as separate objects and keep
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Callable, Iterator
 from typing import Any
 
@@ -144,15 +148,163 @@ def decode_wav(payload: bytes) -> dict[str, Any]:
     }
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    """One PNG chunk: big-endian length, type, body, CRC32(type+body)."""
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _zlib_stored(data: bytes) -> bytes:
+    """A genuine zlib stream of STORED (uncompressed) DEFLATE blocks:
+    2-byte zlib header + per-block 5-byte stored header + raw bytes +
+    adler32 trailer. Any inflater decodes it; its size is exactly
+    ``len(data) + 6 + 5 * n_blocks`` — arithmetic the DuckDB oracle can
+    reproduce, which compression levels > 0 (size depends on the
+    compressor's match heuristics) could not."""
+    out = [b"\x78\x01"]
+    pos, n = 0, len(data)
+    while True:
+        block = data[pos : pos + 65535]
+        pos += len(block)
+        final = 1 if pos >= n else 0
+        out.append(struct.pack("<BHH", final, len(block), 0xFFFF ^ len(block)))
+        out.append(block)
+        if final:
+            break
+    out.append(struct.pack(">I", zlib.adler32(data) & 0xFFFFFFFF))
+    return b"".join(out)
+
+
+def encode_png(width: int, height: int, pixels: bytes | None = None) -> bytes:
+    """A genuine 8-bit RGB non-interlaced PNG: signature, IHDR, one IDAT
+    holding the filter-0 scanlines in a stored-block zlib stream, IEND —
+    all chunk CRCs real. ``pixels`` = height*width*3 raw RGB bytes
+    (zeroed when omitted). File size is deterministic:
+    ``68 + height * (3*width + 1)`` while the scanline buffer fits one
+    stored block (+5 per extra 64 KiB block beyond that)."""
+    stride = 3 * width
+    if pixels is None:
+        pixels = b"\x00" * (stride * height)
+    if len(pixels) != stride * height:
+        raise ValueError("pixels must be height*width*3 bytes")
+    raw = b"".join(
+        b"\x00" + pixels[r * stride : (r + 1) * stride] for r in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib_stored(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_pixels(payload: bytes) -> tuple[bytes, int, int]:
+    """Full PNG decode to raw RGB bytes: chunk walk with CRC
+    verification, zlib inflate of the concatenated IDAT stream, then
+    per-scanline reconstruction of all five PNG filter types
+    (None/Sub/Up/Average/Paeth). 8-bit RGB non-interlaced only — the
+    variant ``encode_png`` emits; palette/alpha/interlace raise."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        if pos + 12 + length > len(payload):
+            raise ValueError("malformed PNG: truncated chunk")
+        body = payload[pos + 8 : pos + 8 + length]
+        crc = struct.unpack_from(">I", payload, pos + 8 + length)[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError("malformed PNG: chunk CRC mismatch")
+        if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError("malformed PNG: bad IHDR length")
+            width, height, bit_depth, color_type, _, _, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR/IDAT")
+    if (bit_depth, color_type, interlace) != (8, 2, 0):
+        raise ValueError("unsupported PNG variant (8-bit RGB only)")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"malformed PNG: bad IDAT stream ({exc})") from exc
+    stride, bpp = 3 * width, 3
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("malformed PNG: scanline buffer length mismatch")
+    out = bytearray()
+    prev = bytearray(stride)
+    for r in range(height):
+        ftype = raw[r * (stride + 1)]
+        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"malformed PNG: unknown filter type {ftype}")
+        out += line
+        prev = line
+    return bytes(out), width, height
+
+
+def decode_png(payload: bytes) -> dict[str, Any]:
+    """Real PNG decode — geometry is asserted against the fully
+    reconstructed pixel buffer (inflate + filter reconstruction in
+    ``_png_pixels``), not just read off the IHDR. Single still:
+    1 frame."""
+    _, width, height = _png_pixels(payload)
+    return {
+        "byte_len": len(payload),
+        "width": width,
+        "height": height,
+        "n_frames": 1,
+    }
+
+
 def real_decode(payload: bytes, media_type: str) -> dict[str, Any]:
-    """Magic-sniffing dispatcher: real struct-parse for the uncompressed
-    containers (BMP, WAV); anything else — i.e. compressed formats whose
-    codec libraries are not in this container — falls through to the
-    documented deterministic stand-in."""
+    """Magic-sniffing dispatcher: real struct/zlib parse for the
+    stdlib-decodable containers (BMP, WAV, PNG); anything else — i.e.
+    compressed formats whose codec libraries are not in this container
+    (JPEG/MP3/MP4) — falls through to the documented deterministic
+    stand-in."""
     if payload[:2] == b"BM" and len(payload) >= 26:
         return decode_bmp(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
     return fake_decode(payload, media_type)
 
 
@@ -189,12 +341,16 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
 
 def documents_as_real_media(docs: DataFrame) -> DataFrame:
     """Like ``documents_as_media`` but the image/audio payloads are
-    REAL container files (uncompressed BMP / PCM16 WAV built by the
-    stdlib encoders), so the decode stage exercises genuine header
-    parsing. Geometry derives deterministically from the utf-8 text
-    length n (oracle-reproducible):
+    REAL container files (uncompressed BMP / PCM16 WAV / stored-block
+    PNG built by the stdlib encoders), so the decode stage exercises
+    genuine header parsing — and, for PNG, genuine zlib inflate +
+    scanline filter reconstruction. Geometry derives deterministically
+    from the utf-8 text length n (oracle-reproducible):
 
-    - image → BMP, width = 8 + n % 16, height = 8 + (n*7) % 16
+    - image, doc_id % 6 == 0 → BMP, width = 8 + n % 16,
+      height = 8 + (n*7) % 16
+    - image, doc_id % 6 == 3 → PNG, same width/height formulas
+      (file size = 68 + height * (3*width + 1), stored-block zlib)
     - audio → WAV, 16 kHz, n_frames = 1 + n % 256
     - video → raw utf-8 bytes (compressed video codecs are the
       documented stub tier — ``real_decode`` falls back to the fake)
@@ -217,11 +373,18 @@ def documents_as_real_media(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             payloads: list[bytes] = []
             fmts: list[str] = []
-            for mtype, tb in zip(pdf["media_type"], pdf["text_bytes"]):
+            for doc_id, mtype, tb in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["text_bytes"]
+            ):
                 n = len(tb)
                 if mtype == "image":
-                    payloads.append(encode_bmp(8 + n % 16, 8 + (n * 7) % 16))
-                    fmts.append("bmp")
+                    w, h = 8 + n % 16, 8 + (n * 7) % 16
+                    if doc_id % 6 == 0:
+                        payloads.append(encode_bmp(w, h))
+                        fmts.append("bmp")
+                    else:  # doc_id % 6 == 3
+                        payloads.append(encode_png(w, h))
+                        fmts.append("png")
                 elif mtype == "audio":
                     payloads.append(encode_wav(16_000, 1 + n % 256))
                     fmts.append("wav")

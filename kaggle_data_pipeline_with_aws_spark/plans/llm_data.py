@@ -410,8 +410,13 @@ def d10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, media_type,
            CAST(CASE media_type
-                  -- BMP file size: 54-byte headers + 4-byte-padded rows
-                  WHEN 'image' THEN 54 + bmp_h * ((3 * bmp_w + 3) // 4 * 4)
+                  WHEN 'image' THEN CASE
+                    -- BMP file size: 54-byte headers + 4-byte-padded rows
+                    WHEN doc_id % 6 = 0
+                      THEN 54 + bmp_h * ((3 * bmp_w + 3) // 4 * 4)
+                    -- PNG file size: sig+IHDR+IDAT+IEND framing (68) +
+                    -- filter-0 scanlines in one stored zlib block
+                    ELSE 68 + bmp_h * (3 * bmp_w + 1) END
                   -- WAV file size: 44-byte canonical header + PCM16 mono
                   WHEN 'audio' THEN 44 + 2 * wav_frames
                   ELSE n END AS BIGINT) AS byte_len,
@@ -429,11 +434,14 @@ def d10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d11_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over REAL container payloads: image rows are
-    genuine uncompressed BMPs and audio rows genuine PCM16 WAVs (built
-    by the stdlib encoders in operators/multimodal.py), and the decode
-    stage struct-parses their actual headers — so the oracle's CASE
-    arms assert real file geometry (BMP row padding, WAV header size),
-    not length arithmetic. Video rows remain the documented stub tier
+    genuine uncompressed BMPs or stored-block PNGs (split on doc_id %
+    6) and audio rows genuine PCM16 WAVs (built by the stdlib encoders
+    in operators/multimodal.py), and the decode stage parses their
+    actual bytes — BMP/WAV by struct header walk, PNG by CRC-verified
+    chunk walk + zlib inflate + scanline filter reconstruction — so the
+    oracle's CASE arms assert real file geometry (BMP row padding, PNG
+    chunk framing + stored-block zlib size, WAV header size), not
+    length arithmetic. Video rows remain the documented stub tier
     (compressed codecs unavailable in-container): raw bytes through the
     deterministic fake decode."""
     media = multimodal.documents_as_real_media(_docs(spark, sf_dir))

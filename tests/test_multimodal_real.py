@@ -1,7 +1,9 @@
-"""Real (stdlib-struct) BMP/WAV codec tier of operators/multimodal.py —
-the round-5 closure of the "fake features" gap: uncompressed container
-formats are now genuinely encoded and header-parsed; the deterministic
-fake tier remains only for compressed formats."""
+"""Real (stdlib) BMP/WAV/PNG codec tier of operators/multimodal.py —
+the round-5/6 closure of the "fake features" gap: stdlib-decodable
+container formats are genuinely encoded and parsed (PNG down to zlib
+inflate + scanline filter reconstruction); the deterministic fake tier
+remains only for formats whose codecs are absent from this container
+(JPEG/MP3/MP4)."""
 
 from __future__ import annotations
 
@@ -48,13 +50,158 @@ def test_wav_roundtrip(rate, frames):
 def test_real_decode_dispatch_and_compressed_fallback():
     bmp = multimodal.encode_bmp(4, 4)
     wav = multimodal.encode_wav(16000, 10)
+    png = multimodal.encode_png(6, 3)
     raw = b"not a container format"
     assert multimodal.real_decode(bmp, "image")["width"] == 4
     assert multimodal.real_decode(wav, "audio")["n_frames"] == 10
+    assert multimodal.real_decode(png, "image")["height"] == 3
     # unknown magic (stands in for compressed formats) -> fake tier
     assert multimodal.real_decode(raw, "video") == multimodal.fake_decode(
         raw, "video"
     )
+
+
+# --- PNG: the round-6 promotion from the fake tier ------------------------
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (8, 8), (13, 21), (23, 9)])
+def test_png_roundtrip(w, h):
+    payload = multimodal.encode_png(w, h)
+    assert payload[:8] == multimodal.PNG_SIG
+    feats = multimodal.decode_png(payload)
+    assert (feats["width"], feats["height"], feats["n_frames"]) == (w, h, 1)
+    # deterministic stored-block file size — the d11 oracle's PNG arm
+    assert feats["byte_len"] == len(payload) == 68 + h * (3 * w + 1)
+
+
+def test_png_pixel_payload_roundtrip():
+    pixels = bytes((i * 37) % 256 for i in range(5 * 4 * 3))  # 5x4 RGB
+    payload = multimodal.encode_png(5, 4, pixels)
+    got, w, h = multimodal._png_pixels(payload)
+    assert (w, h) == (5, 4)
+    assert got == pixels
+
+
+def _filter_scanlines(pixels: bytes, w: int, h: int, ftype: int) -> bytes:
+    """Forward-apply one PNG filter to every scanline (the encoder side
+    of the filter the decoder must invert)."""
+    stride, bpp = 3 * w, 3
+    prev = bytearray(stride)
+    out = bytearray()
+    for r in range(h):
+        line = bytearray(pixels[r * stride : (r + 1) * stride])
+        filt = bytearray(line)
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 1:
+                filt[i] = (line[i] - a) & 0xFF
+            elif ftype == 2:
+                filt[i] = (line[i] - b) & 0xFF
+            elif ftype == 3:
+                filt[i] = (line[i] - ((a + b) >> 1)) & 0xFF
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                filt[i] = (line[i] - pred) & 0xFF
+        out += bytes([ftype]) + filt
+        prev = line
+    return bytes(out)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_filter_reconstruction(ftype):
+    """The decoder inverts every PNG filter type, not just the filter-0
+    scanlines our encoder emits: hand-filter real pixel data, splice it
+    into a genuine PNG, and require bit-exact pixel recovery."""
+    w, h = 7, 5
+    pixels = bytes((i * 131 + 17) % 256 for i in range(3 * w * h))
+    raw = _filter_scanlines(pixels, w, h, ftype)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        multimodal.PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", multimodal._zlib_stored(raw))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    got, gw, gh = multimodal._png_pixels(payload)
+    assert (gw, gh) == (w, h)
+    assert got == pixels
+
+
+def test_png_multi_idat_chunks_concatenate():
+    """Inflate must run over the CONCATENATED IDAT stream (the spec
+    allows arbitrary splits), not per-chunk."""
+    base = multimodal.encode_png(9, 6)
+    # re-split the single IDAT body into two chunks at an odd offset
+    ihdr_end = 8 + 12 + 13
+    idat_len = struct.unpack_from(">I", base, ihdr_end)[0]
+    body = base[ihdr_end + 8 : ihdr_end + 8 + idat_len]
+    rebuilt = (
+        base[:ihdr_end]
+        + multimodal._png_chunk(b"IDAT", body[:7])
+        + multimodal._png_chunk(b"IDAT", body[7:])
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    feats = multimodal.decode_png(rebuilt)
+    assert (feats["width"], feats["height"]) == (9, 6)
+
+
+def test_png_rejects_malformed():
+    good = multimodal.encode_png(4, 4)
+    # corrupt one IDAT byte -> CRC mismatch must be caught
+    bad = bytearray(good)
+    bad[8 + 25 + 8] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_png(bytes(bad))
+    # truncated mid-IDAT (sig 8 + IHDR chunk 25 + 10 bytes into IDAT)
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_png(good[: 8 + 25 + 10])
+    # unknown filter type inside a valid zlib stream
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    raw = bytes([9]) + b"\x00" * 6
+    payload = (
+        multimodal.PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", multimodal._zlib_stored(raw))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="filter"):
+        multimodal.decode_png(payload)
+    # unsupported variant: 8-bit palette
+    ihdr_pal = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    pal_payload = (
+        multimodal.PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr_pal)
+        + multimodal._png_chunk(b"IDAT", multimodal._zlib_stored(b"\x00" * 3))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="variant"):
+        multimodal.decode_png(pal_payload)
+    with pytest.raises(ValueError):
+        multimodal.decode_png(b"\x89PNGnope")
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 48), st.integers(1, 48))
+def test_png_roundtrip_property(w, h):
+    feats = multimodal.decode_png(multimodal.encode_png(w, h))
+    assert (feats["width"], feats["height"], feats["n_frames"]) == (w, h, 1)
+
+
+def test_zlib_stored_multiblock():
+    """Stored-block framing is exact at every block boundary — the size
+    arithmetic the d11 oracle relies on (+5 bytes per extra block)."""
+    import zlib as _z
+
+    for n in (0, 1, 65535, 65536, 70000, 131071):
+        data = bytes(i % 251 for i in range(n))
+        stream = multimodal._zlib_stored(data)
+        n_blocks = max(1, -(-n // 65535))
+        assert len(stream) == n + 6 + 5 * n_blocks
+        assert _z.decompress(stream) == data
 
 
 @settings(max_examples=50, deadline=None)
@@ -81,9 +228,13 @@ def test_real_decode_never_crashes_on_arbitrary_bytes(payload):
     try:
         feats = multimodal.real_decode(payload, "image")
     except ValueError:
-        # only the two real parsers may reject, and only when the magic
+        # only the real parsers may reject, and only when the magic
         # matched but the container is malformed
-        assert payload[:2] == b"BM" or payload[:4] == b"RIFF"
+        assert (
+            payload[:2] == b"BM"
+            or payload[:4] == b"RIFF"
+            or payload[:8] == multimodal.PNG_SIG
+        )
         return
     assert set(feats) == {"byte_len", "width", "height", "n_frames"}
     assert feats["byte_len"] == len(payload)
@@ -121,4 +272,4 @@ def test_d11_features_match_local_real_decode(spark):
         saw.add(src["meta"]["format"])
         for k in ("byte_len", "width", "height", "n_frames"):
             assert row[k] == want[k], (doc_id, k)
-    assert {"bmp", "wav", "synthetic"} <= saw
+    assert {"bmp", "png", "wav", "synthetic"} <= saw
