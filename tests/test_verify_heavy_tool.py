@@ -154,3 +154,24 @@ def test_numpy_d132_oracle_matches_registered_oracle():
     ok, note = compare(n_rows, n_cols, r_rows, r_cols)
     assert ok and note == "exact", note
     assert n_cols == ["node", "hops"] and len(n_rows) > 16
+
+
+def test_numpy_d132_oracle_matches_registered_oracle_sf001():
+    """The sf0.01 half of the BENCH_SCALING claim, pinned: unlike ALT
+    oracles, the sweep performs no per-run equivalence proof for numpy
+    oracles, so the cross-scale claim lives here."""
+    pytest.importorskip("numpy")
+    from kaggle_data_pipeline_with_aws_spark.plans import registry
+    from verify_heavy_10x import compare, connect, numpy_oracle_d132, run_sql
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.01"
+    n_rows, n_cols = numpy_oracle_d132(sf)
+    con = connect(sf)
+    try:
+        r_rows, r_cols = run_sql(con, [registry.ORACLE_SQL["d132_bfs_hops"]])
+    finally:
+        con.close()
+    ok, note = compare(n_rows, n_cols, r_rows, r_cols)
+    assert ok and note == "exact", note
+    assert len(n_rows) > 0 and n_cols == ["node", "hops"]

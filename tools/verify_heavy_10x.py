@@ -29,8 +29,8 @@ This tool closes that gap without weakening the evidence:
   but re-derives signatures, band buckets, pair enumeration, and
   scoring from numpy primitives rather than calling the repo kernel.
 
-Results append to LOG (tab-separated; resumable — a query already in
-the LOG is skipped).
+Results append to LOG (tab-separated; resumable — only rows whose
+status column is OK are treated as done on resume; FAIL rows retry).
 
 Usage:
     python tools/verify_heavy_10x.py [SF_DIR] [LOG] [query ...]
@@ -158,7 +158,15 @@ def _d66_alt() -> list[str]:
     answer); counting matches through (doc_id, tok) hash joins is
     linear in pair-token volume. |A ∪ B| = n1 + n2 − |A ∩ B| holds
     because toks are per-document distinct, so the rounded value is
-    the identical expression."""
+    the identical expression. Window/threshold/block-key constants are
+    imported from the implementation so the ALT stays derived, never
+    drifting if plans.retrieval retunes them."""
+    from kaggle_data_pipeline_with_aws_spark.plans.retrieval import (
+        _SN_KEY_CHARS,
+        _SN_THRESHOLD,
+        _SN_WINDOW,
+    )
+
     return [
         "DROP TABLE IF EXISTS _d66_ranked",
         """
@@ -166,9 +174,9 @@ def _d66_alt() -> list[str]:
         SELECT doc_id,
                list_distinct(string_split(text, ' ')) AS toks,
                row_number() OVER (
-                 ORDER BY substr(text, 1, 32), doc_id) AS rn
+                 ORDER BY substr(text, 1, {k}), doc_id) AS rn
         FROM documents
-        """,
+        """.format(k=_SN_KEY_CHARS),
         "DROP TABLE IF EXISTS _d66_tok",
         """
         CREATE TEMP TABLE _d66_tok AS
@@ -179,7 +187,7 @@ def _d66_alt() -> list[str]:
           SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
                  len(a.toks) AS n1, len(b.toks) AS n2
           FROM _d66_ranked a
-          CROSS JOIN (SELECT unnest(range(1, 3 + 1)) AS off) offs
+          CROSS JOIN (SELECT unnest(range(1, {w} + 1)) AS off) offs
           JOIN _d66_ranked b ON b.rn = a.rn + offs.off
         ),
         inter AS (
@@ -199,8 +207,8 @@ def _d66_alt() -> list[str]:
             ON i.doc_id_1 = p.doc_id_1 AND i.doc_id_2 = p.doc_id_2
         )
         SELECT doc_id_1, doc_id_2, jaccard
-        FROM scored WHERE jaccard >= 0.3
-        """,
+        FROM scored WHERE jaccard >= {t}
+        """.format(w=_SN_WINDOW, t=_SN_THRESHOLD),
     ]
 
 
@@ -214,6 +222,7 @@ def _d40_alt() -> list[str]:
     iterations run unchanged on top."""
     from kaggle_data_pipeline_with_aws_spark.plans import registry
 
+    registry.load_all()  # idempotent; lets _d40_alt() run standalone
     sql = registry.ORACLE_SQL["d40_pagerank"]
     marker = "nodes AS MATERIALIZED"
     i = sql.find(marker)
