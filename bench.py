@@ -77,6 +77,31 @@ def main() -> None:
         # memory/GC pressure of stale sf0.01 blocks.
         spark.catalog.clearCache()
 
+    # Fixed-cost calibration probe (round-6, VERDICT #3): a constant-
+    # size JVM-side aggregation — spark.range is independent of sf and
+    # of every operator in this repo — timed with the same min-of-3
+    # discipline as the queries. Its value moves ONLY with box state
+    # (CPU contention, GC pressure, thermals), never with code or data
+    # changes, so a reader of the BENCH series alone can separate
+    # whole-session band elevation from a real regression: divide any
+    # query's time by (calibration_sec / a reference round's
+    # calibration_sec) before comparing across rounds. r05's d06/d42
+    # datapoints are the motivating case (band-elevated ~1.3x with no
+    # code change — see BENCH_SCALING.md "Late-round bench variance
+    # band").
+    def _calibrate() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(0, 200_000_000, 1, 32).selectExpr(
+                "sum(id * 2 + 1) AS s"
+            ).collect()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    _calibrate()  # untimed warm-up of the probe's own codegen path
+    calibration = _calibrate()
+
     # Three timed passes, per-query MIN: a single pass is hostage to
     # whatever else the machine is doing in that instant (GC, another
     # process's burst); the min over repetitions is the standard
@@ -110,6 +135,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extras_total": extras,
+                "calibration_sec": calibration,
                 "sf": sf,
             }
         )
