@@ -116,6 +116,28 @@ _WINDOW_PRIORITY = [
     # ---- changes operators/multimodal.py symbols in their closure) ----
     "d11_multimodal_features",
     "d51_image_patches",
+    # ---- position 51+: BEYOND this round's 50-slot window — the
+    # round-7 re-proof queue, staged per the audit rule (post-window
+    # perf work that touches proven closures costs next-round slots;
+    # the round-5 verdict's directives #4/#6 budgeted exactly this).
+    # d06/d07/d42 now consume the shared ranked-shingle / MinHash-
+    # signature substrate (operators/text_substrate.py) instead of
+    # re-deriving per run; value-equivalence to the standalone dedup
+    # plans is pinned at sf0.001 in tests/test_text_substrate.py and
+    # re-verified at sf0.01 by the round-6 gate sweep.
+    "d06_ngram_jaccard",
+    "d07_minhash_lsh",
+    "d42_shingle_containment",
+    "d108_incremental_dedup",
+    # The kNN edge substrate's store mechanics moved into the shared
+    # substrate_store (configurable root URI, race/fallback contract —
+    # directive #6); builder plan and artifact identity unchanged, but
+    # the rule is any closure change re-proves.
+    "d62_knn_graph",
+    "d63_knn_triangles",
+    "d64_label_vote",
+    "d122_kcore_peel",
+    "d132_bfs_hops",
 ]
 
 

@@ -7,7 +7,16 @@ itself), d63 (triangles), d64 (label vote), d122 (k-core peel), d132
 (~90 s each at 10×, the biggest cross-query compute-waste shape in the
 registry per the round-4 verdict). At 100 TB you would run the edge
 builder ONCE as a writer job and point every graph query at the
-resulting parquet table; this module is that exact idiom scaled down:
+resulting parquet table; this module is that exact idiom scaled down.
+
+Since round 6 the store mechanics (content-addressed version-keyed
+paths, atomic publication, crashed-writer rebuild, concurrent-race
+handling, unusable-store fallback, configurable root URI via
+``$SPARK_GRAFT_SUBSTRATE_ROOT``) live in the shared
+``operators/substrate_store.py`` — the same contract now also serving
+the ranked-shingle and MinHash-signature artifacts
+(operators/text_substrate.py). This module keeps the builder plan and
+the artifact identity:
 
 - ``build_edges_plan`` is the deterministic round-2-proven semantics
   (IVF with fixed centroids ``vec_id < 16``, k=5, n_probe=2,
@@ -15,18 +24,10 @@ resulting parquet table; this module is that exact idiom scaled down:
   since round 5 by the grouped in-task kernel
   (``similarity.ivf_topk_fixed_centroids_grouped``) — bit-identical
   values, ~10× less build wall at 10×.
-- ``mutual_knn_edges`` materializes it to a content-addressed parquet
-  path under ``<repo>/spark-warehouse/knn_edges/`` on first use and
-  serves every later call (same process or a later one) from the
-  parquet scan. Parquet round-trips int64/double bit-exactly, so the
-  consumers' results are unchanged.
 - ``_VERSION`` is part of the path: bump it whenever the builder plan
   changes so a stale artifact from an older plan can never be read.
-
-Publication is atomic (write to a pid-suffixed temp dir, ``os.rename``
-into place); a concurrent builder that loses the race discards its
-temp dir and reads the winner's output. A directory without the
-``_SUCCESS`` marker is treated as absent (crashed writer) and rebuilt.
+  The path layout is unchanged from round 5 (same family name, same
+  dataset token), so already-published artifacts stay valid.
 
 Reference scope: the reference pipeline has no graph substrate — this
 is part of the beyond-reference LLM-data-curation surface the brief
@@ -35,30 +36,17 @@ asks for (mutual-kNN graphs for semantic dedup/curation).
 
 from __future__ import annotations
 
-import hashlib
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
-from . import similarity
+from . import similarity, substrate_store
 
 # Bump whenever build_edges_plan's semantics change — the version is
 # baked into the artifact path so stale materializations are unreachable.
 # v2: within-cell scoring moved into the cell tasks (grouped kernel) —
 # values are bit-identical to v1, but the rule is any plan change bumps.
 _VERSION = "v2"
-
-_REPO_ROOT = os.path.dirname(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
-_BASE = os.path.join(_REPO_ROOT, "spark-warehouse", "knn_edges")
-
-# process-local memo: (abs sf_dir) -> published path, to skip even the
-# existence stat after the first read in a session
-_MEMO: dict[str, str] = {}
 
 
 def build_edges_plan(embs: DataFrame) -> DataFrame:
@@ -93,10 +81,7 @@ def build_edges_plan(embs: DataFrame) -> DataFrame:
 
 
 def edges_artifact_path(sf_dir: str) -> str:
-    sf_abs = os.path.abspath(sf_dir)
-    token = hashlib.md5(sf_abs.encode("utf-8")).hexdigest()[:10]
-    name = f"{_VERSION}-{os.path.basename(sf_abs)}-{token}"
-    return os.path.join(_BASE, name)
+    return substrate_store.artifact_path("knn_edges", _VERSION, sf_dir)
 
 
 def mutual_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,44 +91,13 @@ def mutual_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     caller per (dataset, plan version) pays one builder job; everyone
     after reads a narrow 3-column parquet scan, so the BFS/k-core/
     triangle queries' lineage starts at the edge list instead of at
-    the embedding table.
+    the embedding table. Store mechanics (atomic publish, races,
+    fallback) are substrate_store's contract.
     """
-    sf_abs = os.path.abspath(sf_dir)
-    memo = _MEMO.get(sf_abs)
-    if memo is not None:
-        return _read(spark, memo)
-
-    path = edges_artifact_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        embs = load_table(spark, sf_dir, "embeddings")
-        tmp = f"{path}.tmp-{os.getpid()}"
-        try:
-            # The edge list is ~5n rows of 3 scalars — tiny next to the
-            # embedding table. Default write partitioning: at cluster
-            # scale you want it spread; locally the files are small
-            # either way and the read coalesces via maxPartitionBytes.
-            build_edges_plan(embs).write.mode("overwrite").parquet(tmp)
-        except Exception:
-            # Unwritable artifact dir (read-only checkout, full disk):
-            # correctness must not depend on the cache — serve the
-            # direct deterministic plan instead. Only the
-            # materialize-once speedup is lost.
-            shutil.rmtree(tmp, ignore_errors=True)
-            return build_edges_plan(embs)
-        os.makedirs(_BASE, exist_ok=True)
-        if os.path.exists(path) and not os.path.exists(
-            os.path.join(path, "_SUCCESS")
-        ):
-            shutil.rmtree(path, ignore_errors=True)  # crashed writer
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            # a concurrent builder published first; its artifact is
-            # byte-equivalent (deterministic plan) — use it
-            shutil.rmtree(tmp, ignore_errors=True)
-    _MEMO[sf_abs] = path
-    return _read(spark, path)
-
-
-def _read(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path).select("node_a", "node_b", "cos_sim")
+    return substrate_store.materialize_once(
+        spark,
+        "knn_edges",
+        _VERSION,
+        sf_dir,
+        lambda: build_edges_plan(load_table(spark, sf_dir, "embeddings")),
+    ).select("node_a", "node_b", "cos_sim")

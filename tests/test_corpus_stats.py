@@ -310,7 +310,15 @@ def test_containment_asymmetric_vs_jaccard(spark, monkeypatch):
     rows = [base + " extra tail words continue on and on", base,
             "completely different content with no overlap at all"]
     df = _docs_df(spark, rows)
-    monkeypatch.setattr(corpus_stats, "_docs", lambda s, d: df)
+    # d42 reads the shared ranked-shingle substrate since round 6;
+    # inject the synthetic docs through the artifact builder plan
+    from kaggle_data_pipeline_with_aws_spark.operators import text_substrate
+
+    monkeypatch.setattr(
+        text_substrate,
+        "ranked_shingles",
+        lambda s, d: text_substrate.ranked_shingles_plan(df),
+    )
     out = {
         (r["contained_id"], r["container_id"]): r["containment"]
         for r in corpus_stats.d42_shingle_containment(spark, SF).collect()

@@ -8,7 +8,10 @@ from __future__ import annotations
 import os
 import shutil
 
-from kaggle_data_pipeline_with_aws_spark.operators import knn_substrate
+from kaggle_data_pipeline_with_aws_spark.operators import (
+    knn_substrate,
+    substrate_store,
+)
 from kaggle_data_pipeline_with_aws_spark.plans import registry
 from kaggle_data_pipeline_with_aws_spark.sources.readers import load_table
 
@@ -18,7 +21,7 @@ SF = "/root/testdata/sf0.001"
 
 def _fresh_artifact(spark):
     path = knn_substrate.edges_artifact_path(SF)
-    knn_substrate._MEMO.pop(os.path.abspath(SF), None)
+    substrate_store._MEMO.discard(path)
     shutil.rmtree(path, ignore_errors=True)
     return path
 
@@ -51,7 +54,7 @@ def test_substrate_builds_once(spark):
     assert os.path.getmtime(marker) == mtime
     # even with the process memo cleared (a NEW process), the artifact
     # is reused, not rebuilt
-    knn_substrate._MEMO.pop(os.path.abspath(SF), None)
+    substrate_store._MEMO.discard(path)
     knn_substrate.mutual_knn_edges(spark, SF).count()
     assert os.path.getmtime(marker) == mtime
 
@@ -90,7 +93,7 @@ def test_unwritable_store_falls_back_to_direct_plan(spark, monkeypatch):
     assert df.count() > 0
     assert calls["n"] == 2  # write attempt failed -> direct plan served
     # and the failure was not memoized as a published artifact
-    assert os.path.abspath(SF) not in knn_substrate._MEMO
+    assert knn_substrate.edges_artifact_path(SF) not in substrate_store._MEMO
 
 
 def test_corrupt_artifact_is_rebuilt(spark):
