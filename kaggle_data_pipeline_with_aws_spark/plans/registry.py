@@ -71,3 +71,4 @@ def load_all() -> None:
     from . import wave31  # noqa: F401
     from . import wave32  # noqa: F401
     from . import wave33  # noqa: F401
+    from . import wave34  # noqa: F401
