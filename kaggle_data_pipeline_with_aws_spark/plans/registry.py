@@ -72,3 +72,4 @@ def load_all() -> None:
     from . import wave32  # noqa: F401
     from . import wave33  # noqa: F401
     from . import wave34  # noqa: F401
+    from . import wave35  # noqa: F401
