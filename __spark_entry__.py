@@ -28,6 +28,10 @@ BENCH_EXTRA = [
     # added round 5 after its in-task pair-kernel rewrite (182→9.7 s
     # at 10×) so the series tracks the flagship embedding-pair op
     "d10_embedding_neardup",
+    # added round 6 with the shared ranked-shingle substrate — its
+    # loosest-threshold PPJoin pass was the family's biggest win
+    # (30.1→5.9 s at 10×); the series tracks the substrate economics
+    "d126_dedup_threshold_sweep",
 ]
 
 
