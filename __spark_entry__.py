@@ -62,8 +62,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # decode tier gained a real stdlib PNG codec this round (see
 # operators/multimodal.py), which changes their dependency closure and
 # invalidates the r5 proofs per the audit rule. 50/50 staged; if every
-# row comes back green, all 263 registry queries carry a currently-
-# valid driver proof and the proof ledger is COMPLETE.
+# row comes back green, all 263 queries the registry held at the
+# START of round 6 carry a currently-valid driver proof. The round's
+# LATER work then re-opens a bounded queue for round 7 (listed at
+# position 51+ below): 9 proofs invalidated by the substrate switch
+# plus the 8 new wave-33/34/35 queries (d140-d147), all locally
+# gate-green.
 _WINDOW_PRIORITY = [
     # ---- re-proofs: impl changed after an earlier green row (r5 work) ----
     "q38_supplier_revenue_rank",

@@ -15,11 +15,16 @@ contract:
   the exact code path that runs here runs against a cluster object
   store.
 - **Content addressing**: path = ``root/family/version-dataset-token``
-  where token hashes the absolute dataset location. ``version`` is
-  baked in by each family and bumped whenever the builder plan
-  changes, so a stale artifact from an older plan is unreachable. Two
-  builders on DIFFERENT datasets resolve to different paths and can
-  never cross-contaminate (tested).
+  where token hashes the absolute dataset location PLUS a listing
+  fingerprint of the dataset's files (name, length, modification
+  time via the Hadoop FS) — so regenerating a dataset IN PLACE
+  changes the token and the old artifact becomes unreachable instead
+  of silently serving stale results. ``version`` is baked in by each
+  family and bumped whenever the builder plan changes, so a stale
+  artifact from an older plan is likewise unreachable. Two builders
+  on DIFFERENT datasets resolve to different paths and can never
+  cross-contaminate (tested). The fingerprint is listing metadata,
+  not a content hash: one FS listing per (dataset, process), cached.
 - **Atomic publication**: write to a builder-unique temp dir, rename
   into place. The loser of a concurrent same-dataset race discards its
   temp dir and reads the winner's artifact — byte-equivalent, because
@@ -64,12 +69,60 @@ def store_root() -> str:
     )
 
 
-def artifact_path(family: str, version: str, sf_dir: str) -> str:
+# (dataset location) -> listing fingerprint, computed once per process
+_FPRINT_MEMO: dict[str, str] = {}
+
+
+def _dataset_fingerprint(spark: SparkSession | None, sf_abs: str) -> str:
+    """Listing metadata digest of the dataset directory: sorted
+    (name, length, mtime) of its entries. Catches in-place
+    regeneration (new files or rewritten files shift length/mtime)
+    without reading any data. Empty string when the location can't be
+    listed (the path still keys the artifact)."""
+    memo = _FPRINT_MEMO.get(sf_abs)
+    if memo is not None:
+        return memo
+    entries: list[tuple[str, int, int]] = []
+    try:
+        if spark is not None and "://" in sf_abs:
+            fs, jvm = _fs(spark, sf_abs)
+            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(sf_abs)):
+                entries.append(
+                    (
+                        st.getPath().getName(),
+                        int(st.getLen()),
+                        int(st.getModificationTime()),
+                    )
+                )
+        else:
+            with os.scandir(sf_abs) as it:
+                for de in it:
+                    st = de.stat()
+                    entries.append(
+                        (de.name, st.st_size, st.st_mtime_ns // 1_000_000)
+                    )
+    except Exception:
+        _FPRINT_MEMO[sf_abs] = ""
+        return ""
+    digest = hashlib.md5(repr(sorted(entries)).encode("utf-8")).hexdigest()[
+        :10
+    ]
+    _FPRINT_MEMO[sf_abs] = digest
+    return digest
+
+
+def artifact_path(
+    family: str, version: str, sf_dir: str, spark: SparkSession | None = None
+) -> str:
     """``root/family/version-dataset-token`` — content-addressed by
-    dataset location, version-keyed by builder-plan version."""
-    sf_abs = sf_dir if "://" in sf_dir else os.path.abspath(sf_dir)
-    token = hashlib.md5(sf_abs.encode("utf-8")).hexdigest()[:10]
-    name = f"{version}-{os.path.basename(sf_abs.rstrip('/'))}-{token}"
+    dataset location + listing fingerprint, version-keyed by
+    builder-plan version."""
+    sf_abs = (
+        sf_dir.rstrip("/") if "://" in sf_dir else os.path.abspath(sf_dir)
+    )
+    fprint = _dataset_fingerprint(spark, sf_abs)
+    token = hashlib.md5(f"{sf_abs}|{fprint}".encode("utf-8")).hexdigest()[:10]
+    name = f"{version}-{os.path.basename(sf_abs)}-{token}"
     root = store_root()
     if "://" in root:
         return f"{root.rstrip('/')}/{family}/{name}"
@@ -142,7 +195,7 @@ def materialize_once(
     plan if the store is unusable. Parquet round-trips the long/double/
     string columns these artifacts carry bit-exactly, so consumers'
     results are unchanged either way."""
-    path = artifact_path(family, version, sf_dir)
+    path = artifact_path(family, version, sf_dir, spark)
     if path in _MEMO:
         return spark.read.parquet(path)
     ok = ensure_artifact(
@@ -151,6 +204,11 @@ def materialize_once(
         lambda tmp: plan_fn().write.mode("overwrite").parquet(tmp),
     )
     if not ok:
-        return plan_fn()
+        # degraded path: the store can't hold the artifact, so cache
+        # the builder plan in-session instead — consumers reference it
+        # several times (the standalone dedup plans cached the same
+        # subtree), and Spark's CacheManager dedupes by logical plan
+        # so repeated fallback calls share one materialization
+        return plan_fn().cache()
     _MEMO.add(path)
     return spark.read.parquet(path)

@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import dedup  # noqa: F401  (kept: baseline import set; see d108)
+# Unused since d108 moved to text_substrate, but kept byte-identical to
+# the round-5 proof baseline: tools/proof_audit.py treats ANY module-
+# level import change as module-wide, which would invalidate the valid
+# q99/q100/d107/d109 proofs. Remove when this module's queries next
+# re-prove anyway.
+from ..operators import dedup  # noqa: F401
 from ..sources.readers import load_table
 from .llm_data import _minhash_pairs_cte
 from .registry import spark_query

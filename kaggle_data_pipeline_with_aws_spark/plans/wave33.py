@@ -58,9 +58,11 @@ def _d140_oracle() -> str:
       FROM s
     ),
     w AS (
+      -- α = 0.5 is stated as sqrt(), which is correctly rounded in
+      -- every IEEE engine; pow() is only 1-ulp-accurate and differs
+      -- between JVM Math.pow and C libm — the d95/q61 failure class
       SELECT source, toks, share,
-             pow(share, {_MIX_ALPHA})
-               / sum(pow(share, {_MIX_ALPHA})) OVER () AS weight
+             sqrt(share) / sum(sqrt(share)) OVER () AS weight
       FROM sh
     )
     SELECT source,
@@ -97,9 +99,9 @@ def d140_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = Window.partitionBy()
     share = F.col("toks").cast("double") / F.sum("toks").over(w_all)
     sh = s.select("source", "toks", share.alias("share"))
-    weight = F.pow("share", F.lit(_MIX_ALPHA)) / F.sum(
-        F.pow("share", F.lit(_MIX_ALPHA))
-    ).over(w_all)
+    # sqrt, not pow(·, 0.5): correctly rounded in both engines (the
+    # d95/q61 cross-engine determinism rule)
+    weight = F.sqrt("share") / F.sum(F.sqrt("share")).over(w_all)
     w = sh.select("source", "toks", "share", weight.alias("weight"))
     alloc = F.lit(float(_MIX_BUDGET)) * F.col("weight")
     return w.select(

@@ -262,9 +262,13 @@ def d144_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # d145 — per-label embedding coherence (centroid tightness).
 # ---------------------------------------------------------------------------
 def _d145_oracle() -> str:
-    # centroid per (label, dim) from unnested components; member cosine
-    # to centroid re-assembles the dot product the same dim-sequential
-    # way the Spark fold does
+    # Determinism (the d95/q61 rule): engine-native avg() accumulates
+    # in engine-specific order, so BOTH means here — the centroid
+    # component and the per-label mean cosine — derive from EXACT
+    # integer sums of per-row quantized values (1e-9 units, far finer
+    # than the corpus's own variation), divided in identical op order.
+    # The member cosine itself is a dim-sequential fold of
+    # deterministic doubles, so it is bit-identical cross-engine.
     dot_vc = (
         "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
         "i -> CAST(v.embedding[i] AS DOUBLE) * c.cent[i])), "
@@ -277,7 +281,10 @@ def _d145_oracle() -> str:
     )
     return f"""
     WITH comp AS (
-      SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+      SELECT label, i,
+             CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE)
+                    * 1000000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
+               / count(*) / 1000000000.0 AS m
       FROM embeddings, unnest(range(1, 65)) AS u(i)
       GROUP BY 1, 2
     ),
@@ -286,13 +293,15 @@ def _d145_oracle() -> str:
     ),
     scored AS (
       SELECT v.label,
-             round({dot_vc} / ({norm_v} * {norm_c}), 6) AS cos_to_cent
+             {dot_vc} / ({norm_v} * {norm_c}) AS cos
       FROM embeddings v JOIN cents c ON v.label = c.label
     )
     SELECT label,
            CAST(count(*) AS BIGINT) AS n_vecs,
-           CAST(round(avg(cos_to_cent), 6) AS DOUBLE) AS mean_cos,
-           CAST(round(min(cos_to_cent), 6) AS DOUBLE) AS min_cos
+           CAST(round(CAST(sum(CAST(floor(cos * 1000000000.0 + 0.5)
+                  AS HUGEINT)) AS DOUBLE) / count(*) / 1000000000.0, 6)
+                AS DOUBLE) AS mean_cos,
+           CAST(round(min(cos), 6) AS DOUBLE) AS min_cos
     FROM scored GROUP BY 1 ORDER BY 1
     """
 
@@ -300,18 +309,36 @@ def _d145_oracle() -> str:
 @spark_query("d145_label_coherence", _d145_oracle())
 def d145_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic tightness per label: the label centroid (a (label, dim)
-    aggregate — posexplode + avg, cells not vectors, so the centroid
+    aggregate — posexplode + sum, cells not vectors, so the centroid
     table is |labels|×64 rows however big the corpus) broadcast back
     onto members for an exact cosine-to-centroid, then per-label mean
     and min. Diffuse labels (low mean_cos) are noisy supervision;
     min_cos points at each label's worst member. The member cosine is
-    the same dimension-sequential fold as the oracle's list_reduce."""
+    the same dimension-sequential fold as the oracle's list_reduce.
+
+    Cross-engine determinism (the d95/q61 rule): both means — the
+    centroid component and the per-label mean cosine — derive from
+    EXACT integer sums of per-row 1e-9-quantized values
+    (order-independent, identical at any scale), divided in the same
+    op order as the oracle; engine-native avg() accumulation, whose
+    algorithm differs between engines, is never compared."""
     embs = _t(spark, sf_dir, "embeddings")
+    q9 = F.lit(1e9)
     comp = (
         spread_for_compute(embs)
         .select("label", F.posexplode("embedding").alias("i", "x"))
         .groupBy("label", "i")
-        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * q9 + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("double")
+            .alias("s"),
+            F.count("*").alias("cnt"),
+        )
+        .select("label", "i", (F.col("s") / F.col("cnt") / q9).alias("m"))
     )
     cents = comp.groupBy("label").agg(
         F.array_sort(
@@ -345,14 +372,23 @@ def d145_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = embs.join(F.broadcast(cents), "label").select(
-        "label", F.round(dot / (norm_v * norm_c), 6).alias("cos_to_cent")
+        "label", (dot / (norm_v * norm_c)).alias("cos")
     )
     return (
         scored.groupBy("label")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.round(F.avg("cos_to_cent"), 6).alias("mean_cos"),
-            F.round(F.min("cos_to_cent"), 6).alias("min_cos"),
+            F.round(
+                F.sum(
+                    F.floor(F.col("cos") * q9 + F.lit(0.5)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / F.count("*")
+                / q9,
+                6,
+            ).alias("mean_cos"),
+            F.round(F.min("cos"), 6).alias("min_cos"),
         )
         .orderBy("label")
     )

@@ -194,6 +194,44 @@ def test_concurrent_builders_same_dataset_one_winner(spark, store_root):
     assert not [e for e in os.listdir(art) if ".tmp-" in e]
 
 
+def test_in_place_dataset_regeneration_changes_the_artifact(
+    spark, store_root, tmp_path
+):
+    """Regenerating a dataset AT THE SAME PATH must not serve the old
+    artifact: the token hashes the dataset's listing fingerprint
+    (name/size/mtime), so the rewritten dataset resolves to a new
+    artifact path and rebuilds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ds = tmp_path / "regen_sf"
+    ds.mkdir()
+    target = str(ds / "documents.parquet")
+    shutil.copy(os.path.join(SF, "documents.parquet"), target)
+    p1 = substrate_store.artifact_path(
+        "ranked_shingles", text_substrate._SHINGLE_VERSION, str(ds)
+    )
+    n1 = text_substrate.ranked_shingles(spark, str(ds)).count()
+    assert os.path.exists(os.path.join(p1, "_SUCCESS")) and n1 > 0
+
+    # regenerate in place: half the corpus, same file name
+    tbl = pq.read_table(target)
+    pq.write_table(tbl.slice(0, tbl.num_rows // 2), target)
+    # fingerprints are computed once per process; a NEW process (the
+    # real regeneration scenario) starts empty — model that here
+    substrate_store._FPRINT_MEMO.clear()
+    substrate_store._MEMO.clear()
+
+    p2 = substrate_store.artifact_path(
+        "ranked_shingles", text_substrate._SHINGLE_VERSION, str(ds)
+    )
+    assert p2 != p1, "regenerated dataset resolved to the stale artifact"
+    n2 = text_substrate.ranked_shingles(spark, str(ds)).count()
+    assert 0 < n2 < n1  # rebuilt from the smaller corpus
+    assert os.path.exists(os.path.join(p2, "_SUCCESS"))
+    del pa  # (imported for the parquet round-trip only)
+
+
 def test_crashed_writer_is_rebuilt(spark, store_root):
     path = substrate_store.artifact_path(
         "ranked_shingles", text_substrate._SHINGLE_VERSION, SF
