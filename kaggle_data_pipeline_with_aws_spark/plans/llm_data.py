@@ -817,15 +817,48 @@ def d22_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spark_query("d23_frame_sample")
+@spark_query(
+    "d23_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS mt,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id, n, greatest(n // 64, 1) AS nf
+      FROM m WHERE mt = 'video' AND n > 0
+    ),
+    vf AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+             CAST(least(n - i * 64, 64) AS BIGINT) AS frame_bytes
+      FROM v, unnest(range(0, nf)) AS u(i)
+    ),
+    passthrough AS (
+      SELECT doc_id, CAST(0 AS BIGINT) AS frame_idx,
+             CAST(n AS BIGINT) AS frame_bytes
+      FROM m WHERE mt <> 'video' OR n = 0
+    )
+    SELECT * FROM vf UNION ALL SELECT * FROM passthrough
+    """,
+)
 def d23_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame sampling: one video row fans out to one row per
-    sampled frame (mapInPandas with output cardinality != input).
-    Arrow-batch plumbing is the point — rows-only check."""
+    sampled frame (mapInPandas with output cardinality != input — the
+    Arrow-batch plumbing is the point). Upgraded round 6 from a
+    rows-only check to a full value oracle: the deterministic slicing
+    (64-byte frames over the utf-8 payload, max(1, n//64) frames,
+    short tail frame, non-video single-frame passthrough) is restated
+    in SQL, so the fan-out is value-checked per (doc, frame)."""
     media = multimodal.documents_as_media(_docs(spark, sf_dir))
     frames = multimodal.sample_frames(media, every_n_bytes=64)
     return frames.select(
-        "doc_id", "frame_idx", F.octet_length("payload").alias("frame_bytes")
+        "doc_id",
+        "frame_idx",
+        F.octet_length("payload").cast("long").alias("frame_bytes"),
     )
 
 
