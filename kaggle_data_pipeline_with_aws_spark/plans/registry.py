@@ -73,3 +73,4 @@ def load_all() -> None:
     from . import wave33  # noqa: F401
     from . import wave34  # noqa: F401
     from . import wave35  # noqa: F401
+    from . import wave36  # noqa: F401
