@@ -42,7 +42,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # d140 — mixture epoch planner.
 # ---------------------------------------------------------------------------
-_MIX_ALPHA = 0.5  # d128's middle temperature
+# temperature α = 0.5 (d128's middle setting), stated as sqrt() in
+# both engines — see the determinism note inside the oracle
 _MIX_BUDGET = 2_000_000  # planned training tokens
 
 
