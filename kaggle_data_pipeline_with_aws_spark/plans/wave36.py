@@ -104,18 +104,28 @@ def _d149_oracle() -> str:
     attempt_cols = ",\n             ".join(
         f"{draw(a)} % n.n AS cand{a}" for a in range(_NEG_ATTEMPTS)
     )
-    # first candidate that collides with neither endpoint nor any
-    # near-dup of the anchor
+    # Rejection stated as LEFT JOINs against the MATERIALIZED pair-sized
+    # sym table — NEVER correlated EXISTS: each EXISTS would re-inline
+    # the whole unmaterialized MinHash pipeline per attempt (the d40
+    # oracle failure shape; the EXISTS form exhausted the spill disk at
+    # 10×, where this form verifies in seconds).
+    rejects = "\n      ".join(
+        f"LEFT JOIN sym s{a} ON s{a}.d = c.doc_id_1"
+        f" AND s{a}.other = c.cand{a}"
+        for a in range(_NEG_ATTEMPTS)
+    )
     pick = "CASE "
     for a in range(_NEG_ATTEMPTS):
         pick += (
-            f"WHEN cand{a} <> doc_id_1 AND cand{a} <> doc_id_2 "
-            f"AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.d = doc_id_1 "
-            f"AND s.other = cand{a}) THEN cand{a} "
+            f"WHEN c.cand{a} <> c.doc_id_1 AND c.cand{a} <> c.doc_id_2 "
+            f"AND s{a}.other IS NULL THEN c.cand{a} "
         )
     pick += "ELSE NULL END"
-    return f"""{_minhash_pairs_cte(0.5)},
-    sym AS (
+    cte = _minhash_pairs_cte(0.5).replace(
+        "pairs AS (", "pairs AS MATERIALIZED (", 1
+    )
+    return f"""{cte},
+    sym AS MATERIALIZED (
       SELECT doc_id_1 AS d, doc_id_2 AS other FROM pairs
       UNION ALL SELECT doc_id_2, doc_id_1 FROM pairs
     ),
@@ -126,10 +136,11 @@ def _d149_oracle() -> str:
       FROM pairs, n
     ),
     picked AS (
-      SELECT doc_id_1 AS anchor_id, doc_id_2 AS pos_id,
-             est_jaccard AS pos_sim,
+      SELECT c.doc_id_1 AS anchor_id, c.doc_id_2 AS pos_id,
+             c.est_jaccard AS pos_sim,
              {pick} AS neg_id
-      FROM cands
+      FROM cands c
+      {rejects}
     )
     SELECT anchor_id, pos_id, CAST(pos_sim AS DOUBLE) AS pos_sim,
            CAST(neg_id AS BIGINT) AS neg_id
