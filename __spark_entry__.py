@@ -49,103 +49,52 @@ def entry(spark: SparkSession) -> DataFrame:
 # against its proof-baseline commit) — and (b) as many
 # never-driver-checked queries as fit.
 #
-# Round-6 window: THE CLOSING WINDOW. After five rounds, exactly 48
-# registry queries lack a currently-valid driver proof — 7 whose r2-r4
-# proofs were invalidated by round-5 determinism/performance rewrites
-# (q38 exact-DECIMAL money sums, d95 exact integer moments, d10/d53/d85
-# in-task pair kernels, d69/d43 salted block pairs) and 41 never-proven
-# (the wave-17-32 tail: q101-q113, d113-d139, s13, plus the two
-# rows-only-by-design twins d15/d23). All 48 fit in one 50-slot window:
-# invalidated re-proofs first (oldest original proof first), then the
-# never-proven queue oldest-wave-first, rows-only twins last among the
-# never-proven. The 2 spare slots carry d11/d51 re-proofs — their
-# decode tier gained a real stdlib PNG codec this round (see
-# operators/multimodal.py), which changes their dependency closure and
-# invalidates the r5 proofs per the audit rule. 50/50 staged; if every
-# row comes back green, all 263 queries the registry held at the
-# START of round 6 carry a currently-valid driver proof. The round's
-# LATER work then re-opens a bounded queue for round 7 (listed at
-# position 51+ below): 9 proofs invalidated by the substrate switch
-# plus the 8 new wave-33/34/35 queries (d140-d147), all locally
-# gate-green.
+# Round-7 window, per the round-6 verdict's "Next round" list:
+# (1) the 9 substrate-switch re-proofs staged at the end of round 6 —
+#     d06/d07/d42/d108 moved onto the shared ranked-shingle / MinHash-
+#     signature substrate (operators/text_substrate.py; equivalence
+#     pinned in tests/test_text_substrate.py) and d62/d63/d64/d122/d132
+#     whose kNN store mechanics moved into operators/substrate_store.py;
+# (2) d115/d126 re-proofs: green in r6, but round 7 added version GC +
+#     two ADVICE race/memo fixes to substrate_store.py, which sits in
+#     their dependency closure — the audit rule re-proves them;
+# (3) the 10 never-proven wave-33-36 queries (d140-d149), three of
+#     them reworked this round (d140 order-free quantized weight sum,
+#     d146 engine-exact order-statistic leg, d148 single-scan stack);
+# (4) d15 — re-registered on a deterministic fitted quantizer (one
+#     exact Lloyd step from seeded centroids) WITH a full value oracle
+#     (verdict #2: was the registry's only rows-only check);
+# (5) the new wave-37+ queries, never driver-checked.
 _WINDOW_PRIORITY = [
-    # ---- re-proofs: impl changed after an earlier green row (r5 work) ----
-    "q38_supplier_revenue_rank",
-    "d95_embedding_norm_outliers",
-    "d10_embedding_neardup",
-    "d53_translation_candidates",
-    "d85_translation_length_filter",
-    "d69_edit_distance_linkage",
-    "d43_fuzzy_prefix_match",
-    # ---- never-proven queue, oldest wave first (waves 17-32) ----
-    "q101_ab_ztest",
-    "q102_dow_seasonality",
-    "q103_conversion_latency",
-    "d113_dataset_card",
-    "d114_tail_token_exposure",
-    "d115_cross_source_dup_matrix",
-    "q104_lag_gap_sessions",
-    "d116_signal_agreement",
-    "q105_sql_face",
-    "d117_packed_sequences",
-    "d118_packing_efficiency",
-    "q106_dynamic_pivot",
-    "d119_feature_corr_matrix",
-    "d120_psi_drift",
-    "d121_zorder_layout",
-    "q107_json_key_profile",
-    "q108_schema_evolution_union",
-    "d123_source_gini",
-    "d124_quality_residuals",
-    "q109_time_weighted_avg",
-    "d125_prefix_cache_rates",
-    "d126_dedup_threshold_sweep",
-    "q110_rfm_segments",
-    "d127_shard_manifest",
-    "d128_temperature_weights",
-    "q111_decile_lift",
-    "d129_dedup_impact",
-    "q112_point_in_time_join",
-    "d130_kcenter_coreset",
-    "s13_windowed_countmin",
-    "d131_forget_purge_audit",
-    "d133_rrf_fusion",
-    "d134_ndcg_eval",
-    "d135_ks_source_drift",
-    "d136_chi2_keyness",
-    "q113_benford_audit",
-    "d137_ivfpq_adc",
-    "d138_dsir_importance",
-    "d139_curriculum_order",
-    # ---- rows-only-by-design twins, never driver-recorded ----
-    "d15_ann_ivf",
-    "d23_frame_sample",
-    # ---- spare slots: d11/d51 re-proofs (round-6 real PNG decode tier
-    # ---- changes operators/multimodal.py symbols in their closure) ----
-    "d11_multimodal_features",
-    "d51_image_patches",
-    # ---- position 51+: BEYOND this round's 50-slot window — the
-    # round-7 re-proof queue, staged per the audit rule (post-window
-    # perf work that touches proven closures costs next-round slots;
-    # the round-5 verdict's directives #4/#6 budgeted exactly this).
-    # d06/d07/d42 now consume the shared ranked-shingle / MinHash-
-    # signature substrate (operators/text_substrate.py) instead of
-    # re-deriving per run; value-equivalence to the standalone dedup
-    # plans is pinned at sf0.001 in tests/test_text_substrate.py and
-    # re-verified at sf0.01 by the round-6 gate sweep.
+    # ---- re-proofs: text-substrate consumers (staged since round 6) ----
     "d06_ngram_jaccard",
     "d07_minhash_lsh",
     "d42_shingle_containment",
     "d108_incremental_dedup",
-    # The kNN edge substrate's store mechanics moved into the shared
-    # substrate_store (configurable root URI, race/fallback contract —
-    # directive #6); builder plan and artifact identity unchanged, but
-    # the rule is any closure change re-proves.
+    # ---- re-proofs: kNN substrate consumers (store mechanics moved) ----
     "d62_knn_graph",
     "d63_knn_triangles",
     "d64_label_vote",
     "d122_kcore_peel",
     "d132_bfs_hops",
+    # ---- re-proofs: substrate_store.py changed this round (GC +
+    # ---- ADVICE fixes), and these r6-proven queries read the store ----
+    "d115_cross_source_dup_matrix",
+    "d126_dedup_threshold_sweep",
+    # ---- never-proven: waves 33-36 (added after the r6 window) ----
+    "d140_mix_epochs",
+    "d141_split_leakage",
+    "d142_cluster_safe_split",
+    "d143_intra_doc_repetition",
+    "d144_label_margin",
+    "d145_label_coherence",
+    "d146_histogram_quantiles",
+    "d147_token_mass_percentiles",
+    "d148_join_key_skew",
+    "d149_contrastive_pairs",
+    # ---- d15 upgraded to a full value oracle (round-6 verdict #2) ----
+    "d15_ann_ivf",
+    # ---- never-proven: round-7 additions (wave 37+) ----
 ]
 
 

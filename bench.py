@@ -102,6 +102,22 @@ def main() -> None:
     _calibrate()  # untimed warm-up of the probe's own codegen path
     calibration = _calibrate()
 
+    # Idle reference band for this box (three round-6 idle runs): a
+    # calibration outside it means the box was NOT idle, so the run's
+    # numbers carry a whole-session band elevation — warn (never fail)
+    # so a loaded box can't silently pollute the BENCH series
+    # (round-6 verdict #5).
+    CAL_BAND = (0.107, 0.138)
+    calibration_warning = None
+    if not (CAL_BAND[0] <= calibration <= CAL_BAND[1]):
+        calibration_warning = (
+            f"calibration {calibration}s outside idle band "
+            f"{CAL_BAND[0]}-{CAL_BAND[1]}s: box not idle, normalize "
+            f"query times by (calibration_sec / 0.12) before comparing "
+            f"across rounds"
+        )
+        print(f"# WARNING: {calibration_warning}", file=sys.stderr)
+
     # Three timed passes, per-query MIN: a single pass is hostage to
     # whatever else the machine is doing in that instant (GC, another
     # process's burst); the min over repetitions is the standard
@@ -136,6 +152,11 @@ def main() -> None:
                 "queries": timings,
                 "extras_total": extras,
                 "calibration_sec": calibration,
+                **(
+                    {"calibration_warning": calibration_warning}
+                    if calibration_warning
+                    else {}
+                ),
                 "sf": sf,
             }
         )

@@ -26,8 +26,12 @@ the artifact identity:
   values, ~10× less build wall at 10×.
 - ``_VERSION`` is part of the path: bump it whenever the builder plan
   changes so a stale artifact from an older plan can never be read.
-  The path layout is unchanged from round 5 (same family name, same
-  dataset token), so already-published artifacts stay valid.
+  Note the round-6 store generalization DID move the path: the dataset
+  token now hashes the dataset's listing fingerprint alongside its
+  location (md5(path + '|' + fingerprint) vs the round-5 md5(path)),
+  so round-5 artifacts became unreachable and were rebuilt on first
+  use; the orphans are collected by ``substrate_store.
+  prune_superseded`` (keep-latest-N per family/dataset, grace-windowed).
 
 Reference scope: the reference pipeline has no graph substrate — this
 is part of the beyond-reference LLM-data-curation surface the brief

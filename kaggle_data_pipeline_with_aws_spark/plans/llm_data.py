@@ -577,16 +577,187 @@ def d14_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
 
 
-@spark_query("d15_ann_ivf")
+def _d15_oracle() -> str:
+    """The fitted-quantizer IVF stated in SQL: seed assignment →
+    exact-quantized Lloyd mean per cell (the d145 fixed-point rule) →
+    assignment/probing against the refined centroids → exact re-rank.
+    Every float reduction is a dimension-sequential fold or an exact
+    integer sum, so the oracle is value-exact, not approximate."""
+    dot_vs = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        "i -> CAST(v.embedding[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE))), "
+        "(acc, x) -> acc + x)"
+    )
+    norm_s = _NORM_SQL.format(v="s")
+    dot_vc = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        "i -> CAST(v.embedding[i] AS DOUBLE) * c.cent[i])), "
+        "(acc, x) -> acc + x)"
+    )
+    norm_cent = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        "i -> c.cent[i] * c.cent[i])), (acc, x) -> acc + x))"
+    )
+    norm_v = _NORM_SQL.format(v="v")
+    return f"""
+    WITH seeds AS (
+      SELECT vec_id AS sid, embedding FROM embeddings WHERE vec_id < 16
+    ),
+    seed_scored AS (
+      SELECT v.vec_id, s.sid,
+             round({dot_vs} / ({norm_v} * {norm_s}), 6) AS cscore
+      FROM embeddings v, seeds s
+    ),
+    seed_assign AS (
+      SELECT vec_id, sid AS cell FROM (
+        SELECT vec_id, sid,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cscore DESC, sid ASC) AS r
+        FROM seed_scored
+      ) WHERE r = 1
+    ),
+    comp AS (
+      SELECT a.cell, i,
+             CAST(sum(CAST(floor(CAST(v.embedding[i] AS DOUBLE)
+                    * 1000000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
+               / count(*) / 1000000000.0 AS m
+      FROM embeddings v JOIN seed_assign a ON a.vec_id = v.vec_id,
+           unnest(range(1, 65)) AS u(i)
+      GROUP BY 1, 2
+    ),
+    cents AS (
+      SELECT cell AS centroid_id, list(m ORDER BY i) AS cent
+      FROM comp GROUP BY 1
+    ),
+    corpus_scored AS (
+      SELECT v.vec_id AS neighbor_id, c.centroid_id,
+             round({dot_vc} / ({norm_v} * {norm_cent}), 6) AS cscore
+      FROM embeddings v, cents c
+    ),
+    assigned AS (
+      SELECT neighbor_id, centroid_id FROM (
+        SELECT neighbor_id, centroid_id,
+               row_number() OVER (PARTITION BY neighbor_id
+                   ORDER BY cscore DESC, centroid_id ASC) AS r
+        FROM corpus_scored
+      ) WHERE r = 1
+    ),
+    query_scored AS (
+      SELECT v.vec_id AS query_id, c.centroid_id,
+             round({dot_vc} / ({norm_v} * {norm_cent}), 6) AS cscore
+      FROM embeddings v, cents c
+      WHERE v.vec_id < 10
+    ),
+    probed AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT query_id, centroid_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cscore DESC, centroid_id ASC) AS r
+        FROM query_scored
+      ) WHERE r <= 4
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.neighbor_id
+      FROM assigned a JOIN probed p ON a.centroid_id = p.centroid_id
+      WHERE a.neighbor_id != p.query_id
+    ),
+    rescored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round({_DOT_SQL} / ({_NORM_SQL.format(v='a')} * {_NORM_SQL.format(v='b')}), 6)
+               AS cos_sim
+      FROM cand
+      JOIN embeddings b ON b.vec_id = cand.query_id
+      JOIN embeddings a ON a.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM rescored
+    ) WHERE rank <= 5
+    """
+
+
+@spark_query("d15_ann_ivf", _d15_oracle())
 def d15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: KMeans coarse quantizer + n_probe cell
-    probing + exact re-rank of probed candidates (the cluster-scale ANN;
-    Arrow-batched centroid matmuls, equi-join on cell_id — no cross
-    join). Probabilistic recall — rows-only check."""
+    """IVF top-k with a FITTED coarse quantizer, made deterministic
+    (round-6 verdict #2 — this was the registry's only rows-only
+    check): the quantizer is one exact Lloyd refinement step from the
+    seeded centroids (vec_id < 16) — assign every corpus vector to its
+    nearest seed by rounded cosine (id tiebreak), recompute each cell's
+    centroid as the EXACT integer-quantized mean (d145's 1e-9
+    fixed-point rule, order-free) — then serve with the fixed-centroid
+    IVF (d20's proven shape) probing the top-4 refined cells and exact
+    re-ranking candidates. Recall now follows from a deterministic
+    pipeline instead of KMeans RNG, so the whole operator is
+    value-oracled.
+
+    Scale shape: seed assignment is a broadcast of 16 seed vectors
+    against the corpus with partial-agg argmax (one row per vector
+    leaves the map side); the Lloyd mean is a (cell, dim) aggregate —
+    cells×64 rows however big the corpus; serving is d20's shape
+    (broadcast centroid table, equi-join on cell, never all-pairs)."""
     embs = _embs(spark, sf_dir)
+    seeds = F.broadcast(
+        embs.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("sid"), F.col("embedding").alias("semb")
+        )
+    )
+    scored = embs.select("vec_id", "embedding").crossJoin(seeds).select(
+        "vec_id",
+        "embedding",
+        "sid",
+        F.round(
+            similarity.cosine_vectorized(F.col("embedding"), F.col("semb")), 6
+        ).alias("cscore"),
+    )
+    # argmax by (cscore DESC, sid ASC) via min-struct — partial-agg'd,
+    # so one row per vector leaves the map side (the d137 pattern)
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct((-F.col("cscore")).alias("ns"), F.col("sid"))).alias(
+                "b"
+            ),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", F.col("b.sid").alias("cell"))
+    )
+    q9 = F.lit(1e9)
+    comp = (
+        assigned.select("cell", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("cell", "i")
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * q9 + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("double")
+            .alias("s"),
+            F.count("*").alias("cnt"),
+        )
+        .select("cell", "i", (F.col("s") / F.col("cnt") / q9).alias("m"))
+    )
+    cents = (
+        comp.groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), F.col("m")))
+            ).alias("__im")
+        )
+        .select(
+            F.col("cell").alias("vec_id"),
+            F.transform(F.col("__im"), lambda st: st.getField("m")).alias(
+                "embedding"
+            ),
+        )
+    )
     queries = embs.filter(F.col("vec_id") < 10)
-    return similarity.ivf_topk(
-        embs, queries, k=5, n_cells=16, n_probe=4, seed=42
+    return similarity.ivf_topk_fixed_centroids(
+        embs, queries, cents, k=5, n_probe=4
     )
 
 

@@ -58,13 +58,22 @@ def _d140_oracle() -> str:
              CAST(toks AS DOUBLE) / sum(toks) OVER () AS share
       FROM s
     ),
-    w AS (
+    q AS (
       -- α = 0.5 is stated as sqrt(), which is correctly rounded in
       -- every IEEE engine; pow() is only 1-ulp-accurate and differs
-      -- between JVM Math.pow and C libm — the d95/q61 failure class
+      -- between JVM Math.pow and C libm — the d95/q61 failure class.
+      -- sqrt(share) is then QUANTIZED to 1e-9 integer units (the d145
+      -- rule) so the renormalizing sum is an exact integer sum —
+      -- order-free — instead of a float accumulation whose order an
+      -- unordered window over shuffled rows doesn't fix.
       SELECT source, toks, share,
-             sqrt(share) / sum(sqrt(share)) OVER () AS weight
+             CAST(floor(sqrt(share) * 1000000000.0 + 0.5) AS BIGINT) AS qs
       FROM sh
+    ),
+    w AS (
+      SELECT source, toks, share,
+             CAST(qs AS DOUBLE) / CAST(sum(qs) OVER () AS DOUBLE) AS weight
+      FROM q
     )
     SELECT source,
            CAST(toks AS BIGINT) AS n_tokens,
@@ -89,7 +98,15 @@ def d140_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one per-source token aggregate is arithmetic over the
     source-count-sized table (renormalizing sums are windows over that
     same tiny table — same shape d128 proved). At 100 TB the plan
-    costs one map + one partial-agg shuffle of (source, count)."""
+    costs one map + one partial-agg shuffle of (source, count).
+
+    Determinism (the d95/q61 rule): the token sums and their window
+    total are exact integer sums; sqrt is correctly rounded in every
+    IEEE engine (pow is not); and the renormalizing Σsqrt(share) —
+    the one float reduction here — is computed as an exact integer
+    sum of 1e-9-quantized values (d145's fixed-point discipline), so
+    its value cannot depend on the engine-specific, run-to-run
+    accumulation order of an unordered window over shuffled rows."""
     from pyspark.sql import Window
 
     s = (
@@ -101,9 +118,14 @@ def d140_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     share = F.col("toks").cast("double") / F.sum("toks").over(w_all)
     sh = s.select("source", "toks", share.alias("share"))
     # sqrt, not pow(·, 0.5): correctly rounded in both engines (the
-    # d95/q61 cross-engine determinism rule)
-    weight = F.sqrt("share") / F.sum(F.sqrt("share")).over(w_all)
-    w = sh.select("source", "toks", "share", weight.alias("weight"))
+    # d95/q61 cross-engine determinism rule); quantized to integer
+    # units so the window sum below is order-free
+    qs = F.floor(F.sqrt("share") * F.lit(1e9) + F.lit(0.5)).cast("long")
+    q = sh.select("source", "toks", "share", qs.alias("qs"))
+    weight = F.col("qs").cast("double") / F.sum("qs").over(w_all).cast(
+        "double"
+    )
+    w = q.select("source", "toks", "share", weight.alias("weight"))
     alloc = F.lit(float(_MIX_BUDGET)) * F.col("weight")
     return w.select(
         "source",

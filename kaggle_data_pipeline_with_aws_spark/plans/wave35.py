@@ -67,13 +67,34 @@ def _d146_oracle() -> str:
                + {_HQ_WIDTH} * (p.q * n.n - c2.cum_prev) / c2.c AS est_v
       FROM pick p JOIN cum c2 ON c2.bucket = p.bucket, n
     ),
+    -- exact leg: the type-1 (inverted-CDF) order statistic — the
+    -- smallest stored value whose global cumulative count reaches
+    -- q·n. Pure counts and comparisons, no interpolation arithmetic:
+    -- engine-exact, unlike quantile_cont/F.percentile whose float op
+    -- order differs between engines (the q61 cross-engine class).
+    -- Two-phase so it scales: the bucket cum table locates the one
+    -- bucket holding the target rank; only THAT bucket's rows are
+    -- grouped by exact value (bounded by the value grid inside one
+    -- bucket, never data-sized) for the within-bucket walk.
+    exin AS (
+      SELECT p.q, c2.cum_prev, l.l_extendedprice AS v, count(*) AS vc
+      FROM pick p
+      JOIN cum c2 ON c2.bucket = p.bucket
+      JOIN lineitem l
+        ON CAST(floor(l.l_extendedprice / {_HQ_WIDTH}) AS BIGINT) = p.bucket
+      GROUP BY 1, 2, 3
+    ),
+    excum AS (
+      SELECT q, cum_prev, v,
+             sum(vc) OVER (PARTITION BY q ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cin
+      FROM exin
+    ),
     ex AS (
-      -- quantile_cont takes constant parameters only: one leg per q
-      {" UNION ALL ".join(
-          f"SELECT {q} AS q, quantile_cont(l_extendedprice, {q}) AS exact_v"
-          f" FROM lineitem"
-          for q in _HQ_QS
-      )}
+      SELECT e.q, min(e.v) AS exact_v
+      FROM excum e, n
+      WHERE e.cum_prev + e.cin >= e.q * n.n
+      GROUP BY e.q
     )
     SELECT CAST(e.q AS DOUBLE) AS q,
            CAST(round(e.est_v, 6) AS DOUBLE) AS est_value,
@@ -95,7 +116,18 @@ def d146_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     error in bucket widths. The (bucket, count) table is the mergeable
     artifact: day-over-day or partition-over-partition merges are
     count additions, which is what makes this the scale path where
-    exact percentiles need a full sort."""
+    exact percentiles need a full sort.
+
+    The exact leg is the type-1 (inverted-CDF) order statistic —
+    counts and comparisons only, no interpolation arithmetic — so
+    both engines pick the identical stored value (F.percentile and
+    quantile_cont interpolate with different float op orders, the q61
+    cross-engine class). It is computed in two bounded phases: the
+    bucket cum table locates the one bucket holding rank q·n, then
+    only that bucket's rows are grouped by exact value for the
+    within-bucket cumulative walk — the walk's window partition is
+    capped by the distinct-value grid inside ONE bucket (10,000 cent
+    values for a $100 bucket), never data-sized."""
     li = _t(spark, sf_dir, "lineitem")
     b = (
         li.select(
@@ -113,36 +145,49 @@ def d146_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(w).alias("cum"),
         (F.sum("c").over(w) - F.col("c")).alias("cum_prev"),
     )
-    stats = li.agg(
-        F.count("*").alias("n"),
-        *[
-            F.percentile("l_extendedprice", F.lit(q)).alias(f"__ex{i}")
-            for i, q in enumerate(_HQ_QS)
-        ],
-    )
-    qs = F.explode(
-        F.array(*[F.lit(float(q)) for q in _HQ_QS])
-    ).alias("q")
-    targets = stats.select(qs, "n", *[f"__ex{i}" for i in range(len(_HQ_QS))])
-    exact = F.when(
-        F.col("q") == _HQ_QS[0], F.col("__ex0")
-    )
-    for i, qv in enumerate(_HQ_QS[1:], start=1):
-        exact = exact.when(F.col("q") == qv, F.col(f"__ex{i}"))
+    qs = F.explode(F.array(*[F.lit(float(q)) for q in _HQ_QS])).alias("q")
+    targets = li.agg(F.count("*").alias("n")).select(qs, "n")
     picked = (
         cum.join(F.broadcast(targets), F.col("cum") >= F.col("q") * F.col("n"))
         .groupBy("q")
-        .agg(
-            F.min("bucket").alias("bucket"),
-            F.first("n").alias("n"),
-            F.first(exact).alias("exact_v"),
+        .agg(F.min("bucket").alias("bucket"), F.first("n").alias("n"))
+    )
+    # exact leg: only the picked buckets' rows are touched (a broadcast
+    # semi-ish join on bucket), grouped by exact value, then a within-
+    # bucket cumulative walk picks the value at global rank q·n
+    pick_full = F.broadcast(
+        picked.join(cum.select("bucket", "cum_prev"), "bucket").select(
+            "q", "bucket", "cum_prev", "n"
         )
+    )
+    exin = (
+        li.select(
+            F.col("l_extendedprice").alias("v"),
+            F.floor(F.col("l_extendedprice") / _HQ_WIDTH)
+            .cast("long")
+            .alias("bucket"),
+        )
+        .join(pick_full, "bucket")
+        .groupBy("q", "cum_prev", "n", "v")
+        .agg(F.count("*").alias("vc"))
+    )
+    win = (
+        Window.partitionBy("q")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ex = (
+        exin.withColumn("cin", F.sum("vc").over(win))
+        .filter(F.col("cum_prev") + F.col("cin") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("v").alias("exact_v"))
     )
     est_v = F.col("bucket") * _HQ_WIDTH + _HQ_WIDTH * (
         F.col("q") * F.col("n") - F.col("cum_prev")
     ) / F.col("c")
     return (
         picked.join(cum.select("bucket", "c", "cum_prev"), "bucket")
+        .join(ex, "q")
         .select(
             "q",
             F.round(est_v, 6).alias("est_value"),

@@ -65,13 +65,26 @@ def d148_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean. A ratio near 1 is uniform; a large ratio is the straggler
     warning that demands salting or AQE skew-join before the real
     join runs. The report costs |keys| shuffle rows per column — the
-    cheapest insurance a 100 TB join can buy."""
+    cheapest insurance a 100 TB join can buy.
+
+    ONE fact scan for all candidate keys (round-6 verdict #4): the
+    keys are stacked into (join_key, key_value) rows in the projection
+    — the stack sits inside whole-stage codegen, so the fact table is
+    read once, not once per key — and a single
+    groupBy(join_key, key_value) with map-side partial aggregation
+    shuffles one row per distinct (key name, value). The oracle keeps
+    its per-key UNION ALL form; values are identical."""
     li = _t(spark, sf_dir, "lineitem")
-    out = None
-    for k in _SKEW_KEYS:
-        counts = li.groupBy(k).agg(F.count("*").alias("c"))
-        leg = counts.agg(
-            F.lit(k).alias("join_key"),
+    stack_args = ", ".join(f"'{k}', {k}" for k in _SKEW_KEYS)
+    stacked = li.selectExpr(
+        f"stack({len(_SKEW_KEYS)}, {stack_args}) AS (join_key, key_value)"
+    )
+    counts = stacked.groupBy("join_key", "key_value").agg(
+        F.count("*").alias("c")
+    )
+    return (
+        counts.groupBy("join_key")
+        .agg(
             F.sum("c").alias("n_rows"),
             F.count("*").alias("n_keys"),
             F.max("c").alias("max_key_rows"),
@@ -84,8 +97,8 @@ def d148_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("skew_ratio"),
         )
-        out = leg if out is None else out.unionByName(leg)
-    return out.orderBy("join_key")
+        .orderBy("join_key")
+    )
 
 
 # ---------------------------------------------------------------------------
