@@ -95,6 +95,9 @@ _WINDOW_PRIORITY = [
     # ---- d15 upgraded to a full value oracle (round-6 verdict #2) ----
     "d15_ann_ivf",
     # ---- never-proven: round-7 additions (wave 37+) ----
+    "d150_cluster_cohesion",
+    "d151_dim_truncation_recall",
+    "d152_lsh_band_tuning",
 ]
 
 

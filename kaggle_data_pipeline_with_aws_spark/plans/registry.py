@@ -74,3 +74,4 @@ def load_all() -> None:
     from . import wave34  # noqa: F401
     from . import wave35  # noqa: F401
     from . import wave36  # noqa: F401
+    from . import wave37  # noqa: F401
