@@ -98,6 +98,8 @@ _WINDOW_PRIORITY = [
     "d150_cluster_cohesion",
     "d151_dim_truncation_recall",
     "d152_lsh_band_tuning",
+    "d153_ivf_probe_sweep",
+    "d154_ivf_cell_balance",
 ]
 
 
