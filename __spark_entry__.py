@@ -100,6 +100,7 @@ _WINDOW_PRIORITY = [
     "d152_lsh_band_tuning",
     "d153_ivf_probe_sweep",
     "d154_ivf_cell_balance",
+    "d155_ppjoin_cost_estimate",
 ]
 
 

@@ -49,7 +49,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _d150_oracle() -> str:
     from .llm_data import _minhash_pairs_cte
 
+    # pairs is referenced THREE times downstream (nodes, edges, pc):
+    # MATERIALIZED, or DuckDB re-inlines the whole MinHash pipeline per
+    # reference — the d40/d149 oracle failure shape (spill-disk grind
+    # at 10×; d142 survives with two references, three does not)
     cte = _minhash_pairs_cte(0.5).replace("WITH toks", "WITH RECURSIVE toks", 1)
+    cte = cte.replace("pairs AS (", "pairs AS MATERIALIZED (", 1)
     return f"""{cte},
     nodes AS (
       SELECT doc_id_1 AS node FROM pairs
@@ -322,7 +327,9 @@ def _d152_oracle() -> str:
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
-    sims AS (
+    sims AS MATERIALIZED (
+      -- referenced once per config leg below: MATERIALIZED, or the
+      -- quadratic posting join re-inlines five times (the d40 rule)
       SELECT round(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 6) AS s
       FROM inter
       JOIN cnt ca ON inter.doc_id_1 = ca.doc_id
