@@ -32,6 +32,10 @@ BENCH_EXTRA = [
     # loosest-threshold PPJoin pass was the family's biggest win
     # (30.1→5.9 s at 10×); the series tracks the substrate economics
     "d126_dedup_threshold_sweep",
+    # added round 7 when d15 gained the deterministic fitted quantizer
+    # and a full value oracle (the registry's last rows-only check) —
+    # the series tracks the flagship ANN serving path
+    "d15_ann_ivf",
 ]
 
 

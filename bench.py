@@ -109,13 +109,21 @@ def main() -> None:
     # (round-6 verdict #5).
     CAL_BAND = (0.107, 0.138)
     calibration_warning = None
-    if not (CAL_BAND[0] <= calibration <= CAL_BAND[1]):
+    if calibration > CAL_BAND[1]:
         calibration_warning = (
-            f"calibration {calibration}s outside idle band "
-            f"{CAL_BAND[0]}-{CAL_BAND[1]}s: box not idle, normalize "
-            f"query times by (calibration_sec / 0.12) before comparing "
-            f"across rounds"
+            f"calibration {calibration}s above idle band "
+            f"{CAL_BAND[0]}-{CAL_BAND[1]}s: box busier than the idle "
+            f"reference (times pessimistic) — normalize by "
+            f"(calibration_sec / 0.12) before comparing across rounds"
         )
+    elif calibration < CAL_BAND[0]:
+        calibration_warning = (
+            f"calibration {calibration}s below idle band "
+            f"{CAL_BAND[0]}-{CAL_BAND[1]}s: box faster than the idle "
+            f"reference (times flattering) — normalize by "
+            f"(calibration_sec / 0.12) before comparing across rounds"
+        )
+    if calibration_warning:
         print(f"# WARNING: {calibration_warning}", file=sys.stderr)
 
     # Three timed passes, per-query MIN: a single pass is hostage to
