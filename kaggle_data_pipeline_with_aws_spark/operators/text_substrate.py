@@ -98,6 +98,37 @@ def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Components artifact version (round 7). The builder is the iterative
+# min-label fixpoint over the LSH pair list — bump on any change to
+# either the banding semantics or the component rule.
+_COMP_VERSION = "v1"
+
+
+def lsh_components(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """(node, component) for every doc in an LSH near-dup pair — the
+    connected-components fixpoint materialized once per
+    (dataset, threshold) and shared by every cluster consumer (d142's
+    cluster-safe split, d150's cohesion audit; the proven d31/d55
+    plans remain the standalone semantic twins, the same pattern as
+    dedup.ngram_jaccard_pairs vs the ranked-shingle artifact). At
+    100 TB the component labeling is a multi-pass shuffle job you run
+    exactly once as a writer, not once per downstream query; the
+    artifact is two long columns. Output values are integers, so the
+    parquet round-trip is exact."""
+    from .components import connected_components
+
+    version = f"{_COMP_VERSION}-t{int(round(threshold * 100)):03d}"
+    return substrate_store.materialize_once(
+        spark,
+        "lsh_components",
+        version,
+        sf_dir,
+        lambda: connected_components(lsh_pairs(spark, sf_dir, threshold)),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Consumers: the dedup pair plans restated over the artifact scan
 # ---------------------------------------------------------------------------

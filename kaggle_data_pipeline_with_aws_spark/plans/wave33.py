@@ -28,7 +28,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import text_substrate
-from ..operators.components import connected_components
 from ..operators.text import portable_hash, portable_hash_sql
 from ..sources.readers import load_table
 from .llm_data import _minhash_pairs_cte
@@ -286,8 +285,11 @@ def d142_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = text_substrate.lsh_pairs(spark, sf_dir, threshold=0.5)
-    comp = connected_components(pairs).select(
+    # components served from the materialized (dataset, threshold)
+    # artifact — shared with d150; connected_components over the pair
+    # list remains the standalone semantic twin (equivalence pinned in
+    # tests/test_text_substrate.py)
+    comp = text_substrate.lsh_components(spark, sf_dir, threshold=0.5).select(
         F.col("node").alias("doc_id"), "component"
     )
     clustered = docs.select("doc_id").join(comp, "doc_id", "left").select(

@@ -34,7 +34,6 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import similarity, text_substrate
-from ..operators.components import connected_components
 from ..sources.readers import load_table
 from .registry import spark_query
 
@@ -108,7 +107,10 @@ def d150_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate here is cluster-count-sized. The mean is an exact
     integer sum of 1e-9-quantized sims (order-free, the d145 rule)."""
     pairs = text_substrate.lsh_pairs(spark, sf_dir, threshold=0.5)
-    comp = connected_components(pairs)
+    # components served from the materialized (dataset, threshold)
+    # artifact — shared with d142 (the standalone fixpoint stays the
+    # semantic twin, equivalence pinned in tests/test_text_substrate.py)
+    comp = text_substrate.lsh_components(spark, sf_dir, threshold=0.5)
     sizes = comp.groupBy("component").agg(F.count("*").alias("n_docs"))
     pc = pairs.join(
         comp.withColumnRenamed("node", "doc_id_1"), "doc_id_1"
