@@ -240,9 +240,12 @@ def prune_superseded(
     superseded token/version is unreachable by construction (consumers
     re-resolve the current token on every call), so extra copies have
     no reader value past the grace window. Grouping by the dataset
-    basename (not the whole family) means artifacts for DIFFERENT
-    datasets — sf0.001 / sf0.01 / sf0.1 side by side, or two tenants'
-    corpora — are never counted against each other's budget.
+    basename (not the whole family) keeps differently-named datasets —
+    sf0.001 / sf0.01 / sf0.1 side by side — out of each other's
+    budget. Two DISTINCT datasets that share a basename (/a/data and
+    /b/data) do share a group: the worst case is an evicted cache
+    entry that rebuilds on next use, never a correctness effect,
+    because reads always resolve the current content-addressed token.
 
     Race discipline (same bar as the publish path):
 
