@@ -105,6 +105,17 @@ _WINDOW_PRIORITY = [
     "d153_ivf_probe_sweep",
     "d154_ivf_cell_balance",
     "d155_ppjoin_cost_estimate",
+    # ---- re-proofs: the last per-run LSH pair/components derivers
+    # ---- moved onto the shared substrates late in round 7 (d31/d55
+    # ---- onto the components artifact; d40/d61/d67 onto the pair
+    # ---- substrate; d76 composes d31) — equivalence pinned in
+    # ---- tests/test_text_substrate.py, all gate-green at sf0.01/sf0.1
+    "d31_dedup_components",
+    "d55_canonical_docs",
+    "d76_cluster_size_histogram",
+    "d40_pagerank",
+    "d61_lsh_estimate_error",
+    "d67_cross_source_leakage",
 ]
 
 

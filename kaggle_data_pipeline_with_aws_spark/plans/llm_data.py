@@ -1290,13 +1290,16 @@ def d31_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup edges via iterative min-label propagation (2 shuffles per
     round over (node, label) pairs only; near-dup graphs are small
     dense cliques so the fixpoint lands in 2-3 rounds). The oracle is
-    the recursive-CTE transitive closure of the same edges."""
-    from ..operators.components import connected_components
+    the recursive-CTE transitive closure of the same edges.
 
-    pairs = dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), threshold=0.5, portable=True
-    )
-    return connected_components(pairs)
+    Served from the materialized (dataset, threshold) components
+    artifact since round 7 — the fixpoint runs once per dataset, not
+    once per consumer; ``connected_components`` over
+    ``dedup.minhash_lsh_pairs`` remains the standalone semantic twin
+    (equivalence pinned in tests/test_text_substrate.py)."""
+    from ..operators import text_substrate
+
+    return text_substrate.lsh_components(spark, sf_dir, threshold=0.5)
 
 
 @spark_query(
@@ -1384,9 +1387,10 @@ def d40_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     method as per-round join+agg (operators/components.py::pagerank);
     the oracle is the same five steps unrolled as CTEs, value-exact to
     1e-6."""
+    from ..operators import text_substrate
     from ..operators.components import pagerank
 
-    pairs = dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), threshold=0.5, portable=True
-    )
+    # pair list served from the shared signature substrate (round 7);
+    # dedup.minhash_lsh_pairs remains the standalone twin
+    pairs = text_substrate.lsh_pairs(spark, sf_dir, threshold=0.5)
     return pagerank(pairs)

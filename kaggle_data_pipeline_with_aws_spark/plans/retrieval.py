@@ -241,8 +241,11 @@ def d55_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the heavy lifting — pair generation and components — reuses the
     banded-LSH and label-propagation operators."""
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5, portable=True)
-    comp = connected_components(pairs)
+    # components served from the materialized artifact (round 7); the
+    # standalone fixpoint over dedup.minhash_lsh_pairs stays the twin
+    from ..operators import text_substrate
+
+    comp = text_substrate.lsh_components(spark, sf_dir, threshold=0.5)
     j = comp.join(
         docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
     )
@@ -619,7 +622,10 @@ def d61_lsh_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-joined corpus-wide; work is O(candidates × shingles/doc), not
     O(all co-shingled pairs)."""
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5, portable=True)
+    # pair list served from the shared signature substrate (round 7)
+    from ..operators import text_substrate
+
+    pairs = text_substrate.lsh_pairs(spark, sf_dir, threshold=0.5)
     sh = dedup.shingle_table(docs, n=3)
     cnt = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
     inter = (
@@ -1103,7 +1109,10 @@ def d67_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never all-pairs); the source labels join on doc_id and the matrix
     is a tiny groupBy."""
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5, portable=True)
+    # pair list served from the shared signature substrate (round 7)
+    from ..operators import text_substrate
+
+    pairs = text_substrate.lsh_pairs(spark, sf_dir, threshold=0.5)
     src = docs.select("doc_id", "source")
     lab = (
         pairs.select("doc_id_1", "doc_id_2")
