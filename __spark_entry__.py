@@ -116,6 +116,8 @@ _WINDOW_PRIORITY = [
     "d40_pagerank",
     "d61_lsh_estimate_error",
     "d67_cross_source_leakage",
+    # ---- wave 40 (round 7, never proven) ----
+    "d156_cluster_threshold_stability",
 ]
 
 

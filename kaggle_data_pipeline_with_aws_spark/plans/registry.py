@@ -77,3 +77,4 @@ def load_all() -> None:
     from . import wave37  # noqa: F401
     from . import wave38  # noqa: F401
     from . import wave39  # noqa: F401
+    from . import wave40  # noqa: F401

@@ -54,3 +54,11 @@ def test_d149_triplets_are_valid_and_deterministic(spark):
         ).collect()
     ]
     assert rows == again
+
+
+def test_d148_single_fact_scan_plan(spark):
+    """Round-6 verdict #4: the skew report reads lineitem ONCE (stacked
+    keys in the projection), not once per candidate key."""
+    df = registry.QUERIES["d148_join_key_skew"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1

@@ -43,3 +43,29 @@ def test_d155_actuals_match_pairwise_runs(spark):
     for t in wave39._COST_TS:
         want = text_substrate.jaccard_pairs(spark, SF, threshold=t).count()
         assert rows[t] == want, f"threshold {t}"
+
+
+def test_d156_refinement_invariants(spark):
+    """Wave-40: the tight clustering refines the loose one — subcluster
+    counts bounded by cluster size, stable ⟺ one subcluster, and the
+    union of subclusters accounts for every loose-cluster member."""
+    from kaggle_data_pipeline_with_aws_spark.plans import wave40
+
+    rows = registry.QUERIES["d156_cluster_threshold_stability"](
+        spark, SF
+    ).collect()
+    assert rows
+    d150 = {
+        r["cluster_id"]: r
+        for r in registry.QUERIES["d150_cluster_cohesion"](spark, SF).collect()
+    }
+    assert {r["cluster_id"] for r in rows} == set(d150)  # same clusters
+    for r in rows:
+        assert 1 <= r["n_subclusters"] <= r["n_docs"]
+        assert r["stable"] == (r["n_subclusters"] == 1)
+        assert abs(r["cohesion_ratio"] - round(1.0 / r["n_subclusters"], 6)) < 1e-12
+        assert r["n_docs"] == d150[r["cluster_id"]]["n_docs"]
+        # a cluster whose weakest internal pair clears the tight floor
+        # cannot shatter
+        if d150[r["cluster_id"]]["min_sim"] >= wave40._T_TIGHT:
+            assert r["stable"]
