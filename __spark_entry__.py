@@ -68,7 +68,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # (4) d15 — re-registered on a deterministic fitted quantizer (one
 #     exact Lloyd step from seeded centroids) WITH a full value oracle
 #     (verdict #2: was the registry's only rows-only check);
-# (5) the new wave-37+ queries, never driver-checked.
+# (5) the new wave-37-40 queries (d150-d156), never driver-checked;
+# (6) d31/d55/d76/d40/d61/d67 — re-proofs after the late-round switch
+#     of the last per-run LSH pair/components derivers onto the shared
+#     substrates (equivalence pinned in tests/test_text_substrate.py).
+# All 35 verified green vs DuckDB at sf0.01 before staging; the
+# new/changed ones also 10x-exact and 100x-clean (BENCH_SCALING.md).
 _WINDOW_PRIORITY = [
     # ---- re-proofs: text-substrate consumers (staged since round 6) ----
     "d06_ngram_jaccard",
