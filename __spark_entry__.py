@@ -53,76 +53,53 @@ def entry(spark: SparkSession) -> DataFrame:
 # against its proof-baseline commit) — and (b) as many
 # never-driver-checked queries as fit.
 #
-# Round-7 window, per the round-6 verdict's "Next round" list:
-# (1) the 9 substrate-switch re-proofs staged at the end of round 6 —
-#     d06/d07/d42/d108 moved onto the shared ranked-shingle / MinHash-
-#     signature substrate (operators/text_substrate.py; equivalence
-#     pinned in tests/test_text_substrate.py) and d62/d63/d64/d122/d132
-#     whose kNN store mechanics moved into operators/substrate_store.py;
-# (2) d115/d126 re-proofs: green in r6, but round 7 added version GC +
-#     two ADVICE race/memo fixes to substrate_store.py, which sits in
-#     their dependency closure — the audit rule re-proves them;
-# (3) the 10 never-proven wave-33-36 queries (d140-d149), three of
-#     them reworked this round (d140 order-free quantized weight sum,
-#     d146 engine-exact order-statistic leg, d148 single-scan stack);
-# (4) d15 — re-registered on a deterministic fitted quantizer (one
-#     exact Lloyd step from seeded centroids) WITH a full value oracle
-#     (verdict #2: was the registry's only rows-only check);
-# (5) the new wave-37-40 queries (d150-d156), never driver-checked;
-# (6) d31/d55/d76/d40/d61/d67 — re-proofs after the late-round switch
-#     of the last per-run LSH pair/components derivers onto the shared
-#     substrates (equivalence pinned in tests/test_text_substrate.py).
-# All 35 verified green vs DuckDB at sf0.01 before staging; the
-# new/changed ones also 10x-exact and 100x-clean (BENCH_SCALING.md).
+# Round-8 window. Two blocks:
+#
+# (A) 24 substrate-store re-proofs, batched WEEK-1 per the round-7
+#     verdict's item 6 (substrate freeze discipline): the three
+#     round-7 ADVICE fixes all land in operators/substrate_store.py —
+#     memoized-fast-path recovery after a peer process's GC,
+#     _FPRINT_MEMO TTL expiry so in-place dataset regeneration is
+#     eventually observed, and the prune_superseded ownership gate for
+#     no-_SUCCESS entries — plus d155's integral pred_candidates sum
+#     (wave39). Every registered query whose dependency closure
+#     includes materialize_once/prune_superseded/_dataset_fingerprint
+#     re-proves (tools/proof_audit.py's rule); all were green in r7 and
+#     the fixes change only degraded/GC paths, so results are
+#     unchanged. substrate_store is now FROZEN for the round.
+# (B) the round-8 never-proven additions (staged as they land).
+# All verified green vs DuckDB at sf0.01 before staging.
 _WINDOW_PRIORITY = [
-    # ---- re-proofs: text-substrate consumers (staged since round 6) ----
+    # ---- (B) round-8 additions, never driver-checked ----
+    # ---- re-proof: q80's money sum moved onto exact decimal cents
+    # ---- (the q38/q88/q100 rule), retiring the sf0.1 1-ulp WARN ----
+    "q80_grouping_sets_revenue",
+    # ---- (A) re-proofs: substrate_store.py ADVICE fixes (week 1) ----
     "d06_ngram_jaccard",
     "d07_minhash_lsh",
     "d42_shingle_containment",
     "d108_incremental_dedup",
-    # ---- re-proofs: kNN substrate consumers (store mechanics moved) ----
     "d62_knn_graph",
     "d63_knn_triangles",
     "d64_label_vote",
     "d122_kcore_peel",
     "d132_bfs_hops",
-    # ---- re-proofs: substrate_store.py changed this round (GC +
-    # ---- ADVICE fixes), and these r6-proven queries read the store ----
     "d115_cross_source_dup_matrix",
     "d126_dedup_threshold_sweep",
-    # ---- never-proven: waves 33-36 (added after the r6 window) ----
-    "d140_mix_epochs",
     "d141_split_leakage",
     "d142_cluster_safe_split",
-    "d143_intra_doc_repetition",
-    "d144_label_margin",
-    "d145_label_coherence",
-    "d146_histogram_quantiles",
-    "d147_token_mass_percentiles",
-    "d148_join_key_skew",
     "d149_contrastive_pairs",
-    # ---- d15 upgraded to a full value oracle (round-6 verdict #2) ----
-    "d15_ann_ivf",
-    # ---- never-proven: round-7 additions (wave 37+) ----
     "d150_cluster_cohesion",
-    "d151_dim_truncation_recall",
     "d152_lsh_band_tuning",
-    "d153_ivf_probe_sweep",
-    "d154_ivf_cell_balance",
+    # d155 additionally re-proves for its own integral-sum fix
     "d155_ppjoin_cost_estimate",
-    # ---- re-proofs: the last per-run LSH pair/components derivers
-    # ---- moved onto the shared substrates late in round 7 (d31/d55
-    # ---- onto the components artifact; d40/d61/d67 onto the pair
-    # ---- substrate; d76 composes d31) — equivalence pinned in
-    # ---- tests/test_text_substrate.py, all gate-green at sf0.01/sf0.1
+    "d156_cluster_threshold_stability",
     "d31_dedup_components",
     "d55_canonical_docs",
     "d76_cluster_size_histogram",
     "d40_pagerank",
     "d61_lsh_estimate_error",
     "d67_cross_source_leakage",
-    # ---- wave 40 (round 7, never proven) ----
-    "d156_cluster_threshold_stability",
 ]
 
 

@@ -75,8 +75,14 @@ def store_root() -> str:
     )
 
 
-# (dataset location) -> listing fingerprint, computed once per process
-_FPRINT_MEMO: dict[str, str] = {}
+# (dataset location) -> (listing fingerprint, monotonic expiry).
+# Entries EXPIRE (round-7 ADVICE): a long-lived driver process must
+# eventually observe an in-place dataset regeneration, otherwise it
+# keeps resolving the pre-regeneration token forever and serves a
+# stale artifact for the process lifetime. One FS listing per
+# (dataset, process, TTL window).
+_FPRINT_TTL_S = 600.0
+_FPRINT_MEMO: dict[str, tuple[str, float]] = {}
 
 
 def _dataset_fingerprint(spark: SparkSession | None, sf_abs: str) -> str:
@@ -85,9 +91,11 @@ def _dataset_fingerprint(spark: SparkSession | None, sf_abs: str) -> str:
     regeneration (new files or rewritten files shift length/mtime)
     without reading any data. Empty string when the location can't be
     listed (the path still keys the artifact)."""
+    import time
+
     memo = _FPRINT_MEMO.get(sf_abs)
-    if memo is not None:
-        return memo
+    if memo is not None and time.monotonic() < memo[1]:
+        return memo[0]
     if spark is None and "://" in sf_abs:
         # A remote URI can't be listed without the JVM FileSystem.
         # Return the empty fingerprint WITHOUT memoizing it, so a later
@@ -116,12 +124,12 @@ def _dataset_fingerprint(spark: SparkSession | None, sf_abs: str) -> str:
                         (de.name, st.st_size, st.st_mtime_ns // 1_000_000)
                     )
     except Exception:
-        _FPRINT_MEMO[sf_abs] = ""
+        _FPRINT_MEMO[sf_abs] = ("", time.monotonic() + _FPRINT_TTL_S)
         return ""
     digest = hashlib.md5(repr(sorted(entries)).encode("utf-8")).hexdigest()[
         :10
     ]
-    _FPRINT_MEMO[sf_abs] = digest
+    _FPRINT_MEMO[sf_abs] = (digest, time.monotonic() + _FPRINT_TTL_S)
     return digest
 
 
@@ -257,8 +265,10 @@ def prune_superseded(
       on their next call, so staleness is bounded by one read);
     - crashed-writer litter (``.tmp-*`` dirs and published dirs
       without ``_SUCCESS``) older than the grace window is collected
-      too;
-    - names that don't parse as this store's layout are left alone.
+      too — but ONLY when the name (or the tmp name's stem) parses as
+      this store's layout;
+    - names that don't parse as this store's layout are left alone,
+      whatever their age or ``_SUCCESS`` state.
 
     Best-effort: any FS error leaves the store as-is (the publish/read
     contract never depends on pruning). Returns the deleted paths.
@@ -286,13 +296,20 @@ def prune_superseded(
             age = now - int(st.getModificationTime())
             if age < min_age_ms:
                 continue
-            if ".tmp-" in name or not fs.exists(P(full + "/_SUCCESS")):
+            # Ownership gate FIRST (round-7 ADVICE): an entry whose
+            # name doesn't parse as this store's layout — directly or
+            # as the stem of a builder tmp dir — is never deleted,
+            # whatever its _SUCCESS state. Without this, any foreign
+            # file older than the grace window that happens to lack
+            # _SUCCESS would be collected as "crashed-writer litter".
+            stem, is_tmp, _rest = name.partition(".tmp-")
+            group = _artifact_group(stem)
+            if group is None:
+                continue
+            if is_tmp or not fs.exists(P(full + "/_SUCCESS")):
                 # stale crashed writer / abandoned tmp: collect now
                 if fs.delete(P(full), True):
                     deleted.append(full)
-                continue
-            group = _artifact_group(name)
-            if group is None:
                 continue
             groups.setdefault(group, []).append(
                 (int(st.getModificationTime()), name, full)
@@ -328,7 +345,17 @@ def materialize_once(
     results are unchanged either way."""
     path = artifact_path(family, version, sf_dir, spark)
     if path in _MEMO:
-        return spark.read.parquet(path)
+        # The memo only says THIS process confirmed _SUCCESS once; in a
+        # shared-root deployment a peer process's prune_superseded may
+        # have collected the path since (its grace window bounds
+        # concurrent scans, not process-lifetime memos — round-7
+        # ADVICE). spark.read.parquet resolves the footer eagerly, so
+        # a deleted artifact raises here: drop the memo and fall
+        # through to ensure_artifact, which rebuilds or degrades.
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            _MEMO.discard(path)
     ok = ensure_artifact(
         spark,
         path,

@@ -37,7 +37,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            CAST(grouping(n_name)*2 + grouping(year(o_orderdate)) AS BIGINT)
              AS gid,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 6) AS revenue
+           -- EXACT decimal money sum (the q38/q88/q100 rule): the raw
+           -- double sum drifted 1 ulp at 10x magnitudes (the sf0.1
+           -- sweep's only WARN) — decimal cents are order-independent
+           -- and engine-identical at any scale
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS revenue
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -67,7 +72,11 @@ def q80_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             F.count("*").cast("long").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+            # exact decimal money sum (q38 rule): retires the sf0.1
+            # sweep's 1-ulp WARN; still partial-aggregable
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
         )
         .select("n_name", F.col("o_year").cast("int"), "gid", "n_orders", "revenue")
     )

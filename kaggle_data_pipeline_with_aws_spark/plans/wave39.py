@@ -66,7 +66,11 @@ def _d155_oracle() -> str:
     pred AS (
       SELECT t,
              sum(df_pre) AS postings,
-             sum(df_pre * (df_pre - 1) / 2) AS pred_cand
+             -- integer division (each term is exactly even): keeps the
+             -- whole sum integral (hugeint), never an order-dependent
+             -- double accumulation that could diverge from Spark past
+             -- 2^53 at scale (round-7 ADVICE)
+             sum(df_pre * (df_pre - 1) // 2) AS pred_cand
       FROM pre GROUP BY t
     ),
     inter AS (
@@ -140,9 +144,12 @@ def d155_ppjoin_cost_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pred = pre.groupBy("t").agg(
         F.sum("df_pre").alias("postings"),
-        F.sum(F.col("df_pre") * (F.col("df_pre") - 1) / 2)
-        .cast("long")
-        .alias("pred_cand"),
+        # integer DIV (each term is exactly even): the sum stays a
+        # BIGINT accumulation on both engines — no order-dependent
+        # double drift past 2^53 (round-7 ADVICE)
+        F.sum(
+            F.expr("CAST(df_pre AS BIGINT) * (df_pre - 1) DIV 2")
+        ).alias("pred_cand"),
     )
     pairs = text_substrate.jaccard_pairs(
         spark, sf_dir, threshold=min(_COST_TS)

@@ -40,14 +40,28 @@ REF_MOD = (
 
 @pytest.fixture(scope="module")
 def ref_module():
+    """Import the reference extractor as a read-only oracle.
+
+    TRUST ASSUMPTION (round-7 ADVICE): importing executes the module's
+    top-level statements from the untrusted /root/reference tree. We
+    accept that only for the pinned, read-only checkout this harness
+    provides; the import is skip-gated on the tree's presence, and both
+    AWS-facing dependencies (pymongo AND boto3) are replaced with inert
+    stubs BEFORE import so a refreshed checkout can neither reach the
+    network through them nor fail collection when they're absent."""
     if not os.path.isdir(REF_SRC):
         pytest.skip("reference tree not available")
     if REF_SRC not in sys.path:
         sys.path.insert(0, REF_SRC)
-    if "pymongo" not in sys.modules:
-        stub = types.ModuleType("pymongo")
-        stub.MongoClient = object  # never instantiated by the flatten path
-        sys.modules["pymongo"] = stub
+    for dep in ("pymongo", "boto3"):
+        if dep not in sys.modules:
+            stub = types.ModuleType(dep)
+            # attribute lookups succeed; nothing is instantiated by the
+            # pure flatten path this test exercises
+            stub.MongoClient = object
+            stub.client = lambda *a, **k: None
+            stub.resource = lambda *a, **k: None
+            sys.modules[dep] = stub
     return importlib.import_module(REF_MOD)
 
 
