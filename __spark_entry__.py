@@ -71,6 +71,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # All verified green vs DuckDB at sf0.01 before staging.
 _WINDOW_PRIORITY = [
     # ---- (B) round-8 additions, never driver-checked ----
+    # wave 41: URL/domain curation family (round-7 verdict #1)
+    "d157_registrable_domains",
+    "d158_domain_frequency_cap",
+    "d159_domain_blocklist_screen",
+    "d160_domain_quality_rollup",
+    "d161_domain_skew_profile",
     # ---- re-proof: q80's money sum moved onto exact decimal cents
     # ---- (the q38/q88/q100 rule), retiring the sf0.1 1-ulp WARN ----
     "q80_grouping_sets_revenue",
