@@ -77,6 +77,8 @@ _WINDOW_PRIORITY = [
     "d159_domain_blocklist_screen",
     "d160_domain_quality_rollup",
     "d161_domain_skew_profile",
+    # wave 42: iterated BPE trainer (round-7 verdict #2)
+    "d162_bpe_train",
     # ---- re-proof: q80's money sum moved onto exact decimal cents
     # ---- (the q38/q88/q100 rule), retiring the sf0.1 1-ulp WARN ----
     "q80_grouping_sets_revenue",
