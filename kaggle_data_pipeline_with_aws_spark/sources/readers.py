@@ -126,3 +126,50 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     the interchange format when the downstream is a Hive/Trino
     warehouse instead of the parquet lake."""
     df.write.mode(mode).orc(path)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro datasource is on the session classpath.
+    Avro ships as an EXTERNAL module since Spark 2.4
+    (``spark.jars.packages=org.apache.spark:spark-avro_2.13:<ver>``);
+    this sandbox carries only the avro core jars, so the face is
+    classpath-gated exactly like the Mongo connector."""
+    try:
+        # the authoritative check: the same short-name lookup the
+        # reader/writer will perform (Class.forName can false-positive
+        # on partially-present avro core jars)
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _require_avro(spark: SparkSession) -> None:
+    if not avro_available(spark):
+        raise RuntimeError(
+            "spark-avro is not on the classpath; add "
+            "spark.jars.packages=org.apache.spark:spark-avro_2.13:<ver> "
+            "(Avro is an external datasource module since Spark 2.4)"
+        )
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro read face (row-oriented interchange: Kafka archive dumps,
+    schema-registry pipelines, sqoop-era exports). Avro is a row
+    format — no column pruning or predicate pushdown at the scan, so
+    the engine's pattern is land-and-convert: read Avro once, write
+    parquet, run queries on the parquet (the readers are for the
+    interchange hop, not the hot path). Classpath-checked eagerly so
+    a misconfigured cluster fails at wiring time."""
+    _require_avro(spark)
+    return spark.read.format("avro").load(path)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Avro write face: row-oriented output with the writer schema
+    embedded per file — the handoff format when the downstream is a
+    Kafka/schema-registry consumer rather than a SQL engine."""
+    _require_avro(df.sparkSession)
+    df.write.mode(mode).format("avro").save(path)

@@ -375,6 +375,52 @@ def test_orc_round_trip_preserves_rows_and_pushes_filters(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)" in plan.replace("\n", " ") or "EqualTo(o_orderstatus,F)" in plan
 
 
+def test_avro_round_trip_preserves_rows(spark, tmp_path):
+    """Avro interchange face: write→read round-trips values exactly.
+    Classpath-gated like the Mongo connector — spark-avro is an
+    EXTERNAL module since Spark 2.4 and this sandbox ships only the
+    avro core jars."""
+    from kaggle_data_pipeline_with_aws_spark.sources.readers import (
+        avro_available,
+        load_table,
+        read_avro,
+        write_avro,
+    )
+
+    if not avro_available(spark):
+        pytest.skip("spark-avro datasource not on the classpath")
+    src = load_table(spark, "/root/testdata/sf0.001", "orders")
+    out = str(tmp_path / "orders_avro")
+    write_avro(src, out)
+    back = read_avro(spark, out)
+    assert back.count() == src.count()
+    assert sorted(back.columns) == sorted(src.columns)
+    a = sorted(map(tuple, src.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_avro_face_fails_eagerly_without_classpath(spark, tmp_path):
+    """Without spark-avro on the classpath, both faces raise the
+    wiring-time RuntimeError (never a mid-job analysis failure)."""
+    from kaggle_data_pipeline_with_aws_spark.sources.readers import (
+        avro_available,
+        load_table,
+        read_avro,
+        write_avro,
+    )
+
+    if avro_available(spark):
+        pytest.skip("spark-avro IS available here; gate untestable")
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        read_avro(spark, str(tmp_path / "nope"))
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        write_avro(
+            load_table(spark, "/root/testdata/sf0.001", "region"),
+            str(tmp_path / "nope"),
+        )
+
+
 def test_write_jsonl_round_trips_and_is_line_delimited(spark, tmp_path):
     """JSONL export: one JSON object per line, gzip-compressed parts,
     values round-trip through a schema'd read."""
