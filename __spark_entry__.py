@@ -79,6 +79,11 @@ _WINDOW_PRIORITY = [
     "d161_domain_skew_profile",
     # wave 42: iterated BPE trainer (round-7 verdict #2)
     "d162_bpe_train",
+    # wave 43: domain-aware curation tier 2
+    "d163_domain_quality_topk",
+    "d164_domain_stratified_sample",
+    "d165_public_suffix_rollup",
+    "d166_domain_dup_locality",
     # ---- re-proof: q80's money sum moved onto exact decimal cents
     # ---- (the q38/q88/q100 rule), retiring the sf0.1 1-ulp WARN ----
     "q80_grouping_sets_revenue",
