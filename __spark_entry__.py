@@ -77,8 +77,9 @@ _WINDOW_PRIORITY = [
     "d159_domain_blocklist_screen",
     "d160_domain_quality_rollup",
     "d161_domain_skew_profile",
-    # wave 42: iterated BPE trainer (round-7 verdict #2)
+    # wave 42: iterated BPE trainer + encode curve (round-7 verdict #2)
     "d162_bpe_train",
+    "d167_bpe_encode_stats",
     # wave 43: domain-aware curation tier 2
     "d163_domain_quality_topk",
     "d164_domain_stratified_sample",

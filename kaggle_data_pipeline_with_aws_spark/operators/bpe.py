@@ -135,6 +135,50 @@ def bpe_round(seg: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
     return merge_row, new_seg
 
 
+def encode_stats(docs: DataFrame, rounds: int) -> DataFrame:
+    """Apply the trainer's merges back to the corpus and measure the
+    compression curve: per round 0..rounds, the total corpus token
+    count (Σ word-type count × symbols-per-word), tokens-per-word,
+    and the ratio vs the character baseline — the table that tells a
+    tokenizer build when extra merges stop paying. Same bounded
+    machinery as ``bpe_train``; the per-round totals are 1-row
+    aggregates of the vocab-sized segmentation."""
+    wt = word_types(docs).localCheckpoint()
+    n_words = F.broadcast(wt.agg(F.sum("w").alias("n_words")))
+    seg = initial_segmentation(wt).localCheckpoint()
+
+    def stat(seg_df: DataFrame, rnd: int) -> DataFrame:
+        return seg_df.agg(F.sum("w").alias("corpus_tokens")).select(
+            F.lit(rnd).cast("long").alias("round"), "corpus_tokens"
+        )
+
+    rt = stat(seg, 0)
+    for rnd in range(1, rounds + 1):
+        _, seg = bpe_round(seg, rnd)
+        seg = seg.localCheckpoint()
+        rt = rt.unionByName(stat(seg, rnd))
+    t0 = F.broadcast(
+        rt.filter(F.col("round") == 0).select(
+            F.col("corpus_tokens").alias("tok0")
+        )
+    )
+    return (
+        rt.crossJoin(n_words)
+        .crossJoin(t0)
+        .select(
+            "round",
+            "corpus_tokens",
+            F.round(
+                F.col("corpus_tokens").cast("double") / F.col("n_words"), 6
+            ).alias("tokens_per_word"),
+            F.round(
+                F.col("corpus_tokens").cast("double") / F.col("tok0"), 6
+            ).alias("compression"),
+        )
+        .orderBy("round")
+    )
+
+
 def bpe_train(docs: DataFrame, rounds: int) -> DataFrame:
     """Train ``rounds`` merges; returns the merge table ordered by
     round. Each round's segmentation is localCheckpoint-ed so lineage

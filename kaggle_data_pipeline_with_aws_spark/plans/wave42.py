@@ -29,8 +29,14 @@ from .registry import spark_query
 _ROUNDS = 8
 
 
-def _round_cte(r: int) -> str:
-    """CTE block for round r: seg{r-1} -> adj{r}, best{r}, seg{r}."""
+def _round_cte(r: int, materialize_seg: bool = False) -> str:
+    """CTE block for round r: seg{r-1} -> adj{r}, best{r}, seg{r}.
+
+    ``materialize_seg``: d167 references each seg{r} twice (the next
+    round AND the per-round token aggregate), so ITS chain marks seg
+    AS MATERIALIZED per the ≥2-references rule; d162 references each
+    seg once and keeps the plain form."""
+    seg_kw = "MATERIALIZED " if materialize_seg else ""
     return f"""
     adj{r} AS MATERIALIZED (
       SELECT word, w, pos, sym,
@@ -58,7 +64,7 @@ def _round_cte(r: int) -> str:
         FROM adj{r} a CROSS JOIN best{r} b
       )
     ),
-    seg{r} AS (
+    seg{r} AS {seg_kw}(
       SELECT word, w,
              CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
                   AS BIGINT) AS pos,
@@ -72,6 +78,25 @@ def _round_cte(r: int) -> str:
     )"""
 
 
+def _wt_seg0(materialize_seg0: bool = False) -> str:
+    """Shared oracle prefix: word-type histogram + round-0 (1-char)
+    segmentation. d167 references seg0 twice → MATERIALIZED there."""
+    seg_kw = "MATERIALIZED " if materialize_seg0 else ""
+    return f"""WITH wt AS MATERIALIZED (
+      SELECT t AS word, CAST(count(*) AS BIGINT) AS w
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      WHERE len(t) >= 1
+      GROUP BY 1
+    ),
+    seg0 AS {seg_kw}(
+      SELECT word, w,
+             CAST(unnest(range(1, len(word) + 1)) AS BIGINT) AS pos,
+             substr(word, CAST(unnest(range(1, len(word) + 1)) AS INT), 1)
+               AS sym
+      FROM wt
+    ),"""
+
+
 def _d162_oracle() -> str:
     blocks = ",".join(_round_cte(r) for r in range(1, _ROUNDS + 1))
     finals = "\n    UNION ALL\n    ".join(
@@ -80,22 +105,48 @@ def _d162_oracle() -> str:
         f"FROM best{r}"
         for r in range(1, _ROUNDS + 1)
     )
-    return f"""WITH wt AS MATERIALIZED (
-      SELECT t AS word, CAST(count(*) AS BIGINT) AS w
-      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
-      WHERE len(t) >= 1
-      GROUP BY 1
-    ),
-    seg0 AS (
-      SELECT word, w,
-             CAST(unnest(range(1, len(word) + 1)) AS BIGINT) AS pos,
-             substr(word, CAST(unnest(range(1, len(word) + 1)) AS INT), 1)
-               AS sym
-      FROM wt
-    ),{blocks}
+    return f"""{_wt_seg0()}{blocks}
     SELECT * FROM ({finals})
     ORDER BY round
     """
+
+
+def _d167_oracle() -> str:
+    blocks = ",".join(
+        _round_cte(r, materialize_seg=True) for r in range(1, _ROUNDS + 1)
+    )
+    per_round = "\n      UNION ALL\n      ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, "
+        f"CAST(sum(w) AS BIGINT) AS corpus_tokens FROM seg{r}"
+        for r in range(0, _ROUNDS + 1)
+    )
+    return f"""{_wt_seg0(materialize_seg0=True)}{blocks},
+    rt AS MATERIALIZED (
+      {per_round}
+    ),
+    nw AS (SELECT sum(w) AS n_words FROM wt),
+    t0 AS (SELECT corpus_tokens AS tok0 FROM rt WHERE round = 0)
+    SELECT round, corpus_tokens,
+           round(CAST(corpus_tokens AS DOUBLE) / n_words, 6)
+             AS tokens_per_word,
+           round(CAST(corpus_tokens AS DOUBLE) / tok0, 6) AS compression
+    FROM rt, nw, t0
+    ORDER BY round
+    """
+
+
+@spark_query("d167_bpe_encode_stats", _d167_oracle())
+def d167_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encode side of the d162 trainer: per round 0..8, the corpus
+    token count under that round's merge table, tokens-per-word, and
+    the compression ratio vs the character baseline — the curve that
+    tells a tokenizer build when additional merges stop paying. Each
+    per-round total is a 1-row aggregate of the vocab-sized
+    segmentation (Σ word-count × symbols); the corpus is touched once
+    (the word-type histogram)."""
+    return bpe.encode_stats(
+        load_table(spark, sf_dir, "documents"), _ROUNDS
+    )
 
 
 @spark_query("d162_bpe_train", _d162_oracle())

@@ -90,6 +90,35 @@ def test_bpe_greedy_run_parity(spark):
     assert any(m[1] == m[2] for m in expect)
 
 
+def test_bpe_encode_stats_match_python_replay(spark):
+    """d167's per-round corpus token totals equal the python trainer's
+    re-segmented lengths, and the curve is monotone non-increasing."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wc = _word_counts(docs)
+
+    # python replay that also tracks per-round totals
+    segs = {w: list(w) for w in wc}
+    totals = [sum(len(s) * wc[w] for w, s in segs.items())]
+    for rnd, (_, l, r, _, _) in enumerate(_python_bpe(wc, 8), start=1):
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+        totals.append(sum(len(s) * wc[w] for w, s in segs.items()))
+
+    rows = bpe.encode_stats(docs, 8).collect()
+    got = [r.corpus_tokens for r in rows]
+    assert got == totals
+    assert got == sorted(got, reverse=True)
+    assert rows[0].compression == 1.0
+
+
 def test_bpe_round_resegmentation_shapes(spark):
     """One round over 'aaa' (count 1): winner (a,a) with overlapping
     count 2; segmentation becomes [aa, a]."""
