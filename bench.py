@@ -102,12 +102,19 @@ def main() -> None:
     _calibrate()  # untimed warm-up of the probe's own codegen path
     calibration = _calibrate()
 
-    # Idle reference band for this box (three round-6 idle runs): a
-    # calibration outside it means the box was NOT idle, so the run's
-    # numbers carry a whole-session band elevation — warn (never fail)
-    # so a loaded box can't silently pollute the BENCH series
-    # (round-6 verdict #5).
-    CAL_BAND = (0.107, 0.138)
+    # Idle reference band for this box: a calibration outside it means
+    # the box was NOT idle, so the run's numbers carry a whole-session
+    # band elevation — warn (never fail) so a loaded box can't silently
+    # pollute the BENCH series (round-6 verdict #5).
+    #
+    # RE-BASED round 8 (verdict #5): five idle runs at round-8 HEAD
+    # read 0.088-0.125 — the box drifts between rounds (r6 idle:
+    # 0.107-0.138; r7: 0.070-0.076), so the band tracks the current
+    # regime rather than a stale one. The cross-round normalization
+    # constant stays 0.12 (it is a fixed unit, not a property of the
+    # band): divide by (calibration_sec / 0.12) on BOTH sides of any
+    # cross-round comparison.
+    CAL_BAND = (0.085, 0.130)
     calibration_warning = None
     if calibration > CAL_BAND[1]:
         calibration_warning = (
