@@ -85,6 +85,9 @@ _WINDOW_PRIORITY = [
     "d164_domain_stratified_sample",
     "d165_public_suffix_rollup",
     "d166_domain_dup_locality",
+    # wave 44: domain boilerplate + coverage
+    "d168_domain_template_shingles",
+    "d169_domain_coverage_curve",
     # ---- re-proof: q80's money sum moved onto exact decimal cents
     # ---- (the q38/q88/q100 rule), retiring the sf0.1 1-ulp WARN ----
     "q80_grouping_sets_revenue",

@@ -50,37 +50,67 @@ _HEAVY_SHARE = 0.02
 _BLOCKLIST = ("site0.com", "site0.co.uk", "site1.net", "site2.ac.uk")
 
 
-def _h(tag: str, mod: int) -> Column:
-    return portable_hash(
-        F.concat(F.lit(tag + "|"), F.col("doc_id").cast("string")), mod
+# All URL fields slice ONE 60-bit portable hash (modular arithmetic on
+# disjoint quotient ranges) instead of one md5 chain per field: the
+# url→host→domain derivation re-references its inputs several times,
+# and Catalyst's project collapsing can inline each reference — with
+# per-field hashes the duplicated md5 trees blew the generated
+# processNext() past the JVM 64 KB method limit (codegen fell back to
+# interpreted). One hash keeps every duplicate cheap; the whole
+# derivation stays inside WholeStageCodegen.
+_F_SUB = 1
+_F_SFX = _F_SUB * 5  # // 5
+_F_SITE_A = _F_SFX * 8
+_F_SITE_B = _F_SITE_A * 13
+_F_SCH = _F_SITE_B * 13
+_F_USR = _F_SCH * 4
+_F_PRT = _F_USR * 17
+
+
+def _huri() -> Column:
+    from ..operators.text import portable_hash60
+
+    return portable_hash60(
+        F.concat(F.lit("url|"), F.col("doc_id").cast("string"))
     )
 
 
-def _h_sql(tag: str, mod: int) -> str:
-    return portable_hash_sql(f"'{tag}|' || CAST(doc_id AS VARCHAR)", mod)
+def _huri_sql() -> str:
+    from ..operators.text import portable_hash60_sql
+
+    return portable_hash60_sql("'url|' || CAST(doc_id AS VARCHAR)")
 
 
-def synthetic_url() -> Column:
-    """Deterministic URL for a document row (see module docstring)."""
-    site = F.concat(
-        F.lit("site"),
-        F.least(_h("siteA", _N_SITES), _h("siteB", _N_SITES)).cast(
-            "string"
-        ),
-    )
+def synthetic_url_from_huri() -> Column:
+    """Deterministic URL from a ``huri`` column (see module docstring
+    for the shape coverage). Quotient slices use integer ``DIV`` —
+    the 60-bit hash exceeds double's exact range, so ``/`` would
+    corrupt the high fields."""
+
+    def fld(k: int, m: int) -> Column:
+        return F.expr(f"(huri DIV {k}) % {m}")
+
     sub = F.element_at(
         F.array(*[F.lit(s) for s in _SUBS]),
-        (_h("sub", len(_SUBS)) + 1).cast("int"),
+        (fld(_F_SUB, len(_SUBS)) + 1).cast("int"),
     )
     sfx = F.element_at(
         F.array(*[F.lit(s) for s in _SUFFIXES]),
-        (_h("sfx", len(_SUFFIXES)) + 1).cast("int"),
+        (fld(_F_SFX, len(_SUFFIXES)) + 1).cast("int"),
     )
-    scheme = F.when(_h("sch", 4) == 0, F.lit("http")).otherwise(
+    site = F.concat(
+        F.lit("site"),
+        F.least(
+            fld(_F_SITE_A, _N_SITES), fld(_F_SITE_B, _N_SITES)
+        ).cast("string"),
+    )
+    scheme = F.when(fld(_F_SCH, 4) == 0, F.lit("http")).otherwise(
         F.lit("https")
     )
-    user = F.when(_h("usr", 17) == 0, F.lit("u:p@")).otherwise(F.lit(""))
-    port = F.when(_h("prt", 11) == 0, F.lit(":8443")).otherwise(F.lit(""))
+    user = F.when(fld(_F_USR, 17) == 0, F.lit("u:p@")).otherwise(F.lit(""))
+    port = F.when(fld(_F_PRT, 11) == 0, F.lit(":8443")).otherwise(
+        F.lit("")
+    )
     return F.concat(
         scheme,
         F.lit("://"),
@@ -96,31 +126,40 @@ def synthetic_url() -> Column:
 
 
 def _url_sql() -> str:
+    """DuckDB twin of ``synthetic_url_from`` over the ``huri`` column
+    (integer // and % — exact BIGINT arithmetic in both engines)."""
     subs = ", ".join(f"'{s}'" for s in _SUBS)
     sfxs = ", ".join(f"'{s}'" for s in _SUFFIXES)
+    sub = f"([{subs}])[(huri % {len(_SUBS)}) + 1]"
+    sfx = f"([{sfxs}])[((huri // {_F_SFX}) % {len(_SUFFIXES)}) + 1]"
     site = (
-        f"('site' || CAST(least({_h_sql('siteA', _N_SITES)}, "
-        f"{_h_sql('siteB', _N_SITES)}) AS VARCHAR))"
+        f"('site' || CAST(least((huri // {_F_SITE_A}) % {_N_SITES}, "
+        f"(huri // {_F_SITE_B}) % {_N_SITES}) AS VARCHAR))"
     )
-    sub = f"([{subs}])[{_h_sql('sub', len(_SUBS))} + 1]"
-    sfx = f"([{sfxs}])[{_h_sql('sfx', len(_SUFFIXES))} + 1]"
     return (
-        f"(CASE WHEN {_h_sql('sch', 4)} = 0 THEN 'http' ELSE 'https' END"
+        f"(CASE WHEN (huri // {_F_SCH}) % 4 = 0 THEN 'http' "
+        f"ELSE 'https' END"
         f" || '://'"
-        f" || CASE WHEN {_h_sql('usr', 17)} = 0 THEN 'u:p@' ELSE '' END"
+        f" || CASE WHEN (huri // {_F_USR}) % 17 = 0 THEN 'u:p@' "
+        f"ELSE '' END"
         f" || {sub} || {site} || '.' || {sfx}"
-        f" || CASE WHEN {_h_sql('prt', 11)} = 0 THEN ':8443' ELSE '' END"
+        f" || CASE WHEN (huri // {_F_PRT}) % 11 = 0 THEN ':8443' "
+        f"ELSE '' END"
         f" || '/d/' || CAST(doc_id AS VARCHAR))"
     )
 
 
 def _base_cte() -> str:
-    """Shared oracle prefix: documents + url + host + domain columns.
+    """Shared oracle prefix: documents + huri + url + host + domain.
     Each CTE is referenced exactly once by the next (no re-inlining
     blow-up; the materialization rule doesn't bite)."""
-    return f"""WITH u AS (
-      SELECT doc_id, source, text, n_chars, {_url_sql()} AS url
+    return f"""WITH u0 AS (
+      SELECT doc_id, source, text, n_chars, {_huri_sql()} AS huri
       FROM documents
+    ),
+    u AS (
+      SELECT doc_id, source, text, n_chars, {_url_sql()} AS url
+      FROM u0
     ),
     h AS (
       SELECT doc_id, source, text, n_chars, url,
@@ -134,15 +173,50 @@ def _base_cte() -> str:
     )"""
 
 
-def _with_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of the oracle's ``d`` CTE — one documents scan, all
-    derivations pure column expressions inside one codegen stage."""
+_DM_VERSION = "v2"  # v2: single-hash field slicing (round 8)
+
+
+def _domain_map_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builder: one documents scan → slim (doc_id, source, n_chars,
+    url, host, domain) rows; the whole derivation is pure column
+    expressions in one codegen projection."""
     return (
         _t(spark, sf_dir, "documents")
-        .select("doc_id", "source", "text", "n_chars",
-                synthetic_url().alias("url"))
+        .select("doc_id", "source", "n_chars")
+        .withColumn("huri", _huri())
+        .withColumn("url", synthetic_url_from_huri())
         .withColumn("host", domains.url_host(F.col("url")))
         .withColumn("domain", domains.registrable_domain(F.col("host")))
+        .drop("huri")
+    )
+
+
+def domain_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc→domain map as a published substrate artifact (build
+    once, read many): ~11 registered queries key on the registrable
+    domain, and at corpus scale you resolve URL→host→domain exactly
+    once, publish the slim map (no text column), and every consumer
+    scans plain columns — which also keeps each consumer's generated
+    code small (the inlined url→host→domain tree, duplicated through
+    window/aggregate stages, grew past the JVM 64 KB method limit and
+    dropped those stages out of whole-stage codegen)."""
+    from ..operators import substrate_store
+
+    return substrate_store.materialize_once(
+        spark,
+        "domain_map",
+        _DM_VERSION,
+        sf_dir,
+        lambda: _domain_map_plan(spark, sf_dir),
+    )
+
+
+def _with_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the oracle's ``d`` CTE: the published domain map
+    re-joined with the text column (only the consumers that score
+    text pay this doc_id-keyed join)."""
+    return domain_map(spark, sf_dir).join(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
     )
 
 
@@ -173,7 +247,7 @@ def d157_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE codegen stage over one documents scan; the rollup is one
     domain-keyed shuffle with map-side partials — domain cardinality,
     not corpus size, bounds the result at any scale."""
-    d = _with_domain(spark, sf_dir)
+    d = domain_map(spark, sf_dir)
     return (
         d.groupBy("domain")
         .agg(
@@ -225,7 +299,7 @@ def d158_domain_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank limit applied map-side per partition before the shuffle), so
     a hot domain ships k rows per input partition, never its full
     posting list."""
-    d = _with_domain(spark, sf_dir).select("doc_id", "domain")
+    d = domain_map(spark, sf_dir).select("doc_id", "domain")
     kept = domains.cap_per_domain(d, "domain", "doc_id", _CAP)
     totals = d.groupBy("domain").agg(F.count("*").alias("n_total"))
     kept_agg = kept.groupBy("domain").agg(
@@ -266,8 +340,8 @@ def d159_domain_blocklist_screen(
     — a broadcast LEFT ANTI equi-join (the blocklist is dimension-
     sized; the corpus never shuffles for it); the pre/post counts
     join on the bounded source key."""
-    d = _with_domain(spark, sf_dir).select("doc_id", "source", "n_chars",
-                                           "domain")
+    d = domain_map(spark, sf_dir).select("doc_id", "source", "n_chars",
+                                         "domain")
     blocked = spark.createDataFrame(
         [(b,) for b in _BLOCKLIST], "domain string"
     )
@@ -379,7 +453,7 @@ def d161_domain_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side partials); the rank/cumulative window then runs over a
     domain-count-bounded table — the single-partition sort is over
     thousands of rows at any corpus scale, never documents."""
-    d = _with_domain(spark, sf_dir)
+    d = domain_map(spark, sf_dir)
     c = d.groupBy("domain").agg(F.count("*").alias("n_docs"))
     w = Window.orderBy(F.col("n_docs").desc(), F.col("domain"))
     wsum = w.rowsBetween(Window.unboundedPreceding, 0)

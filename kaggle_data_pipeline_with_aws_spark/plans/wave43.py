@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..operators.text import portable_hash, portable_hash_sql
 from .registry import spark_query
-from .wave41 import _base_cte, _with_domain
+from .wave41 import _base_cte, _with_domain, domain_map
 
 _TOPK = 2
 _SAMPLE_N = 100
@@ -153,7 +153,7 @@ def d164_domain_stratified_sample(
     selection within a domain is the deterministic salted-hash order.
     The apportionment windows run over the domain-count-bounded table;
     only the per-domain rank touches corpus-sized data."""
-    d = _with_domain(spark, sf_dir).select("doc_id", "domain")
+    d = domain_map(spark, sf_dir).select("doc_id", "domain")
     c = d.groupBy("domain").agg(F.count("*").alias("n_docs"))
     unb = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -226,7 +226,7 @@ def d165_public_suffix_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     minus its first label (the domain was built by longest-suffix
     match, so this recovers exactly the matched rule). One rollup
     bounded by the suffix list."""
-    d = _with_domain(spark, sf_dir)
+    d = domain_map(spark, sf_dir)
     suffix = F.array_join(
         F.slice(F.split(F.col("domain"), r"\."), 2, 100), "."
     )
@@ -294,7 +294,7 @@ def d166_domain_dup_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = text_substrate.lsh_pairs(spark, sf_dir, threshold=0.5).select(
         "doc_id_1", "doc_id_2"
     )
-    dm = _with_domain(spark, sf_dir).select("doc_id", "domain")
+    dm = domain_map(spark, sf_dir).select("doc_id", "domain")
     pj = (
         pairs.join(
             dm.select(

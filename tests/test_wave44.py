@@ -1,0 +1,82 @@
+"""Wave 44 — domain boilerplate + coverage (d168, d169)."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from kaggle_data_pipeline_with_aws_spark.plans import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(spark, name):
+    registry.load_all()
+    return registry.QUERIES[name](spark, SF).collect()
+
+
+def test_d168_matches_python_replay(spark):
+    """Template-shingle counts and mass replayed in pure python from
+    the raw documents + the domain map."""
+    from kaggle_data_pipeline_with_aws_spark.plans.wave41 import domain_map
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    dm = {
+        r.doc_id: r.domain
+        for r in domain_map(spark, SF).select("doc_id", "domain").collect()
+    }
+    dom_docs: dict[str, int] = Counter(dm.values())
+    dfd: dict[str, Counter] = defaultdict(Counter)
+    for doc_id, text in docs.items():
+        toks = text.split(" ")
+        sh = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        for s in sh:
+            dfd[dm[doc_id]][s] += 1
+    expect = {}
+    for dom, counter in dfd.items():
+        n_docs = dom_docs[dom]
+        n_template = sum(
+            1 for c in counter.values() if c >= 2 and c * 2 >= n_docs
+        )
+        t_mass = sum(
+            c for c in counter.values() if c >= 2 and c * 2 >= n_docs
+        )
+        expect[dom] = (
+            n_docs,
+            len(counter),
+            n_template,
+            round(t_mass / sum(counter.values()), 6),
+        )
+    got = {
+        r.domain: (r.n_docs, r.n_shingles, r.n_template, r.template_mass)
+        for r in _rows(spark, "d168_domain_template_shingles")
+    }
+    assert got == expect
+
+
+def test_d169_coverage_curve_invariants(spark):
+    rows = _rows(spark, "d169_domain_coverage_curve")
+    assert [r.target_share for r in rows] == [0.5, 0.9, 0.99]
+    ks = [r.n_domains for r in rows]
+    assert ks == sorted(ks)
+    for r in rows:
+        assert r.covered_share >= r.target_share
+    # each k is MINIMAL: k-1 domains cover less than the target
+    from kaggle_data_pipeline_with_aws_spark.plans.wave41 import domain_map
+
+    counts = sorted(
+        Counter(
+            r.domain
+            for r in domain_map(spark, SF).select("domain").collect()
+        ).items(),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    total = sum(c for _, c in counts)
+    for r in rows:
+        if r.n_domains > 1:
+            cum_before = sum(c for _, c in counts[: r.n_domains - 1])
+            assert cum_before * 100 < r.target_share * 100 * total
