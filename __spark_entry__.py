@@ -88,6 +88,8 @@ _WINDOW_PRIORITY = [
     # wave 44: domain boilerplate + coverage
     "d168_domain_template_shingles",
     "d169_domain_coverage_curve",
+    # wave 45: exact token-budget waterfilling
+    "d170_domain_token_waterfill",
     # ---- re-proof: q80's money sum moved onto exact decimal cents
     # ---- (the q38/q88/q100 rule), retiring the sf0.1 1-ulp WARN ----
     "q80_grouping_sets_revenue",
