@@ -36,6 +36,12 @@ BENCH_EXTRA = [
     # and a full value oracle (the registry's last rows-only check) —
     # the series tracks the flagship ANN serving path
     "d15_ann_ivf",
+    # added round 8 with the URL/domain curation family: d158 is the
+    # WindowGroupLimit frequency cap over the published domain-map
+    # substrate, d162 the iterated BPE trainer — the series tracks
+    # the two new tiers' economics
+    "d158_domain_frequency_cap",
+    "d162_bpe_train",
 ]
 
 

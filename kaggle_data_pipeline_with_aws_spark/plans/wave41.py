@@ -15,13 +15,16 @@ surface):
   (composes with d148's generic join-key skew report).
 
 The documents table carries no URL, so every query assigns one
-deterministically from ``doc_id`` (portable md5 buckets, identical in
-both engines): skewed site ids (min of two uniform hashes → linearly
+deterministically from ``doc_id`` — all fields sliced from ONE 60-bit
+portable md5 hash (identical in both engines; see the field constants
+below): skewed site ids (min of two uniform slices → linearly
 decaying frequency, a heavy-hitter head), 8 public suffixes including
 two-label ones, multi-label subdomains, occasional userinfo/port/http
 — every path of the host parser is exercised. The synthesis is test
 scaffolding; the operators under test live in ``operators/domains.py``
-and take any URL column.
+and take any URL column. The resolved doc→domain map is published
+once per dataset as a substrate artifact (``domain_map``) and every
+consumer reads it.
 
 Reference scope: beyond-reference LLM-data-curation surface.
 """
