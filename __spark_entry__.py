@@ -96,6 +96,8 @@ _WINDOW_PRIORITY = [
     "d169_domain_coverage_curve",
     # wave 45: exact token-budget waterfilling
     "d170_domain_token_waterfill",
+    # wave 46: per-domain path-prefix exclusion rules
+    "d171_path_rule_screen",
     # ---- re-proof: q80's money sum moved onto exact decimal cents
     # ---- (the q38/q88/q100 rule), retiring the sf0.1 1-ulp WARN ----
     "q80_grouping_sets_revenue",

@@ -82,6 +82,24 @@ def url_host_sql(expr: str) -> str:
     return f"nullif(regexp_replace(lower({no_port}), '\\.$', ''), '')"
 
 
+def url_path(url: Column) -> Column:
+    """Path component of a scheme-prefixed URL (from the first ``/``
+    after the authority up to ``?``/``#``). NULL for inputs without a
+    ``scheme://`` prefix and for empty paths — callers treat NULL as
+    "no path to match rules against"."""
+    return F.nullif(
+        F.regexp_extract(url, _AUTHORITY_RE + r"([^?#]*)", 2), F.lit("")
+    )
+
+
+def url_path_sql(expr: str) -> str:
+    """DuckDB twin of ``url_path``."""
+    return (
+        f"nullif(regexp_extract({expr}, "
+        f"'^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*([^?#]*)', 1), '')"
+    )
+
+
 def registrable_domain(
     host: Column,
     psl2: Sequence[str] = PSL_2LABEL,
@@ -157,6 +175,24 @@ def cap_per_domain(
         .filter(F.col("_cap_rn") <= cap)
         .drop("_cap_rn")
     )
+
+
+def path_rule_screen(
+    df: DataFrame, domain_col: str, path_col: str, rules: DataFrame
+) -> DataFrame:
+    """Drop rows matching a (domain, path-prefix) exclusion rule —
+    the robots/CCNet-style URL filter. ``rules`` carries columns
+    ``rule_domain, path_prefix``; a row is dropped when its domain
+    equals a rule's domain AND its path starts with the rule's prefix.
+    Broadcast LEFT ANTI with an equi key (domain) plus the prefix
+    predicate as a residual join condition — the fact side never
+    shuffles, and the hash lookup narrows candidates to one domain's
+    rules before the startswith check. NULL domains/paths match
+    nothing and are kept."""
+    cond = (F.col(domain_col) == rules["rule_domain"]) & F.col(
+        path_col
+    ).startswith(rules["path_prefix"])
+    return df.join(F.broadcast(rules), cond, "left_anti")
 
 
 def blocklist_screen(

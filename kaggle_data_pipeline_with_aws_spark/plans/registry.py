@@ -83,3 +83,4 @@ def load_all() -> None:
     from . import wave43  # noqa: F401
     from . import wave44  # noqa: F401
     from . import wave45  # noqa: F401
+    from . import wave46  # noqa: F401

@@ -68,6 +68,8 @@ _F_SITE_B = _F_SITE_A * 13
 _F_SCH = _F_SITE_B * 13
 _F_USR = _F_SCH * 4
 _F_PRT = _F_USR * 17
+_F_PATH = _F_PRT * 11
+_N_PATH_SECTIONS = 6
 
 
 def _huri() -> Column:
@@ -114,6 +116,10 @@ def synthetic_url_from_huri() -> Column:
     port = F.when(fld(_F_PRT, 11) == 0, F.lit(":8443")).otherwise(
         F.lit("")
     )
+    section = F.concat(
+        F.lit("/s"),
+        fld(_F_PATH, _N_PATH_SECTIONS).cast("string"),
+    )
     return F.concat(
         scheme,
         F.lit("://"),
@@ -123,6 +129,7 @@ def synthetic_url_from_huri() -> Column:
         F.lit("."),
         sfx,
         port,
+        section,
         F.lit("/d/"),
         F.col("doc_id").cast("string"),
     )
@@ -148,6 +155,8 @@ def _url_sql() -> str:
         f" || {sub} || {site} || '.' || {sfx}"
         f" || CASE WHEN (huri // {_F_PRT}) % 11 = 0 THEN ':8443' "
         f"ELSE '' END"
+        f" || '/s' || CAST((huri // {_F_PATH}) % {_N_PATH_SECTIONS}"
+        f" AS VARCHAR)"
         f" || '/d/' || CAST(doc_id AS VARCHAR))"
     )
 
@@ -171,18 +180,19 @@ def _base_cte() -> str:
     ),
     d AS (
       SELECT doc_id, source, text, n_chars, url, host,
-             {domains.registrable_domain_sql('host')} AS domain
+             {domains.registrable_domain_sql('host')} AS domain,
+             {domains.url_path_sql('url')} AS path
       FROM h
     )"""
 
 
-_DM_VERSION = "v2"  # v2: single-hash field slicing (round 8)
+_DM_VERSION = "v3"  # v3: + path section segment (round 8)
 
 
 def _domain_map_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Builder: one documents scan → slim (doc_id, source, n_chars,
-    url, host, domain) rows; the whole derivation is pure column
-    expressions in one codegen projection."""
+    url, host, domain, path) rows; the whole derivation is pure
+    column expressions in one codegen projection."""
     return (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "source", "n_chars")
@@ -190,6 +200,7 @@ def _domain_map_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("url", synthetic_url_from_huri())
         .withColumn("host", domains.url_host(F.col("url")))
         .withColumn("domain", domains.registrable_domain(F.col("host")))
+        .withColumn("path", domains.url_path(F.col("url")))
         .drop("huri")
     )
 

@@ -206,3 +206,74 @@ def test_d161_rows_bounded_by_domains(spark):
     assert abs(rows[-1].cum_share - 1.0) < 1e-6
     shares = [r.share for r in rows]
     assert shares == sorted(shares, reverse=True)
+
+
+def test_url_path_edges(spark):
+    from pyspark.sql import functions as F
+
+    urls = [
+        "https://a.com/s1/d/5?q=1#frag",  # query+fragment stripped
+        "https://a.com",  # no path -> NULL
+        "http://u:p@b.co.uk:8443/s0/d/2",  # userinfo+port ignored
+        "no-scheme/s1/x",  # no scheme -> NULL
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r.p
+        for r in df.select(domains.url_path(F.col("url")).alias("p"))
+        .collect()
+    ]
+    assert got == ["/s1/d/5", None, "/s0/d/2", None]
+
+
+def test_path_rule_screen_semantics(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    df = spark.createDataFrame(
+        [
+            (1, "a.com", "/s0/d/1"),
+            (2, "a.com", "/s1/d/2"),
+            (3, "b.com", "/s0/d/3"),  # rule is for a.com only
+            (4, "a.com", None),  # NULL path matches nothing
+            (5, None, "/s0/d/5"),  # NULL domain matches nothing
+        ],
+        "doc_id long, domain string, path string",
+    )
+    rules = spark.createDataFrame(
+        [("a.com", "/s0/")], "rule_domain string, path_prefix string"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in domains.path_rule_screen(
+            df, "domain", "path", rules
+        ).collect()
+    )
+    assert kept == [2, 3, 4, 5]
+
+
+def test_d171_rule_screen_blocks_only_ruled_sections(spark):
+    from kaggle_data_pipeline_with_aws_spark.plans import registry
+    from kaggle_data_pipeline_with_aws_spark.plans.wave41 import domain_map
+    from kaggle_data_pipeline_with_aws_spark.plans.wave46 import _PATH_RULES
+
+    registry.load_all()
+    rows = registry.QUERIES["d171_path_rule_screen"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ruled = {d for d, _ in _PATH_RULES}
+    for r in rows:
+        if r.domain not in ruled:
+            assert r.n_blocked == 0
+        assert r.n_kept + r.n_blocked == r.n_docs
+    # python replay of the blocked counts
+    dm = domain_map(spark, "/root/testdata/sf0.001").collect()
+    rules = dict(_PATH_RULES)
+    expect_blocked: dict[str, int] = {}
+    for row in dm:
+        pre = rules.get(row.domain)
+        if pre and row.path.startswith(pre):
+            expect_blocked[row.domain] = (
+                expect_blocked.get(row.domain, 0) + 1
+            )
+    got_blocked = {r.domain: r.n_blocked for r in rows if r.n_blocked}
+    assert got_blocked == expect_blocked
