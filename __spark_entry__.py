@@ -96,8 +96,9 @@ _WINDOW_PRIORITY = [
     "d169_domain_coverage_curve",
     # wave 45: exact token-budget waterfilling
     "d170_domain_token_waterfill",
-    # wave 46: per-domain path-prefix exclusion rules
+    # wave 46: per-domain path-prefix exclusion rules + mirror detection
     "d171_path_rule_screen",
+    "d172_domain_mirror_candidates",
     # ---- re-proof: q80's money sum moved onto exact decimal cents
     # ---- (the q38/q88/q100 rule), retiring the sf0.1 1-ulp WARN ----
     "q80_grouping_sets_revenue",

@@ -7,6 +7,14 @@
   startswith residual, so the corpus never shuffles and the hash
   lookup narrows each row to one domain's rules before the prefix
   check.
+- d172 — domain mirror candidates: DOMAIN-level shingle Jaccard — the
+  crawl staple that finds site mirrors (the same content republished
+  under two hosts) which per-document dedup sees only pair-by-pair.
+  Each domain collapses to its distinct shingle set first; shingles
+  present in more than STOP_DF domains are excluded from the
+  similarity universe on BOTH engines (they carry no mirror signal
+  and are exactly the inverted-index hot keys that would cost f² in
+  the self-join — the d06 stop-shingle lever at domain granularity).
 
 Reference scope: beyond-reference LLM-data-curation surface.
 """
@@ -83,4 +91,113 @@ def d171_path_rule_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("chars_kept"), F.lit(0)).alias("chars_kept"),
         )
         .orderBy("domain")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d172 — domain mirror candidates.
+# ---------------------------------------------------------------------------
+_MIRROR_T = 0.05
+_STOP_DF = 50  # shingles in more than this many domains are excluded
+
+
+def _d172_oracle() -> str:
+    return f"""{_base_cte()},
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    dm AS MATERIALIZED (SELECT doc_id, domain FROM d),
+    ds AS MATERIALIZED (
+      SELECT DISTINCT dm.domain, sh.shingle
+      FROM sh JOIN dm ON sh.doc_id = dm.doc_id
+    ),
+    keep AS MATERIALIZED (
+      SELECT shingle FROM ds GROUP BY shingle
+      HAVING count(*) <= {_STOP_DF}
+    ),
+    ds2 AS MATERIALIZED (
+      SELECT ds.domain, ds.shingle FROM ds JOIN keep USING (shingle)
+    ),
+    cnt AS (SELECT domain, count(*) AS n FROM ds2 GROUP BY domain),
+    inter AS (
+      SELECT a.domain AS d1, b.domain AS d2, count(*) AS nc
+      FROM ds2 a JOIN ds2 b
+        ON a.shingle = b.shingle AND a.domain < b.domain
+      GROUP BY 1, 2
+    )
+    SELECT d1 AS domain_1, d2 AS domain_2,
+           CAST(nc AS BIGINT) AS n_common,
+           round(CAST(nc AS DOUBLE) / (c1.n + c2.n - nc), 6) AS jaccard
+    FROM inter
+    JOIN cnt c1 ON inter.d1 = c1.domain
+    JOIN cnt c2 ON inter.d2 = c2.domain
+    WHERE round(CAST(nc AS DOUBLE) / (c1.n + c2.n - nc), 6)
+          >= {_MIRROR_T}
+    ORDER BY 1, 2
+    """
+
+
+@spark_query("d172_domain_mirror_candidates", _d172_oracle())
+def d172_domain_mirror_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Domain pairs whose distinct-shingle sets overlap above the
+    mirror threshold (Jaccard ≥ 0.05), with the exact common-shingle
+    count. The corpus collapses to (domain, shingle) distinct rows
+    first; stop-shingles (> STOP_DF domains) leave the universe on
+    both engines before the inverted-index self-join, so no posting
+    list longer than STOP_DF ever enters the pair enumeration — the
+    d06 discipline applied at domain granularity, where the domain
+    count (not the corpus) bounds every aggregate."""
+    from ..operators.dedup import shingle_table
+    from ..sources.readers import load_table
+
+    sh = shingle_table(load_table(spark, sf_dir, "documents"), "text", 3)
+    dm = domain_map(spark, sf_dir).select("doc_id", "domain")
+    ds = sh.join(dm, "doc_id").select("domain", "shingle").distinct()
+    keep = (
+        ds.groupBy("shingle")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= _STOP_DF)
+        .select("shingle")
+    )
+    ds2 = ds.join(keep, "shingle")
+    cnt = ds2.groupBy("domain").agg(F.count("*").alias("n"))
+    a, b = ds2.alias("a"), ds2.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.domain") < F.col("b.domain")),
+        )
+        .groupBy(
+            F.col("a.domain").alias("d1"), F.col("b.domain").alias("d2")
+        )
+        .agg(F.count("*").alias("nc"))
+    )
+    jac = F.round(
+        F.col("nc").cast("double")
+        / (F.col("n1") + F.col("n2") - F.col("nc")),
+        6,
+    )
+    return (
+        inter.join(
+            cnt.select(F.col("domain").alias("d1"), F.col("n").alias("n1")),
+            "d1",
+        )
+        .join(
+            cnt.select(F.col("domain").alias("d2"), F.col("n").alias("n2")),
+            "d2",
+        )
+        .filter(jac >= _MIRROR_T)
+        .select(
+            F.col("d1").alias("domain_1"),
+            F.col("d2").alias("domain_2"),
+            F.col("nc").cast("long").alias("n_common"),
+            jac.alias("jaccard"),
+        )
+        .orderBy("domain_1", "domain_2")
     )

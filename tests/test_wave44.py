@@ -80,3 +80,49 @@ def test_d169_coverage_curve_invariants(spark):
         if r.n_domains > 1:
             cum_before = sum(c for _, c in counts[: r.n_domains - 1])
             assert cum_before * 100 < r.target_share * 100 * total
+
+
+def test_d172_mirror_candidates_match_python_replay(spark):
+    """Domain-level Jaccard replayed in python over sf0.001 (small
+    enough to brute-force) — pins the distinct-set semantics, the
+    stop-shingle universe rule, and the threshold filter."""
+    from kaggle_data_pipeline_with_aws_spark.plans.wave41 import domain_map
+    from kaggle_data_pipeline_with_aws_spark.plans.wave46 import (
+        _MIRROR_T,
+        _STOP_DF,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    dm = {
+        r.doc_id: r.domain
+        for r in domain_map(spark, SF).select("doc_id", "domain").collect()
+    }
+    sets: dict[str, set] = defaultdict(set)
+    for doc_id, text in docs.items():
+        toks = text.split(" ")
+        sets[dm[doc_id]].update(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+    df_count: Counter = Counter()
+    for s in sets.values():
+        df_count.update(s)
+    stop = {sh for sh, c in df_count.items() if c > _STOP_DF}
+    sets = {d: s - stop for d, s in sets.items()}
+    expect = set()
+    doms = sorted(sets)
+    for i, d1 in enumerate(doms):
+        for d2 in doms[i + 1 :]:
+            nc = len(sets[d1] & sets[d2])
+            if nc == 0:
+                continue
+            j = round(nc / (len(sets[d1]) + len(sets[d2]) - nc), 6)
+            if j >= _MIRROR_T:
+                expect.add((d1, d2, nc, j))
+    got = {
+        (r.domain_1, r.domain_2, r.n_common, r.jaccard)
+        for r in _rows(spark, "d172_domain_mirror_candidates")
+    }
+    assert got == expect
