@@ -99,6 +99,7 @@ _WINDOW_PRIORITY = [
     # wave 46: per-domain path-prefix exclusion rules + mirror detection
     "d171_path_rule_screen",
     "d172_domain_mirror_candidates",
+    "d173_domain_curation_funnel",
     # ---- re-proof: q80's money sum moved onto exact decimal cents
     # ---- (the q38/q88/q100 rule), retiring the sf0.1 1-ulp WARN ----
     "q80_grouping_sets_revenue",

@@ -21,7 +21,7 @@ Reference scope: beyond-reference LLM-data-curation surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import domains
@@ -200,4 +200,109 @@ def d172_domain_mirror_candidates(
             jac.alias("jaccard"),
         )
         .orderBy("domain_1", "domain_2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d173 — the domain curation funnel (capstone composition).
+# ---------------------------------------------------------------------------
+def _d173_oracle() -> str:
+    from .wave41 import _BLOCKLIST, _CAP
+    from ..operators.text import portable_hash_sql
+
+    bl = ", ".join(f"'{b}'" for b in _BLOCKLIST)
+    vals = ", ".join(f"('{d}', '{p}')" for d, p in _PATH_RULES)
+    cap_hash = portable_hash_sql("'cap|' || CAST(doc_id AS VARCHAR)")
+    return f"""{_base_cte()},
+    rules(rule_domain, path_prefix) AS (VALUES {vals}),
+    flagged AS MATERIALIZED (
+      SELECT d.doc_id, d.domain, d.path,
+             d.domain IN ({bl}) AS bl_hit,
+             EXISTS (SELECT 1 FROM rules r
+                     WHERE r.rule_domain = d.domain
+                       AND d.path LIKE r.path_prefix || '%') AS rule_hit
+      FROM d
+    ),
+    ranked AS (
+      SELECT domain, doc_id, bl_hit, rule_hit,
+             CASE WHEN NOT bl_hit AND NOT rule_hit THEN
+               row_number() OVER (
+                 PARTITION BY domain, (NOT bl_hit AND NOT rule_hit)
+                 ORDER BY {cap_hash}, doc_id)
+             END AS rn
+      FROM flagged
+    )
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN NOT bl_hit THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after_blocklist,
+           CAST(sum(CASE WHEN NOT bl_hit AND NOT rule_hit THEN 1
+                    ELSE 0 END) AS BIGINT) AS n_after_rules,
+           CAST(sum(CASE WHEN rn <= {_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_final
+    FROM ranked
+    GROUP BY domain
+    ORDER BY domain
+    """
+
+
+@spark_query("d173_domain_curation_funnel", _d173_oracle())
+def d173_domain_curation_funnel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The whole domain-curation pipeline as one funnel report: per
+    registrable domain, the doc count entering, surviving the
+    blocklist, surviving the path-prefix rules, and surviving the
+    frequency cap — the table an operator reads to see WHICH stage
+    removes what before committing a curation config. Composes this
+    round's operators in their real order (screens before the cap, so
+    capped slots never go to rows a screen would drop); stages are
+    flag columns over one domain-map scan plus the same
+    WindowGroupLimit rank the cap uses, restricted to screen
+    survivors."""
+    from .wave41 import _BLOCKLIST, _CAP
+    from ..operators.text import portable_hash
+
+    d = domain_map(spark, sf_dir).select("doc_id", "domain", "path")
+    bl = [F.lit(b) for b in _BLOCKLIST]
+    rule_hit = F.lit(False)
+    for dom, pre in _PATH_RULES:
+        rule_hit = rule_hit | (
+            (F.col("domain") == dom) & F.col("path").startswith(pre)
+        )
+    flagged = d.select(
+        "doc_id",
+        "domain",
+        F.col("domain").isin(*[b.cast("string") for b in bl]).alias(
+            "bl_hit"
+        ),
+        rule_hit.alias("rule_hit"),
+    )
+    survives = ~F.col("bl_hit") & ~F.col("rule_hit")
+    w = Window.partitionBy("domain", survives).orderBy(
+        portable_hash(
+            F.concat(F.lit("cap|"), F.col("doc_id").cast("string"))
+        ),
+        F.col("doc_id"),
+    )
+    ranked = flagged.withColumn(
+        "rn", F.when(survives, F.row_number().over(w))
+    )
+    return (
+        ranked.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(~F.col("bl_hit"), 1).otherwise(0)).alias(
+                "n_after_blocklist"
+            ),
+            F.sum(
+                F.when(~F.col("bl_hit") & ~F.col("rule_hit"), 1).otherwise(
+                    0
+                )
+            ).alias("n_after_rules"),
+            F.sum(
+                F.when(F.col("rn") <= _CAP, 1).otherwise(0)
+            ).alias("n_final"),
+        )
+        .orderBy("domain")
     )

@@ -126,3 +126,22 @@ def test_d172_mirror_candidates_match_python_replay(spark):
         for r in _rows(spark, "d172_domain_mirror_candidates")
     }
     assert got == expect
+
+
+def test_d173_funnel_is_monotone_and_capped(spark):
+    rows = _rows(spark, "d173_domain_curation_funnel")
+    for r in rows:
+        assert (
+            r.n_total
+            >= r.n_after_blocklist
+            >= r.n_after_rules
+            >= r.n_final
+        )
+        assert r.n_final <= 3  # _CAP
+    from kaggle_data_pipeline_with_aws_spark.plans.wave41 import (
+        _BLOCKLIST,
+    )
+
+    blocked = {r.domain: r for r in rows if r.domain in _BLOCKLIST}
+    for r in blocked.values():
+        assert r.n_after_blocklist == 0 and r.n_final == 0
