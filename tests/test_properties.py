@@ -255,3 +255,88 @@ def test_ppjoin_containment_is_exact(spark_session, texts, threshold):
             if cont >= threshold:
                 expected[(i, j)] = (inter, cont)
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# URL/domain operators (wave 41): python-model parity over generated URLs
+# ---------------------------------------------------------------------------
+_label = st.text(
+    alphabet=st.characters(
+        min_codepoint=ord("a"), max_codepoint=ord("z")
+    ),
+    min_size=1,
+    max_size=6,
+)
+_hostish = st.lists(_label, min_size=1, max_size=4).map(".".join)
+
+
+def _py_host(url: str) -> str | None:
+    import re
+
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)", url)
+    if not m:
+        return None
+    auth = m.group(1).split("@")[-1]
+    host = re.sub(r":[0-9]+$", "", auth).lower().rstrip(".")
+    # rstrip removes ALL trailing dots; the operator removes ONE —
+    # generators below never emit multiple trailing dots
+    return host or None
+
+
+def _py_domain(host: str | None) -> str | None:
+    from kaggle_data_pipeline_with_aws_spark.operators.domains import (
+        PSL_1LABEL,
+        PSL_2LABEL,
+    )
+
+    if host is None:
+        return None
+    labels = host.split(".")
+    last1 = labels[-1]
+    last2 = ".".join(labels[-2:]) if len(labels) >= 2 else None
+    if len(labels) >= 3 and last2 in PSL_2LABEL:
+        return ".".join(labels[-3:])
+    if (
+        len(labels) >= 2
+        and last1 in PSL_1LABEL
+        and last2 not in PSL_2LABEL
+    ):
+        return last2
+    return None
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    hosts=st.lists(_hostish, min_size=1, max_size=12),
+    scheme=st.sampled_from(["http", "https", "ftp"]),
+    port=st.sampled_from(["", ":80", ":8443"]),
+    user=st.sampled_from(["", "u:p@"]),
+)
+def test_url_host_and_domain_match_python_model(
+    spark, hosts, scheme, port, user
+):
+    from kaggle_data_pipeline_with_aws_spark.operators.domains import (
+        registrable_domain,
+        url_host,
+    )
+
+    urls = [f"{scheme}://{user}{h}{port}/x/y?q=1#f" for h in hosts]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        (r.h, r.d)
+        for r in df.select(
+            url_host(F.col("url")).alias("h"),
+            registrable_domain(url_host(F.col("url"))).alias("d"),
+        ).collect()
+    ]
+    expect = [
+        (_py_host(u), _py_domain(_py_host(u))) for u in urls
+    ]
+    assert got == expect
+    # invariants: host lowercase; domain (when present) is a suffix of
+    # the host made of whole labels
+    for h, d in got:
+        if h is not None:
+            assert h == h.lower()
+        if d is not None:
+            assert h == d or h.endswith("." + d)
