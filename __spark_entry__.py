@@ -100,6 +100,12 @@ _WINDOW_PRIORITY = [
     "d171_path_rule_screen",
     "d172_domain_mirror_candidates",
     "d173_domain_curation_funnel",
+    # wave 47: explicit-register HLL, URL canonical dedup, RBO,
+    # Poisson bootstrap
+    "d174_hll_cardinality",
+    "d175_url_canonical_dedup",
+    "d176_rank_biased_overlap",
+    "d177_poisson_bootstrap",
     # ---- re-proof: q80's money sum moved onto exact decimal cents
     # ---- (the q38/q88/q100 rule), retiring the sf0.1 1-ulp WARN ----
     "q80_grouping_sets_revenue",

@@ -205,3 +205,26 @@ def blocklist_screen(
     (anti-join semantics: NULL matches nothing) — screening undecided
     rows is a separate policy choice, not this operator's."""
     return df.join(F.broadcast(blocked), on=domain_col, how="left_anti")
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a scheme-prefixed URL for exact-dup grouping
+    (the C4/Common-Crawl URL normalizer): scheme forced to https,
+    userinfo and port stripped, host lowercased with a leading
+    ``www.`` removed, query string and fragment dropped, trailing
+    slash trimmed. NULL for inputs without a host (no canonical key
+    to group on). ``m.``-style mobile hosts are deliberately KEPT
+    distinct — collapsing those is a site-specific policy, not a
+    lossless normalization."""
+    host = F.regexp_replace(url_host(url), r"^www\.", "")
+    path = F.regexp_replace(F.coalesce(url_path(url), F.lit("")), r"/+$", "")
+    return F.concat(F.lit("https://"), host, path)
+
+
+def canonicalize_url_sql(expr: str) -> str:
+    """DuckDB twin of ``canonicalize_url`` (same op order)."""
+    host = f"regexp_replace({url_host_sql(expr)}, '^www\\.', '')"
+    path = (
+        f"regexp_replace(coalesce({url_path_sql(expr)}, ''), '/+$', '')"
+    )
+    return f"('https://' || {host} || {path})"

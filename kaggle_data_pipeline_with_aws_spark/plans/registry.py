@@ -84,3 +84,4 @@ def load_all() -> None:
     from . import wave44  # noqa: F401
     from . import wave45  # noqa: F401
     from . import wave46  # noqa: F401
+    from . import wave47  # noqa: F401
