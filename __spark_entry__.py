@@ -106,6 +106,12 @@ _WINDOW_PRIORITY = [
     "d175_url_canonical_dedup",
     "d176_rank_biased_overlap",
     "d177_poisson_bootstrap",
+    # wave 48: HLL roll-forward, Chao1 richness, bootstrap CI, sketch
+    # error audit — fills the 50-slot window exactly
+    "d178_hll_rollforward",
+    "d179_chao1_vocab_richness",
+    "d180_bootstrap_ci",
+    "d181_sketch_error_audit",
     # ---- re-proof: q80's money sum moved onto exact decimal cents
     # ---- (the q38/q88/q100 rule), retiring the sf0.1 1-ulp WARN ----
     "q80_grouping_sets_revenue",
