@@ -87,3 +87,4 @@ def load_all() -> None:
     from . import wave47  # noqa: F401
     from . import wave48  # noqa: F401
     from . import wave49  # noqa: F401
+    from . import wave50  # noqa: F401
