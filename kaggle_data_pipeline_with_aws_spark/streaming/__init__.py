@@ -7,6 +7,7 @@ from .incremental import (
     segment_windowed_counts,
     stream_extract,
     windowed_event_counts,
+    windowed_hll_registers,
     windowed_kmv_distinct,
 )
 from .stateful import running_user_stats
@@ -18,6 +19,7 @@ __all__ = [
     "segment_windowed_counts",
     "stream_extract",
     "windowed_event_counts",
+    "windowed_hll_registers",
     "windowed_kmv_distinct",
     "running_user_stats",
 ]

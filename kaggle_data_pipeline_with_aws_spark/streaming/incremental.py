@@ -429,3 +429,48 @@ def stream_merge_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_hll_registers(
+    events: DataFrame,
+    timestamp_col: str = "event_time",
+    id_col: str = "user_id",
+    window_duration: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+    m: int = 64,
+) -> DataFrame:
+    """Explicit HLL register table per tumbling window — the
+    bounded-state alternative to ``windowed_kmv_distinct``: state is
+    AT MOST m counters per window no matter the stream rate or the
+    distinct count (the KMV form's collect_set grows with distinct
+    ids). ONE streamable aggregate (groupBy(window, register).max(rho)
+    — MAX is order-insensitive, so late/replayed data merges by
+    construction), emitting (window_start, idx, mrho) rows; absent
+    registers mean rho 0. Estimation (dense grid fill + harmonic
+    mean) is per-window batch post-processing — plans/wave51.py::s14
+    — the same sketch-vs-serving split as s13's count-min.
+
+    Works on batch and streaming frames identically (watermark is a
+    batch no-op).
+    """
+    from ..operators.sketch import hll_rho_sql
+    from ..operators.text import portable_hash60
+
+    h = portable_hash60(
+        F.concat(F.lit("hll|"), F.col(id_col).cast("string"))
+    )
+    return (
+        events.withWatermark(timestamp_col, watermark_delay)
+        .withColumn("__h", h)
+        .withColumn("__idx", F.col("__h") % m)
+        .withColumn("__w", F.expr(f"__h DIV {m}"))
+        .withColumn("__rho", F.expr(hll_rho_sql("__w")))
+        .groupBy(
+            F.window(timestamp_col, window_duration).alias("win"),
+            F.col("__idx").alias("idx"),
+        )
+        .agg(F.max("__rho").alias("mrho"))
+        .select(
+            F.col("win.start").alias("window_start"), "idx", "mrho"
+        )
+    )
