@@ -271,6 +271,24 @@ SHOWCASE: list[tuple[str, str]] = [
         " top-k pushes WindowGroupLimit below its exchange so each"
         " candidate partition emits at most k rows.",
     ),
+    (
+        "d174_hll_cardinality",
+        "Explicit-register HLL (round 8): the 54-branch trailing-zero"
+        " CASE runs over the materialized w column inside the scan"
+        " stage's codegen span; partial_max per (source, register)"
+        " before the exchange — the shuffle carries at most"
+        " sources × 64 rows no matter the corpus; the dense grid fill"
+        " joins a broadcast of the bounded distinct-source set.",
+    ),
+    (
+        "d175_url_canonical_dedup",
+        "URL canonicalization dedup (round 8): the whole"
+        " normalize-and-key derivation (regex host/path strip, www."
+        " removal) is ONE codegen projection over the scan; the dedup"
+        " is a canonical-key hash aggregate with map-side partials"
+        " (d01's shape) and the per-domain rollup reuses the same"
+        " exchange — two aggregates, one shuffle of keys, zero joins.",
+    ),
 ]
 
 
