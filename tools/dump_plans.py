@@ -286,8 +286,9 @@ SHOWCASE: list[tuple[str, str]] = [
         " normalize-and-key derivation (regex host/path strip, www."
         " removal) is ONE codegen projection over the scan; the dedup"
         " is a canonical-key hash aggregate with map-side partials"
-        " (d01's shape) and the per-domain rollup reuses the same"
-        " exchange — two aggregates, one shuffle of keys, zero joins.",
+        " (d01's shape); the domain rollup's second exchange carries"
+        " only domain-bounded partial rows — and the plan has zero"
+        " joins.",
     ),
 ]
 
