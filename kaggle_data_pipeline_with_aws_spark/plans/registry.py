@@ -89,3 +89,4 @@ def load_all() -> None:
     from . import wave49  # noqa: F401
     from . import wave50  # noqa: F401
     from . import wave51  # noqa: F401
+    from . import wave52  # noqa: F401
