@@ -92,3 +92,4 @@ def load_all() -> None:
     from . import wave52  # noqa: F401
     from . import wave53  # noqa: F401
     from . import wave54  # noqa: F401
+    from . import wave55  # noqa: F401
