@@ -93,3 +93,4 @@ def load_all() -> None:
     from . import wave53  # noqa: F401
     from . import wave54  # noqa: F401
     from . import wave55  # noqa: F401
+    from . import wave56  # noqa: F401
