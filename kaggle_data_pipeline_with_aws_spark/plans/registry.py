@@ -94,3 +94,4 @@ def load_all() -> None:
     from . import wave54  # noqa: F401
     from . import wave55  # noqa: F401
     from . import wave56  # noqa: F401
+    from . import wave57  # noqa: F401
