@@ -42,6 +42,12 @@ BENCH_EXTRA = [
     # the two new tiers' economics
     "d158_domain_frequency_cap",
     "d162_bpe_train",
+    # added late round 8 with the sketch/serving tiers: d174 is the
+    # explicit-register HLL build (the mergeable-sketch substrate of
+    # d178/d181/d187/s14), d198 the Matryoshka coarse-to-fine rerank —
+    # the series tracks both tiers' economics going forward
+    "d174_hll_cardinality",
+    "d198_progressive_rerank",
 ]
 
 
