@@ -148,6 +148,13 @@ _WINDOW_PRIORITY = [
     "d61_lsh_estimate_error",
     "d67_cross_source_leakage",
 ]
+# The window above is exactly 50 entries (the driver's check depth).
+# Queries registered beyond it this round — d182–d200, s14 (waves
+# 49–57: entropy/burstiness/MMR, IVM merge, MI, purged split,
+# expectations, transition entropy, attribution, CUSUM, conformal,
+# PR curve, stratified bootstrap, progressive rerank, modularity,
+# Wasserstein, streaming HLL) — are builder-verified at sf0.01 +
+# sf0.1 + 10× (BENCH_SCALING.md) and queue for the round-9 window.
 
 
 def _ordered() -> list[str]:
