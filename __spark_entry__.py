@@ -65,96 +65,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # against its proof-baseline commit) — and (b) as many
 # never-driver-checked queries as fit.
 #
-# Round-8 window. Two blocks:
-#
-# (A) 24 substrate-store re-proofs, batched WEEK-1 per the round-7
-#     verdict's item 6 (substrate freeze discipline): the three
-#     round-7 ADVICE fixes all land in operators/substrate_store.py —
-#     memoized-fast-path recovery after a peer process's GC,
-#     _FPRINT_MEMO TTL expiry so in-place dataset regeneration is
-#     eventually observed, and the prune_superseded ownership gate for
-#     no-_SUCCESS entries — plus d155's integral pred_candidates sum
-#     (wave39). Every registered query whose dependency closure
-#     includes materialize_once/prune_superseded/_dataset_fingerprint
-#     re-proves (tools/proof_audit.py's rule); all were green in r7 and
-#     the fixes change only degraded/GC paths, so results are
-#     unchanged. substrate_store is now FROZEN for the round.
-# (B) the round-8 never-proven additions (staged as they land).
-# All verified green vs DuckDB at sf0.01 before staging.
+# Round-9 window. Per the round-8 verdict's item 1, the 20 queries
+# registered after round 8's window filled (waves 49–57; all
+# builder-verified at sf0.01 + sf0.1 + 10× AND independently re-run
+# green by the round-8 judge) LEAD the window so their driver proof
+# debt converts to CORRECTNESS rows. The remaining slots carry the
+# round-9 additions (staged as they land) and any re-proofs
+# tools/proof_audit.py demands.
 _WINDOW_PRIORITY = [
-    # ---- (B) round-8 additions, never driver-checked ----
-    # wave 41: URL/domain curation family (round-7 verdict #1)
-    "d157_registrable_domains",
-    "d158_domain_frequency_cap",
-    "d159_domain_blocklist_screen",
-    "d160_domain_quality_rollup",
-    "d161_domain_skew_profile",
-    # wave 42: iterated BPE trainer + encode curve (round-7 verdict #2)
-    "d162_bpe_train",
-    "d167_bpe_encode_stats",
-    # wave 43: domain-aware curation tier 2
-    "d163_domain_quality_topk",
-    "d164_domain_stratified_sample",
-    "d165_public_suffix_rollup",
-    "d166_domain_dup_locality",
-    # wave 44: domain boilerplate + coverage
-    "d168_domain_template_shingles",
-    "d169_domain_coverage_curve",
-    # wave 45: exact token-budget waterfilling
-    "d170_domain_token_waterfill",
-    # wave 46: per-domain path-prefix exclusion rules + mirror detection
-    "d171_path_rule_screen",
-    "d172_domain_mirror_candidates",
-    "d173_domain_curation_funnel",
-    # wave 47: explicit-register HLL, URL canonical dedup, RBO,
-    # Poisson bootstrap
-    "d174_hll_cardinality",
-    "d175_url_canonical_dedup",
-    "d176_rank_biased_overlap",
-    "d177_poisson_bootstrap",
-    # wave 48: HLL roll-forward, Chao1 richness, bootstrap CI, sketch
-    # error audit — fills the 50-slot window exactly
-    "d178_hll_rollforward",
-    "d179_chao1_vocab_richness",
-    "d180_bootstrap_ci",
-    "d181_sketch_error_audit",
-    # ---- re-proof: q80's money sum moved onto exact decimal cents
-    # ---- (the q38/q88/q100 rule), retiring the sf0.1 1-ulp WARN ----
-    "q80_grouping_sets_revenue",
-    # ---- (A) re-proofs: substrate_store.py ADVICE fixes (week 1) ----
-    "d06_ngram_jaccard",
-    "d07_minhash_lsh",
-    "d42_shingle_containment",
-    "d108_incremental_dedup",
-    "d62_knn_graph",
-    "d63_knn_triangles",
-    "d64_label_vote",
-    "d122_kcore_peel",
-    "d132_bfs_hops",
-    "d115_cross_source_dup_matrix",
-    "d126_dedup_threshold_sweep",
-    "d141_split_leakage",
-    "d142_cluster_safe_split",
-    "d149_contrastive_pairs",
-    "d150_cluster_cohesion",
-    "d152_lsh_band_tuning",
-    # d155 additionally re-proves for its own integral-sum fix
-    "d155_ppjoin_cost_estimate",
-    "d156_cluster_threshold_stability",
-    "d31_dedup_components",
-    "d55_canonical_docs",
-    "d76_cluster_size_histogram",
-    "d40_pagerank",
-    "d61_lsh_estimate_error",
-    "d67_cross_source_leakage",
+    # ---- (A) round-8 proof debt: waves 49–57, judge-verified 20/20 ----
+    "d182_conditional_entropy",
+    "d183_term_burstiness",
+    "d184_mmr_topk",
+    "d185_k_anonymity",
+    "d186_join_cardinality_estimate",
+    "d187_hll_set_ops",
+    "d188_incremental_agg_merge",
+    "d189_length_token_mi",
+    "d190_purged_time_split",
+    "d191_expectation_suite",
+    "d192_transition_entropy",
+    "d193_attribution_models",
+    "d194_cusum_drift",
+    "d195_conformal_calibration",
+    "d196_dedup_pr_curve",
+    "d197_stratified_bootstrap",
+    "d198_progressive_rerank",
+    "d199_cluster_modularity",
+    "d200_wasserstein_drift",
+    "s14_windowed_hll_users",
 ]
-# The window above is exactly 50 entries (the driver's check depth).
-# Queries registered beyond it this round — d182–d200, s14 (waves
-# 49–57: entropy/burstiness/MMR, IVM merge, MI, purged split,
-# expectations, transition entropy, attribution, CUSUM, conformal,
-# PR curve, stratified bootstrap, progressive rerank, modularity,
-# Wasserstein, streaming HLL) — are builder-verified at sf0.01 +
-# sf0.1 + 10× (BENCH_SCALING.md) and queue for the round-9 window.
+# 30 slots remain for round-9 additions + proof_audit-demanded
+# re-proofs; staged below as they land.
 
 
 def _ordered() -> list[str]:
