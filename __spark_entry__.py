@@ -94,9 +94,36 @@ _WINDOW_PRIORITY = [
     "d199_cluster_modularity",
     "d200_wasserstein_drift",
     "s14_windowed_hll_users",
+    # ---- (B) round-9 additions (staged as they land) ----
+    # wave 58: PSL as managed data (round-8 verdict #3) — the Spark
+    # side resolves through the broadcast-join path, the oracle
+    # through the compiled-SQL path: a hash match cross-certifies
+    # the two PSL implementations.
+    "d201_psl_join_resolution",
+    # ---- (C) re-proofs: registrable_domain/_sql re-expressed as thin
+    # faces over the generalized PSL compiler (wildcard/exception
+    # support, rule list as a parameter). Values are bit-identical
+    # (tests/test_psl.py::test_embedded_subset_face_unchanged) but
+    # the AST changed, so proof_audit stages the whole domain family.
+    "d157_registrable_domains",
+    "d158_domain_frequency_cap",
+    "d159_domain_blocklist_screen",
+    "d160_domain_quality_rollup",
+    "d161_domain_skew_profile",
+    "d163_domain_quality_topk",
+    "d164_domain_stratified_sample",
+    "d165_public_suffix_rollup",
+    "d166_domain_dup_locality",
+    "d168_domain_template_shingles",
+    "d169_domain_coverage_curve",
+    "d170_domain_token_waterfill",
+    "d171_path_rule_screen",
+    "d172_domain_mirror_candidates",
+    "d173_domain_curation_funnel",
+    "d175_url_canonical_dedup",
+    "d176_rank_biased_overlap",
 ]
-# 30 slots remain for round-9 additions + proof_audit-demanded
-# re-proofs; staged below as they land.
+# 12 slots remain for round-9 additions; staged above as they land.
 
 
 def _ordered() -> list[str]:
