@@ -100,6 +100,11 @@ _WINDOW_PRIORITY = [
     # through the compiled-SQL path: a hash match cross-certifies
     # the two PSL implementations.
     "d201_psl_join_resolution",
+    # wave 59: unigram-LM (SentencePiece-style) EM trainer + quality
+    # curve (round-8 verdict #2) — the likelihood half of the
+    # tokenizer tier next to d162's merge-based BPE half.
+    "d202_unigram_train",
+    "d203_unigram_segment_stats",
     # ---- (C) re-proofs: registrable_domain/_sql re-expressed as thin
     # faces over the generalized PSL compiler (wildcard/exception
     # support, rule list as a parameter). Values are bit-identical
