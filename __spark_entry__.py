@@ -105,6 +105,13 @@ _WINDOW_PRIORITY = [
     # tokenizer tier next to d162's merge-based BPE half.
     "d202_unigram_train",
     "d203_unigram_segment_stats",
+    # wave 60: snapshot/time-travel table face (round-8 verdict #4) —
+    # a real transaction-logged parquet table staged per run; the
+    # oracle states the same three committed states against orders,
+    # so the hash match proves the log replay.
+    "q101_snapshot_time_travel",
+    "q102_version_incremental_read",
+    "q103_version_row_diff",
     # ---- (C) re-proofs: registrable_domain/_sql re-expressed as thin
     # faces over the generalized PSL compiler (wildcard/exception
     # support, rule list as a parameter). Values are bit-identical

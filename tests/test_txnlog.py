@@ -1,0 +1,119 @@
+"""Transaction-log versioned table: protocol-level tests (wave 60's
+oracle queries prove the replay semantics against DuckDB; these cover
+the log mechanics those queries don't reach)."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kaggle_data_pipeline_with_aws_spark.operators.txnlog import (
+    VersionedTable,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+@pytest.fixture()
+def vt(spark):
+    return VersionedTable(spark, tempfile.mkdtemp(prefix="txnlog-test-"))
+
+
+def test_commit_versions_and_history(spark, vt):
+    assert vt.current_version() == -1
+    assert vt.commit(_df(spark, [(1, "a"), (2, "b")]), "overwrite") == 0
+    assert vt.commit(_df(spark, [(3, "c")]), "append") == 1
+    assert vt.commit(_df(spark, [(1, "z"), (9, "x")]), "overwrite",
+                     op="rewrite") == 2
+    hist = vt.history()
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert [h["rows_added"] for h in hist] == [2, 1, 2]
+    assert hist[2]["op"] == "rewrite"
+    assert hist[2]["n_removed"] == len(vt.live_files(1))
+
+
+def test_time_travel_reads_every_version(spark, vt):
+    vt.commit(_df(spark, [(1, "a"), (2, "b")]), "overwrite")
+    vt.commit(_df(spark, [(3, "c")]), "append")
+    vt.commit(_df(spark, [(9, "x")]), "overwrite")
+    snap = lambda v: sorted(  # noqa: E731
+        (r.k, r.v) for r in vt.snapshot(v).collect()
+    )
+    assert snap(0) == [(1, "a"), (2, "b")]
+    assert snap(1) == [(1, "a"), (2, "b"), (3, "c")]
+    assert snap(2) == [(9, "x")]
+    assert snap(None) == [(9, "x")]  # head
+
+
+def test_incremental_read_is_added_files_only(spark, vt):
+    vt.commit(_df(spark, [(1, "a")]), "overwrite")
+    vt.commit(_df(spark, [(2, "b")]), "append")
+    vt.commit(_df(spark, [(3, "c")]), "append")
+    got = sorted(r.k for r in vt.read_incremental(0, 2).collect())
+    assert got == [2, 3]
+    assert vt.read_incremental(2, 2).count() == 0
+
+
+def test_row_diff_classification(spark, vt):
+    vt.commit(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), "overwrite")
+    vt.commit(_df(spark, [(1, "a"), (2, "B"), (4, "d")]), "overwrite")
+    got = {
+        r.k: r.change_type for r in vt.row_diff(0, 1, ["k"]).collect()
+    }
+    assert got == {1: "unchanged", 2: "update", 3: "delete", 4: "insert"}
+
+
+def test_commit_log_is_atomic_and_claims_version_slot(spark, vt):
+    vt.commit(_df(spark, [(1, "a")]), "overwrite")
+    # no temp files remain after commit
+    assert not [
+        n for n in os.listdir(vt.log_dir) if n.startswith(".tmp")
+    ]
+    # a second writer racing for the same slot fails instead of
+    # clobbering (the O_EXCL claim)
+    with pytest.raises(FileExistsError):
+        fd = os.open(
+            vt._entry_path(0), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+        )
+        os.close(fd)
+    # log entries are valid standalone JSON documents
+    with open(vt._entry_path(0)) as fh:
+        e = json.load(fh)
+    assert e["version"] == 0 and e["add"]
+
+
+def test_vacuum_keeps_retained_versions_readable(spark, vt):
+    vt.commit(_df(spark, [(1, "a")]), "overwrite")
+    vt.commit(_df(spark, [(2, "b")]), "overwrite")
+    vt.commit(_df(spark, [(3, "c")]), "overwrite")
+    deleted = vt.vacuum(retain_versions=2)
+    assert deleted  # v0's files went away
+    assert sorted(r.k for r in vt.snapshot(2).collect()) == [3]
+    assert sorted(r.k for r in vt.snapshot(1).collect()) == [2]
+    with pytest.raises(Exception):
+        vt.snapshot(0).collect()  # vacuumed beyond retention
+
+
+def test_snapshot_scan_prunes_and_pushes_down(spark, vt):
+    vt.commit(
+        spark.range(1000).select(
+            F.col("id").cast("int").alias("k"),
+            F.col("id").cast("string").alias("v"),
+        ),
+        "overwrite",
+    )
+    plan = (
+        vt.snapshot(0)
+        .filter(F.col("k") == 7)
+        .select("k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k,7)]" in plan
