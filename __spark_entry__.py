@@ -112,6 +112,10 @@ _WINDOW_PRIORITY = [
     "q101_snapshot_time_travel",
     "q102_version_incremental_read",
     "q103_version_row_diff",
+    # wave 61: NSW greedy beam search over the published mutual-kNN
+    # substrate + recall/cost audit (round-8 verdict #5).
+    "d204_nsw_beam_search",
+    "d205_nsw_recall_audit",
     # ---- (C) re-proofs: registrable_domain/_sql re-expressed as thin
     # faces over the generalized PSL compiler (wildcard/exception
     # support, rule list as a parameter). Values are bit-identical

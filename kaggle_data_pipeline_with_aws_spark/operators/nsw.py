@@ -1,0 +1,141 @@
+"""NSW-style greedy beam search over the materialized kNN graph — the
+graph-traversal ANN serving pattern (round-8 verdict #5: the missing
+face next to IVF / IVF-PQ / LSH in the serving tier).
+
+The public navigable-small-world idea (Malkov et al.; HNSW's layer-0):
+start from fixed entry points, keep a beam of the best candidates seen
+so far, repeatedly expand the beam's graph neighbors, and stop when
+the beam converges. This module is the bounded-round, set-synchronous
+form of that search over the repo's published mutual-kNN edge
+substrate (operators/knn_substrate.py):
+
+- **All queries search at once.** The beam state is a DataFrame
+  (query_id, node, score); each round is one frontier-sized join
+  against the symmetric adjacency (the d132 BFS discipline), one
+  anti-join against the visited set (a node is scored exactly once
+  per query), one scoring join, and a windowed top-B reselect. Rounds
+  are BOUNDED (the oracle unrolls them), so the plan is R short
+  stages, not a data-dependent loop.
+- **Beam = ef-search semantics.** After each expansion the beam
+  re-selects the best B nodes of EVERYTHING visited (not just the new
+  frontier) — the classic best-first ef queue, set-synchronously.
+- **Determinism.** Scores are round(cos, 6) with node-id tiebreak in
+  every windowed selection, so beams, visited sets, and results are
+  engine-independent (the repo's d133/d134 ranking convention).
+
+Scale shape: per round the joined volume is (queries × beam × degree)
+— query-set bounded, never corpus-bounded; the adjacency is the
+substrate artifact partitioned by source node; the per-query visited
+set stays ≤ entry + R × B × degree rows. The graph build itself is
+amortized across the whole graph tier (build once, read many).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import cosine
+
+
+def symmetric_adjacency(edges: DataFrame) -> DataFrame:
+    """(u, v) both directions of an undirected (node_a, node_b) list."""
+    return edges.select(
+        F.col("node_a").alias("u"), F.col("node_b").alias("v")
+    ).unionByName(
+        edges.select(F.col("node_b").alias("u"), F.col("node_a").alias("v"))
+    )
+
+
+def _score(
+    cand: DataFrame, embs: DataFrame, queries: DataFrame
+) -> DataFrame:
+    """Attach round(cos(query, node), 6) to (query_id, node) pairs.
+    The query side (id + vector) broadcasts — query sets are small by
+    contract; the node side equi-joins the embedding table."""
+    e = embs.select(
+        F.col("vec_id").alias("node"), F.col("embedding").alias("nvec")
+    )
+    q = queries.select(
+        F.col("query_id"), F.col("embedding").alias("qvec")
+    )
+    return (
+        cand.join(e, "node")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "node",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("score"),
+        )
+    )
+
+
+def _beam_rank() -> Window:
+    return Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("node")
+    )
+
+
+def search_visited(
+    queries: DataFrame,
+    edges: DataFrame,
+    embs: DataFrame,
+    entry_points: DataFrame,
+    beam: int,
+    rounds: int,
+) -> DataFrame:
+    """The full visited-and-scored set (query_id, node, score) after
+    ``rounds`` bounded beam expansions from ``entry_points`` (a
+    1-column ``node`` DataFrame). The query's own node never scores
+    (self-match excluded at candidate time)."""
+    sym = symmetric_adjacency(edges)
+    w = _beam_rank()
+    cand0 = (
+        queries.select("query_id")
+        .crossJoin(F.broadcast(entry_points.select("node")))
+        .filter(F.col("node") != F.col("query_id"))
+    )
+    visited = _score(cand0, embs, queries).localCheckpoint()
+    for _ in range(rounds):
+        beam_df = (
+            visited.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= beam)
+            .drop("rk")
+        )
+        cand = (
+            beam_df.join(sym, beam_df["node"] == sym["u"])
+            .select("query_id", sym["v"].alias("node"))
+            .distinct()
+            .filter(F.col("node") != F.col("query_id"))
+            .join(visited, ["query_id", "node"], "left_anti")
+        )
+        visited = visited.unionByName(
+            _score(cand, embs, queries)
+        ).localCheckpoint()
+    return visited
+
+
+def nsw_beam_search(
+    queries: DataFrame,
+    edges: DataFrame,
+    embs: DataFrame,
+    entry_points: DataFrame,
+    beam: int,
+    rounds: int,
+    topk: int,
+) -> DataFrame:
+    """(query_id, rank, neighbor_id, score): the top-``topk`` of
+    everything the beam search visited."""
+    visited = search_visited(
+        queries, edges, embs, entry_points, beam, rounds
+    )
+    return (
+        visited.withColumn("rank", F.row_number().over(_beam_rank()))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("node").alias("neighbor_id"),
+            "score",
+        )
+    )

@@ -98,3 +98,4 @@ def load_all() -> None:
     from . import wave58  # noqa: F401
     from . import wave59  # noqa: F401
     from . import wave60  # noqa: F401
+    from . import wave61  # noqa: F401

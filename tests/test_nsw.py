@@ -1,0 +1,78 @@
+"""NSW beam search: operator-level behavior (wave 61's oracles prove
+value semantics against DuckDB; these pin the search invariants)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kaggle_data_pipeline_with_aws_spark.operators import nsw
+
+
+def _graph(spark):
+    """A 3-regular-ish path-with-chords graph on 12 nodes + embeddings
+    whose cosine to the single query orders nodes by id (vector (1, i)
+    normalized: cos with (1, 0) decreases in i)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)] + [(0, 4), (2, 7), (5, 10)],
+        "node_a long, node_b long",
+    )
+    embs = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(99, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    entries = spark.createDataFrame([(6,)], "node long")
+    return queries, edges, embs, entries
+
+
+def test_search_reaches_best_node_through_graph(spark):
+    queries, edges, embs, entries = _graph(spark)
+    out = nsw.nsw_beam_search(
+        queries, edges, embs, entries, beam=3, rounds=4, topk=3
+    ).collect()
+    by_rank = {r.rank: r.neighbor_id for r in out}
+    # best cosine is node 0; reachable from entry 6 via 5→10? no: via
+    # the path and the (0,4) chord — the beam walks down the ids
+    assert by_rank[1] == 0
+    scores = [r.score for r in sorted(out, key=lambda r: r.rank)]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_visited_grows_monotonically_and_never_rescans(spark):
+    queries, edges, embs, entries = _graph(spark)
+    sizes = [
+        nsw.search_visited(
+            queries, edges, embs, entries, beam=3, rounds=r
+        ).count()
+        for r in (0, 1, 2, 3)
+    ]
+    assert sizes == sorted(sizes)
+    vis = nsw.search_visited(queries, edges, embs, entries, beam=3, rounds=3)
+    assert vis.count() == vis.select("query_id", "node").distinct().count()
+
+
+def test_query_node_never_scored(spark):
+    queries, edges, embs, entries = _graph(spark)
+    # make the query one of the graph's own nodes
+    q = embs.filter(F.col("vec_id") == 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vis = nsw.search_visited(q, edges, embs, entries, beam=4, rounds=3)
+    assert vis.filter(F.col("node") == 6).count() == 0
+
+
+def test_search_is_deterministic(spark):
+    queries, edges, embs, entries = _graph(spark)
+    a = sorted(
+        map(tuple, nsw.nsw_beam_search(
+            queries, edges, embs, entries, beam=3, rounds=3, topk=5
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, nsw.nsw_beam_search(
+            queries, edges, embs, entries, beam=3, rounds=3, topk=5
+        ).collect())
+    )
+    assert a == b

@@ -239,6 +239,36 @@ def _d40_alt() -> list[str]:
     ]
 
 
+def _nsw_alt(name: str) -> list[str]:
+    """d204/d205 (wave 61): the registered oracle appends the unrolled
+    NSW beam search to the shared kNN-graph chain and MATERIALIZEs its
+    per-round CTEs — fine at driver scales, but in DuckDB 1.0 a
+    MATERIALIZED boundary downstream of the 50M-row rescore window
+    chain defeats the chain's own optimizations at 10x (even a bare
+    `AS MATERIALIZED (SELECT * FROM edges)` copy runs >10 min where
+    the plain chain takes ~60 s). Derived from the registered SQL at
+    runtime (the d40 discipline): everything up to `edges` lands in a
+    temp table once; the beam rounds run unchanged on top."""
+    from kaggle_data_pipeline_with_aws_spark.plans import registry
+
+    registry.load_all()
+    sql = registry.ORACLE_SQL[name]
+    marker = "qs AS ("
+    i = sql.find(marker)
+    assert i > 0, f"{name} oracle shape changed: qs CTE marker missing"
+    head = sql[:i].rstrip().rstrip(",")
+    tail = sql[i:]
+    assert tail.count("FROM edges") == 1, "unexpected edges reference form"
+    tail = tail.replace("FROM edges", "FROM _nsw_edges")
+    return [
+        "DROP TABLE IF EXISTS _nsw_edges",
+        "CREATE TEMP TABLE _nsw_edges AS "
+        + head
+        + "\n    SELECT node_a, node_b FROM edges",
+        "WITH " + tail,
+    ]
+
+
 ALT_ORACLES: dict[str, list[str]] = {}
 
 
@@ -247,6 +277,8 @@ def _load_alts() -> None:
     ALT_ORACLES["d63_knn_triangles"] = _d63_alt()
     ALT_ORACLES["d66_sorted_neighborhood"] = _d66_alt()
     ALT_ORACLES["d40_pagerank"] = _d40_alt()
+    ALT_ORACLES["d204_nsw_beam_search"] = _nsw_alt("d204_nsw_beam_search")
+    ALT_ORACLES["d205_nsw_recall_audit"] = _nsw_alt("d205_nsw_recall_audit")
 
 
 def run_sql(con, stmts: list[str]):
