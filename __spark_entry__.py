@@ -116,6 +116,11 @@ _WINDOW_PRIORITY = [
     # substrate + recall/cost audit (round-8 verdict #5).
     "d204_nsw_beam_search",
     "d205_nsw_recall_audit",
+    # wave 62: lakehouse tier 2 — compaction invariance, schema
+    # evolution, MERGE-as-a-commit through the transaction log.
+    "q104_compaction_invariance",
+    "q105_schema_evolution",
+    "q106_versioned_merge",
     # ---- (C) re-proofs: registrable_domain/_sql re-expressed as thin
     # faces over the generalized PSL compiler (wildcard/exception
     # support, rule list as a parameter). Values are bit-identical

@@ -153,16 +153,23 @@ class VersionedTable:
             StructType.fromJson(json.loads(es[-1]["schema"])) if es else None
         )
 
-    def snapshot(self, version: int | None = None) -> DataFrame:
+    def snapshot(
+        self, version: int | None = None, merge_schema: bool = False
+    ) -> DataFrame:
         """The table AS OF ``version`` (default: latest) — a plain
         parquet scan of exactly the live files, so pushdown and
-        pruning behave like any parquet read."""
+        pruning behave like any parquet read. ``merge_schema`` unions
+        the live files' schemas (schema evolution: columns added by a
+        later commit read as NULL on earlier files)."""
         files = self.live_files(version)
         if not files:
             schema = self._schema_at(version)
             assert schema is not None, "snapshot of an empty log"
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(
             *[os.path.join(self.root, f) for f in files]
         )
 
@@ -225,6 +232,45 @@ class VersionedTable:
                 for k in keys
             ],
             change.alias("change_type"),
+        )
+
+    def commit_merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        when_matched=None,
+        insert_values=None,
+        delete_condition=None,
+    ) -> int:
+        """MERGE as a committed version: the q81/K4 face
+        (``ledger.merge_upsert`` — one full-outer shuffle, all clauses
+        as projections) applied to the current snapshot and committed
+        as an overwrite with ``op='merge'``. Under a production table
+        format this is ``DeltaTable.merge``; here the transaction log
+        supplies the same read-isolation and time-travel around the
+        identical relational plan."""
+        from .ledger import merge_upsert
+
+        merged = merge_upsert(
+            self.snapshot(),
+            source,
+            keys,
+            when_matched=when_matched,
+            insert_values=insert_values,
+            delete_condition=delete_condition,
+        )
+        return self.commit(merged, mode="overwrite", op="merge")
+
+    def commit_compact(self, target_files: int = 1) -> int:
+        """OPTIMIZE as a committed version: rewrite the current live
+        file set into ``target_files`` files (``op='compact'``) —
+        row-identical by construction, so ``row_diff`` across the
+        commit is empty while small-file scan overhead drops (the
+        ``sinks.compact_parquet`` rationale, now with time travel:
+        pre-compaction versions stay readable until vacuum)."""
+        snap = self.snapshot()
+        return self.commit(
+            snap.repartition(target_files), mode="overwrite", op="compact"
         )
 
     def history(self) -> list[dict]:

@@ -99,3 +99,4 @@ def load_all() -> None:
     from . import wave59  # noqa: F401
     from . import wave60  # noqa: F401
     from . import wave61  # noqa: F401
+    from . import wave62  # noqa: F401

@@ -117,3 +117,63 @@ def test_snapshot_scan_prunes_and_pushes_down(spark, vt):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(k), EqualTo(k,7)]" in plan
+
+
+def test_compact_commit_is_row_identical_and_fewer_files(spark, vt):
+    import pyspark.sql.functions as F
+
+    df = spark.range(500).select(
+        F.col("id").cast("int").alias("k"),
+        F.col("id").cast("string").alias("v"),
+    ).repartition(8)
+    vt.commit(df, "overwrite")
+    vt.commit(
+        spark.createDataFrame([(900, "x")], "k int, v string"), "append"
+    )
+    v = vt.commit_compact(target_files=1)
+    assert v == 2
+    assert len(vt.live_files(2)) < len(vt.live_files(1))
+    diff = vt.row_diff(1, 2, ["k"])
+    assert diff.filter(F.col("change_type") != "unchanged").count() == 0
+    assert vt.snapshot(2).count() == 501
+    assert vt.history()[-1]["op"] == "compact"
+
+
+def test_commit_merge_applies_all_three_clauses(spark, vt):
+    import pyspark.sql.functions as F
+
+    vt.commit(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, bal double"
+        ),
+        "overwrite",
+    )
+    src = spark.createDataFrame(
+        [(2, 5.0), (3, 999.0), (4, 7.0)], "k int, d double"
+    )
+    vt.commit_merge(
+        src,
+        keys=["k"],
+        when_matched={"bal": F.col("t.bal") + F.col("s.d")},
+        insert_values={"bal": F.col("s.d")},
+        delete_condition=F.col("s.d") > 100,
+    )
+    got = {r.k: r.bal for r in vt.snapshot(1).collect()}
+    assert got == {1: 10.0, 2: 25.0, 4: 7.0}  # carried, updated, inserted; 3 deleted
+    # v0 unchanged — isolation
+    assert {r.k for r in vt.snapshot(0).collect()} == {1, 2, 3}
+
+
+def test_merge_schema_reads_old_files_with_nulls(spark, vt):
+    import pyspark.sql.functions as F
+
+    vt.commit(spark.createDataFrame([(1, "a")], "k int, v string"), "append")
+    vt.commit(
+        spark.createDataFrame(
+            [(2, "b", "tag")], "k int, v string, label string"
+        ),
+        "append",
+    )
+    snap = vt.snapshot(1, merge_schema=True)
+    got = {r.k: r.label for r in snap.collect()}
+    assert got == {1: None, 2: "tag"}
