@@ -109,18 +109,18 @@ _WINDOW_PRIORITY = [
     # a real transaction-logged parquet table staged per run; the
     # oracle states the same three committed states against orders,
     # so the hash match proves the log replay.
-    "q101_snapshot_time_travel",
-    "q102_version_incremental_read",
-    "q103_version_row_diff",
+    "q114_snapshot_time_travel",
+    "q115_version_incremental_read",
+    "q116_version_row_diff",
     # wave 61: NSW greedy beam search over the published mutual-kNN
     # substrate + recall/cost audit (round-8 verdict #5).
     "d204_nsw_beam_search",
     "d205_nsw_recall_audit",
     # wave 62: lakehouse tier 2 — compaction invariance, schema
     # evolution, MERGE-as-a-commit through the transaction log.
-    "q104_compaction_invariance",
-    "q105_schema_evolution",
-    "q106_versioned_merge",
+    "q117_compaction_invariance",
+    "q118_versioned_schema_evolution",
+    "q119_versioned_merge",
     # ---- (C) re-proofs: registrable_domain/_sql re-expressed as thin
     # faces over the generalized PSL compiler (wildcard/exception
     # support, rule list as a parameter). Values are bit-identical

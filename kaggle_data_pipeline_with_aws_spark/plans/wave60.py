@@ -2,12 +2,12 @@
 #4: the versioned-table semantic tying MERGE (q81), compaction
 (``sinks.compact_parquet``) and the CDC diff (q60) together):
 
-- q101 — time-travel reads: three committed versions of a per-customer
+- q114 — time-travel reads: three committed versions of a per-customer
   spend table (bootstrap overwrite → append increment → full rewrite),
   each snapshot read AS OF its version through the transaction log.
-- q102 — incremental reads: rows in the files ADDED between version
+- q115 — incremental reads: rows in the files ADDED between version
   pairs — the append-only CDC fast path that reads only delta bytes.
-- q103 — row-level CDC: the v0→v2 full-outer key diff classifying
+- q116 — row-level CDC: the v0→v2 full-outer key diff classifying
   every customer as insert / update / unchanged.
 
 Each run stages a REAL transaction-logged parquet table (fresh temp
@@ -117,7 +117,7 @@ def _snap_agg(df: DataFrame, version: int) -> DataFrame:
     ).select(F.lit(version).cast("long").alias("version"), "*")
 
 
-def _q101_oracle() -> str:
+def _q114_oracle() -> str:
     return f"""{_spend_ctes()},
     v1 AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1)
     SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
@@ -132,8 +132,8 @@ def _q101_oracle() -> str:
     """
 
 
-@spark_query("q101_snapshot_time_travel", _q101_oracle())
-def q101_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+@spark_query("q114_snapshot_time_travel", _q114_oracle())
+def q114_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the committed table AS OF each of its three versions
     through transaction-log replay: v0 = pre-cutoff bootstrap, v1 =
     v0 + the one-year append increment (duplicate keys — append
@@ -148,7 +148,7 @@ def q101_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("version")
 
 
-def _q102_oracle() -> str:
+def _q115_oracle() -> str:
     return f"""{_spend_ctes()},
     inc01 AS (SELECT * FROM s1),
     inc12 AS (SELECT * FROM sall),
@@ -166,15 +166,15 @@ def _q102_oracle() -> str:
     """
 
 
-@spark_query("q102_version_incremental_read", _q102_oracle())
-def q102_version_incremental_read(
+@spark_query("q115_version_incremental_read", _q115_oracle())
+def q115_version_incremental_read(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Incremental reads between committed versions: only the files
     ADDED in (from_v, to_v] are scanned — the CDC fast path that turns
     an append-only versioned table into a streaming source reading
     delta bytes only. The 1→2 window shows rewrite semantics: the
-    rewrite's adds are the whole new state (pair with q103's row diff
+    rewrite's adds are the whole new state (pair with q116's row diff
     to get row-level changes there)."""
     vt = _staged_table(spark, sf_dir)
 
@@ -203,7 +203,7 @@ def q102_version_incremental_read(
     )
 
 
-def _q103_oracle() -> str:
+def _q116_oracle() -> str:
     return f"""WITH per AS (
       SELECT o_custkey AS custkey,
              CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '{_CUT1}'
@@ -223,8 +223,8 @@ def _q103_oracle() -> str:
     """
 
 
-@spark_query("q103_version_row_diff", _q103_oracle())
-def q103_version_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+@spark_query("q116_version_row_diff", _q116_oracle())
+def q116_version_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level CDC v0→v2 through the log: one full-outer join of the
     two snapshots on the key, every customer classified insert (no
     pre-cutoff orders), update (aggregate changed — gained orders), or

@@ -1,14 +1,14 @@
 """Round-9 wave 62 — lakehouse semantics over the transaction log,
 tier 2 (extends wave 60's snapshot/incremental/diff face):
 
-- q104 — compaction invariance: an ``op='compact'`` commit (OPTIMIZE)
+- q117 — compaction invariance: an ``op='compact'`` commit (OPTIMIZE)
   rewrites the live file set; the pre- and post-compaction snapshots
   aggregate identically — the invariant that makes background
   compaction safe to run against live readers.
-- q105 — schema evolution: a later commit adds a column; the merged
+- q118 — schema evolution: a later commit adds a column; the merged
   snapshot reads earlier files with NULLs in the new column, and the
   new column partitions history exactly at the commit boundary.
-- q106 — MERGE as a committed version: the q81 MERGE face applied
+- q119 — MERGE as a committed version: the q81 MERGE face applied
   through the log (update + insert + delete clauses), audited by the
   row-level CDC diff of the pre/post snapshots joined back to the
   final state.
@@ -42,9 +42,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q104 — compaction invariance through the log.
+# q117 — compaction invariance through the log.
 # ---------------------------------------------------------------------------
-def _q104_oracle() -> str:
+def _q117_oracle() -> str:
     state = f"""WITH sall AS (
       SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
              {_SPEND_SQL} AS spend
@@ -66,8 +66,8 @@ def _q104_oracle() -> str:
     """
 
 
-@spark_query("q104_compaction_invariance", _q104_oracle())
-def q104_compaction_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+@spark_query("q117_compaction_invariance", _q117_oracle())
+def q117_compaction_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE through the log: commit 4 rewrites v2's live files into
     two compacted files (op='compact'); snapshots at v2 (pre) and v3
     (post) aggregate identically — row identity across compaction is
@@ -95,9 +95,9 @@ def q104_compaction_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q105 — schema evolution across commits.
+# q118 — schema evolution across commits.
 # ---------------------------------------------------------------------------
-def _q105_oracle() -> str:
+def _q118_oracle() -> str:
     return f"""WITH s0 AS (
       SELECT o_custkey AS custkey, {_SPEND_SQL} AS spend
       FROM orders WHERE o_orderdate < TIMESTAMP '{_CUT1}'
@@ -119,8 +119,8 @@ def _q105_oracle() -> str:
     """
 
 
-@spark_query("q105_schema_evolution", _q105_oracle())
-def q105_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+@spark_query("q118_versioned_schema_evolution", _q118_oracle())
+def q118_versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution through the log: v0 commits (custkey, spend);
     v1 appends the same shape PLUS a new ``batch_label`` column. The
     merged snapshot (mergeSchema) reads v0's files with NULL labels —
@@ -172,9 +172,9 @@ def q105_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q106 — MERGE committed through the log, audited by the CDC diff.
+# q119 — MERGE committed through the log, audited by the CDC diff.
 # ---------------------------------------------------------------------------
-def _q106_oracle() -> str:
+def _q119_oracle() -> str:
     return f"""WITH pre AS (
       SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
              {_SPEND_SQL} AS spend
@@ -209,8 +209,8 @@ def _q106_oracle() -> str:
     """
 
 
-@spark_query("q106_versioned_merge", _q106_oracle())
-def q106_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+@spark_query("q119_versioned_merge", _q119_oracle())
+def q119_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE as version 1 of the logged table: the pre-cutoff spend
     snapshot merged with one year of order deltas — matched accounts
     accumulate (update), new accounts insert, heavy movers
