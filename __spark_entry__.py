@@ -121,6 +121,11 @@ _WINDOW_PRIORITY = [
     "q117_compaction_invariance",
     "q118_versioned_schema_evolution",
     "q119_versioned_merge",
+    # d206: the prune round closing the SentencePiece loop (seed → EM
+    # → prune → re-EM); d207: PSL v1→v2 drift matrix (the audit a
+    # domain-keyed pipeline runs before adopting a PSL update).
+    "d206_unigram_prune_round",
+    "d207_psl_version_drift",
     # ---- (C) re-proofs: registrable_domain/_sql re-expressed as thin
     # faces over the generalized PSL compiler (wildcard/exception
     # support, rule list as a parameter). Values are bit-identical
@@ -144,7 +149,9 @@ _WINDOW_PRIORITY = [
     "d175_url_canonical_dedup",
     "d176_rank_biased_overlap",
 ]
-# 12 slots remain for round-9 additions; staged above as they land.
+# The window above is exactly 50 entries (the driver's check depth):
+# 20 round-8 proof-debt conversions + 13 round-9 additions (waves
+# 58-62) + 17 proof_audit-demanded domain-family re-proofs.
 
 
 def _ordered() -> list[str]:

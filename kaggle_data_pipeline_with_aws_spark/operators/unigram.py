@@ -134,6 +134,29 @@ def seed_vocab(pieces: DataFrame, top_k: int) -> DataFrame:
     return singles.unionByName(multis)
 
 
+def prune_vocab(vocab_counts: DataFrame, keep_multi: int) -> DataFrame:
+    """The SentencePiece prune step (by the standard expected-count
+    approximation of the likelihood loss): keep every single character
+    (coverage is inviolable) and the ``keep_multi`` highest-expected-
+    count multi-character pieces (ties by piece string). Exact integer
+    ordering — the counts are the M-step's quantized sums."""
+    from pyspark.sql import Window
+
+    singles = vocab_counts.filter(F.length("piece") == 1)
+    multis = (
+        vocab_counts.filter(F.length("piece") >= 2)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("qc").desc(), F.col("piece"))
+            ),
+        )
+        .filter(F.col("rk") <= keep_multi)
+        .drop("rk")
+    )
+    return singles.unionByName(multis)
+
+
 def normalized_probs(vocab_counts: DataFrame) -> DataFrame:
     """(piece, p): add-one-smoothed renormalization of integer counts
     — p = (qc + 1) / (Σqc + V), every input exact, one deterministic

@@ -5,6 +5,17 @@
   instead of compiled literals, over a rule set that exercises the
   full PSL grammar: normal rules, wildcard ``*.`` rules, exception
   ``!`` rules, comment/blank lines, and the implicit default ``*``.
+- d207 — PSL version-drift audit: the same corpus resolved under rule
+  list v1 AND v2 (v2 adds a wildcard + exception under a TLD that v1
+  resolved via the default rule); the output is the (v1 → v2)
+  domain-key transition matrix for every host whose registrable
+  domain MOVED. The operational concern is real: Mozilla ships PSL
+  updates continuously, and every update silently re-partitions any
+  domain-keyed pipeline state (frequency caps, blocklists, dedup
+  locality) — this is the audit you run before adopting a new
+  version. v1 resolves through the broadcast-join path and v2 through
+  the compiled-expression path, so the drift matrix ALSO
+  cross-exercises both implementations in one plan.
 
 Cross-implementation by construction: the Spark side resolves through
 the per-depth broadcast-join path while the DuckDB oracle resolves the
@@ -159,4 +170,96 @@ def d201_psl_join_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("host").alias("n_hosts"),
         )
         .orderBy("domain_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d207 — PSL version-drift audit (v1 → v2 transition matrix).
+# ---------------------------------------------------------------------------
+# v2 ships new rules under t9: v1 resolved *.t9 hosts via the implicit
+# default rule (one-label public suffix), v2 makes every direct child
+# of t9 a public suffix except s3.t9 — so t9 hosts' registrable
+# domains MOVE (deeper key, NULL for bare site hosts, s3.t9 restored
+# by the exception).
+PSL_RULES_V2: tuple[str, ...] = PSL_RULES_V1 + (
+    "// v2: t9 delegated",
+    "t9",
+    "*.t9",
+    "!s3.t9",
+)
+
+
+def _d207_oracle() -> str:
+    dom1 = domains.compile_registrable_domain_sql(
+        "host", list(PSL_RULES_V1), default_rule=True
+    )
+    dom2 = domains.compile_registrable_domain_sql(
+        "host", list(PSL_RULES_V2), default_rule=True
+    )
+    return f"""WITH u AS (
+      SELECT doc_id,
+             {portable_hash60_sql("'psl|' || CAST(doc_id AS VARCHAR)")} AS huri
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, {_host_sql()} AS host FROM u
+    ),
+    d AS (
+      SELECT doc_id, host, {dom1} AS d1, {dom2} AS d2 FROM h
+    )
+    SELECT coalesce(d1, '(public-suffix)') AS v1_key,
+           coalesce(d2, '(public-suffix)') AS v2_key,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM d
+    WHERE d1 IS DISTINCT FROM d2
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+
+
+@spark_query("d207_psl_version_drift", _d207_oracle())
+def d207_psl_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(v1_key → v2_key) transition matrix of every host whose
+    registrable domain changes when the PSL upgrades v1 → v2 — the
+    pre-adoption audit for a PSL bump, since every domain-keyed
+    pipeline artifact (caps, blocklists, dup locality) silently
+    re-partitions under the new rules. One corpus scan: v1 resolves
+    through the broadcast-dimension join path, v2 through the
+    compiled-expression path (cross-exercising both implementations);
+    the diff + rollup is one matrix-sized aggregate, bounded by
+    domain-key cardinality, not corpus size."""
+    rules_v1 = spark.createDataFrame(
+        [(r,) for r in PSL_RULES_V1], "rule string"
+    )
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn(
+            "huri",
+            portable_hash60(
+                F.concat(F.lit("psl|"), F.col("doc_id").cast("string"))
+            ),
+        )
+        .withColumn("host", _host())
+    )
+    resolved = domains.resolve_domains_psl_join(
+        docs, "host", rules_v1, out_col="d1", default_rule=True
+    ).withColumn(
+        "d2",
+        domains.compile_registrable_domain(
+            F.col("host"), list(PSL_RULES_V2), default_rule=True
+        ),
+    )
+    return (
+        resolved.filter(~F.col("d1").eqNullSafe(F.col("d2")))
+        .groupBy(
+            F.coalesce(F.col("d1"), F.lit("(public-suffix)")).alias("v1_key"),
+            F.coalesce(F.col("d2"), F.lit("(public-suffix)")).alias("v2_key"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+        .orderBy("v1_key", "v2_key")
     )

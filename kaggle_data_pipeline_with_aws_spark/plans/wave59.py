@@ -80,7 +80,7 @@ def _base_ctes() -> str:
     )"""
 
 
-def _probs_cte(r: int) -> str:
+def _probs_cte(r: int | str) -> str:
     return f""",
     probs{r} AS MATERIALIZED (
       SELECT piece,
@@ -91,8 +91,10 @@ def _probs_cte(r: int) -> str:
     )"""
 
 
-def _wide_cte(r: int) -> str:
-    """Pivot: one row per word, p_{{j}}_{{i}} columns from probs{r-1}."""
+def _wide_cte(r: int, probs_name: str | None = None) -> str:
+    """Pivot: one row per word, p_{{j}}_{{i}} columns from the probs
+    CTE (default: probs{r-1})."""
+    src = probs_name or f"probs{r - 1}"
     cols = ",\n             ".join(
         f"coalesce(max(CASE WHEN j = {j} AND i = {i} THEN p END), "
         f"CAST(0.0 AS DOUBLE)) AS p_{j}_{i}"
@@ -102,7 +104,7 @@ def _wide_cte(r: int) -> str:
     wide{r} AS MATERIALIZED (
       SELECT word, w,
              {cols}
-      FROM pieces JOIN probs{r - 1} USING (piece)
+      FROM pieces JOIN {src} USING (piece)
       GROUP BY word, w
     )"""
 
@@ -166,8 +168,10 @@ def _edge_q(j: int, i: int) -> str:
     )
 
 
-def _mstep_ctes(r: int) -> str:
-    """unnest-unpivot of the quantized edge posteriors + vocab{r}."""
+def _mstep_ctes(r: int, vocab_src: str | None = None) -> str:
+    """unnest-unpivot of the quantized edge posteriors + vocab{r}
+    (piece set fixed to ``vocab_src``, default vocab{r-1})."""
+    vsrc = vocab_src or f"vocab{r - 1}"
     packs = ",\n        ".join(
         f"struct_pack(pc := substr(word, {j + 1}, {i - j}), "
         f"q := {_edge_q(j, i)})"
@@ -187,7 +191,7 @@ def _mstep_ctes(r: int) -> str:
     ),
     vocab{r} AS MATERIALIZED (
       SELECT v.piece, coalesce(m.mqc, 0) AS qc
-      FROM (SELECT piece FROM vocab{r - 1}) v
+      FROM (SELECT piece FROM {vsrc}) v
       LEFT JOIN mq{r} m USING (piece)
     )"""
 
@@ -336,3 +340,64 @@ def d203_unigram_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("viterbi_confidence"),
     ).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# d206 — the prune round: the step that makes EM a full SentencePiece
+# training loop (seed → EM → prune least-useful pieces → re-EM).
+# ---------------------------------------------------------------------------
+_PRUNE_TO = 100  # multi-char pieces kept (from the 150 seeded)
+
+
+def _d206_oracle() -> str:
+    r1 = _ROUNDS + 1
+    prune = f""",
+    vocab2p AS MATERIALIZED (
+      SELECT piece, qc FROM vocab{_ROUNDS} WHERE len(piece) = 1
+      UNION ALL
+      SELECT piece, qc FROM (
+        SELECT piece, qc,
+               row_number() OVER (ORDER BY qc DESC, piece) AS rk
+        FROM vocab{_ROUNDS} WHERE len(piece) >= 2
+      ) WHERE rk <= {_PRUNE_TO}
+    )"""
+    return f"""{_train_ctes(_ROUNDS, frozenset())}{prune}{_probs_cte("2p")}{
+        _wide_cte(r1, probs_name="probs2p")}{_fb_cte(r1)}{
+        _mstep_ctes(r1, vocab_src="vocab2p")}{_probs_cte(r1)}
+    SELECT piece, qc, CAST(round(p, 9) AS DOUBLE) AS p
+    FROM vocab{r1} JOIN probs{r1} USING (piece)
+    ORDER BY piece
+    """
+
+
+@spark_query("d206_unigram_prune_round", _d206_oracle())
+def d206_unigram_prune_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prune step that closes the SentencePiece loop: after the
+    two EM rounds, drop the 50 lowest-expected-count multi-character
+    pieces (singles are inviolable — coverage), renormalize over the
+    smaller vocabulary, and run one more EM round — probability mass
+    from pruned pieces redistributes onto the survivors' posteriors.
+    Output: the final (piece, expected micro-count, probability)
+    table a production unigram tokenizer would ship.
+
+    Pruning uses the standard expected-count approximation of the
+    per-piece likelihood loss; the lattice/M-step machinery and its
+    bit-exact determinism contract are unchanged
+    (operators/unigram.py)."""
+    docs = _t(spark, sf_dir, "documents").select("text")
+    pieces = U.candidate_pieces(
+        U.word_types_truncated(docs)
+    ).localCheckpoint()
+    vocab = U.seed_vocab(pieces, _TOPK).localCheckpoint()
+    for _ in range(_ROUNDS):
+        vocab = U.em_expected_counts(
+            pieces, U.normalized_probs(vocab)
+        ).localCheckpoint()
+    pruned = U.prune_vocab(vocab, _PRUNE_TO).localCheckpoint()
+    final = U.em_expected_counts(pieces, U.normalized_probs(pruned))
+    probs = U.normalized_probs(final)
+    return (
+        final.join(probs, "piece")
+        .select("piece", "qc", F.round("p", 9).alias("p"))
+        .orderBy("piece")
+    )
