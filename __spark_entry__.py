@@ -48,6 +48,12 @@ BENCH_EXTRA = [
     # the series tracks both tiers' economics going forward
     "d174_hll_cardinality",
     "d198_progressive_rerank",
+    # added round 9 with the tokenizer-EM and graph-serving tiers:
+    # d202 is the unigram-LM EM trainer (the likelihood half of the
+    # tokenizer story), d204 the NSW beam search over the kNN
+    # substrate — the series tracks both tiers' economics
+    "d202_unigram_train",
+    "d204_nsw_beam_search",
 ]
 
 
