@@ -115,21 +115,18 @@ def seed_vocab(pieces: DataFrame, top_k: int) -> DataFrame:
     character, plus the ``top_k`` multi-character substrings by exact
     corpus count (ties by piece string). qc is the integer count the
     first renormalization smooths (already exact — no quantization
-    needed at seed time, word counts are integers)."""
-    from pyspark.sql import Window
+    needed at seed time, word counts are integers).
 
+    Global top-K via ``orderBy().limit()`` — Spark's
+    TakeOrderedAndProject keeps K rows per partition and merges at
+    the driver; a global row_number window would funnel the whole
+    piece histogram through one partition (the q17 rule)."""
     hist = pieces.groupBy("piece").agg(F.sum("w").alias("qc"))
     singles = hist.filter(F.length("piece") == 1)
     multis = (
         hist.filter(F.length("piece") >= 2)
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.col("qc").desc(), F.col("piece"))
-            ),
-        )
-        .filter(F.col("rk") <= top_k)
-        .drop("rk")
+        .orderBy(F.col("qc").desc(), F.col("piece"))
+        .limit(top_k)
     )
     return singles.unionByName(multis)
 
@@ -139,20 +136,13 @@ def prune_vocab(vocab_counts: DataFrame, keep_multi: int) -> DataFrame:
     approximation of the likelihood loss): keep every single character
     (coverage is inviolable) and the ``keep_multi`` highest-expected-
     count multi-character pieces (ties by piece string). Exact integer
-    ordering — the counts are the M-step's quantized sums."""
-    from pyspark.sql import Window
-
+    ordering — the counts are the M-step's quantized sums. Top-K via
+    ``orderBy().limit()`` (TakeOrderedAndProject — see seed_vocab)."""
     singles = vocab_counts.filter(F.length("piece") == 1)
     multis = (
         vocab_counts.filter(F.length("piece") >= 2)
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.col("qc").desc(), F.col("piece"))
-            ),
-        )
-        .filter(F.col("rk") <= keep_multi)
-        .drop("rk")
+        .orderBy(F.col("qc").desc(), F.col("piece"))
+        .limit(keep_multi)
     )
     return singles.unionByName(multis)
 
