@@ -290,6 +290,37 @@ SHOWCASE: list[tuple[str, str]] = [
         " only domain-bounded partial rows — and the plan has zero"
         " joins.",
     ),
+    (
+        "d201_psl_join_resolution",
+        "The PSL as DATA (round 9): one tiny BroadcastHashJoin per"
+        " suffix depth against the pre-aggregated rule dimension — the"
+        " corpus side never exchanges before the final domain-bounded"
+        " rollup; swapping the full Mozilla list in changes nothing in"
+        " the plan shape.",
+    ),
+    (
+        "d202_unigram_train",
+        "Unigram-LM EM (round 9): the forward/backward lattice is ONE"
+        " codegen projection over the per-word pivot (no DP loop, no"
+        " UDF); per EM round the only exchanges are the word-keyed"
+        " pivot and the piece-keyed integer-sum M-step — both bounded"
+        " by the word-type histogram, never the corpus.",
+    ),
+    (
+        "d204_nsw_beam_search",
+        "Graph-ANN serving (round 9): each beam round is a"
+        " frontier-sized join against the substrate adjacency + an"
+        " anti-join on the visited set; the scoring join broadcasts"
+        " the query vectors — joined volume is queries x beam x"
+        " degree, independent of corpus size.",
+    ),
+    (
+        "q114_snapshot_time_travel",
+        "Time travel (round 9): each snapshot is a plain parquet scan"
+        " of exactly the version's live file set from the transaction"
+        " log — pushdown and column pruning hit the files unchanged,"
+        " so versioning costs metadata, not plan quality.",
+    ),
 ]
 
 
