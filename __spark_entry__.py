@@ -71,93 +71,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # against its proof-baseline commit) — and (b) as many
 # never-driver-checked queries as fit.
 #
-# Round-9 window. Per the round-8 verdict's item 1, the 20 queries
-# registered after round 8's window filled (waves 49–57; all
-# builder-verified at sf0.01 + sf0.1 + 10× AND independently re-run
-# green by the round-8 judge) LEAD the window so their driver proof
-# debt converts to CORRECTNESS rows. The remaining slots carry the
-# round-9 additions (staged as they land) and any re-proofs
-# tools/proof_audit.py demands.
+# Round-10 window. Leads with the round-10 re-proofs proof_audit
+# demands (the transaction log's port to the Hadoop FileSystem API —
+# round-9 verdict #1 — stales the whole lakehouse face) and the
+# round-10 additions (staged as they land).
 _WINDOW_PRIORITY = [
-    # ---- (A) round-8 proof debt: waves 49–57, judge-verified 20/20 ----
-    "d182_conditional_entropy",
-    "d183_term_burstiness",
-    "d184_mmr_topk",
-    "d185_k_anonymity",
-    "d186_join_cardinality_estimate",
-    "d187_hll_set_ops",
-    "d188_incremental_agg_merge",
-    "d189_length_token_mi",
-    "d190_purged_time_split",
-    "d191_expectation_suite",
-    "d192_transition_entropy",
-    "d193_attribution_models",
-    "d194_cusum_drift",
-    "d195_conformal_calibration",
-    "d196_dedup_pr_curve",
-    "d197_stratified_bootstrap",
-    "d198_progressive_rerank",
-    "d199_cluster_modularity",
-    "d200_wasserstein_drift",
-    "s14_windowed_hll_users",
-    # ---- (B) round-9 additions (staged as they land) ----
-    # wave 58: PSL as managed data (round-8 verdict #3) — the Spark
-    # side resolves through the broadcast-join path, the oracle
-    # through the compiled-SQL path: a hash match cross-certifies
-    # the two PSL implementations.
-    "d201_psl_join_resolution",
-    # wave 59: unigram-LM (SentencePiece-style) EM trainer + quality
-    # curve (round-8 verdict #2) — the likelihood half of the
-    # tokenizer tier next to d162's merge-based BPE half.
-    "d202_unigram_train",
-    "d203_unigram_segment_stats",
-    # wave 60: snapshot/time-travel table face (round-8 verdict #4) —
-    # a real transaction-logged parquet table staged per run; the
-    # oracle states the same three committed states against orders,
-    # so the hash match proves the log replay.
+    # ---- (A) re-proofs: operators/txnlog.py rewritten onto the JVM
+    # Hadoop FileSystem/FileContext API with an atomic rename-NONE
+    # commit (round-9 verdict #1 + the ADVICE empty-file-window fix);
+    # row_diff now reads both snapshots merge-schema'd; the staged
+    # tables clean up at exit. Same values, new I/O substrate.
     "q114_snapshot_time_travel",
     "q115_version_incremental_read",
     "q116_version_row_diff",
-    # wave 61: NSW greedy beam search over the published mutual-kNN
-    # substrate + recall/cost audit (round-8 verdict #5).
-    "d204_nsw_beam_search",
-    "d205_nsw_recall_audit",
-    # wave 62: lakehouse tier 2 — compaction invariance, schema
-    # evolution, MERGE-as-a-commit through the transaction log.
     "q117_compaction_invariance",
     "q118_versioned_schema_evolution",
     "q119_versioned_merge",
-    # d206: the prune round closing the SentencePiece loop (seed → EM
-    # → prune → re-EM); d207: PSL v1→v2 drift matrix (the audit a
-    # domain-keyed pipeline runs before adopting a PSL update).
-    "d206_unigram_prune_round",
-    "d207_psl_version_drift",
-    # ---- (C) re-proofs: registrable_domain/_sql re-expressed as thin
-    # faces over the generalized PSL compiler (wildcard/exception
-    # support, rule list as a parameter). Values are bit-identical
-    # (tests/test_psl.py::test_embedded_subset_face_unchanged) but
-    # the AST changed, so proof_audit stages the whole domain family.
-    "d157_registrable_domains",
-    "d158_domain_frequency_cap",
-    "d159_domain_blocklist_screen",
-    "d160_domain_quality_rollup",
-    "d161_domain_skew_profile",
-    "d163_domain_quality_topk",
-    "d164_domain_stratified_sample",
-    "d165_public_suffix_rollup",
-    "d166_domain_dup_locality",
-    "d168_domain_template_shingles",
-    "d169_domain_coverage_curve",
-    "d170_domain_token_waterfill",
-    "d171_path_rule_screen",
-    "d172_domain_mirror_candidates",
-    "d173_domain_curation_funnel",
-    "d175_url_canonical_dedup",
-    "d176_rank_biased_overlap",
+    # ---- (B) round-10 additions (staged as they land) ----
 ]
-# The window above is exactly 50 entries (the driver's check depth):
-# 20 round-8 proof-debt conversions + 13 round-9 additions (waves
-# 58-62) + 17 proof_audit-demanded domain-family re-proofs.
+# Window staging in progress (round 10); the driver checks the first
+# 50 of queries() — slots beyond the staged list fall through to
+# already-proven oracle-backed queries via _ordered().
 
 
 def _ordered() -> list[str]:

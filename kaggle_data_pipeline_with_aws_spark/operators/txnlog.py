@@ -18,29 +18,51 @@ overwrite commits new files and logs removes; nothing is deleted
 until an explicit ``vacuum`` (so every historical version stays
 readable until then).
 
-Commit protocol: write the entry to ``_txn/.tmp-<uuid>`` then
-``os.rename`` into place — atomic on POSIX, so a concurrent reader
-sees either the old or the new log, never a partial entry. Version
-assignment is single-writer by design (rename onto an existing path
-would clobber, so ``commit`` re-checks the version after the rename
-slot is claimed via ``os.link`` semantics — here: O_EXCL create);
-multi-writer coordination (optimistic retry on conflict) is the
-documented production upgrade, exactly Delta's OSS protocol.
+I/O substrate (round-9 verdict #1): ALL log and file operations go
+through the JVM Hadoop ``FileSystem``/``FileContext`` API — the same
+discipline as ``operators/substrate_store.py`` — so the root may be a
+plain local path, ``file:///…``, ``hdfs://…``, or any other Hadoop FS
+URI, and the exact code path that runs in this sandbox runs against a
+cluster filesystem.
+
+Commit protocol (the Hadoop ``LogStore`` contract, as in Delta's OSS
+``HDFSLogStore``): the full entry is written and flushed to a HIDDEN
+temp name (``_txn/.tmp-<uuid>`` — readers never list dot-files), then
+published with ``FileContext.rename(tmp, final, Options.Rename.NONE)``
+— one atomic operation that BOTH claims the version slot (it raises
+``FileAlreadyExistsException`` when the slot is taken) and makes the
+complete entry visible. A concurrent reader therefore sees either no
+entry or the whole entry — never a zero-length or partial file — and a
+writer crash at any point leaves only an invisible temp. Multi-writer
+commits are optimistic: the loser of a slot race re-reads the log,
+recomputes its entry against the new head (overwrite removes re-resolve
+to the current live set), and retries the NEXT slot; data files are
+content-unique and immutable, so a retry never rewrites data.
+
+Object-store note: S3 has no atomic rename — ``rename`` on ``s3a://``
+is copy+delete and the NONE check is not atomic. A production S3
+deployment swaps this module's publish step for a put-if-absent
+LogStore (S3 conditional PUT / DynamoDB coordination — the documented
+Delta S3 story); HDFS/ABFS/GCS connectors and local FS satisfy the
+rename contract as-is.
 
 Scale notes: the log is metadata (KB per commit — file paths and
 counts, never data); snapshot reads hand Spark an explicit file list,
 so partition pruning / predicate pushdown on the scan work unchanged;
 ``read_incremental`` turns an append-only table into a CDC source
 reading ONLY the files added in the version window (the streaming
-fast path); ``row_diff`` is one full-outer join of two snapshots on
-the key — shuffle bounded by the two snapshots, the general path when
-commits rewrite rows.
+fast path — ``streaming/cdc_source.py`` tails it); ``row_diff`` is one
+full-outer join of two snapshots on the key — shuffle bounded by the
+two snapshots, the general path when commits rewrite rows. Reading the
+log costs one listing plus one small read per entry; a production
+deployment at high commit rates adds log checkpoints (Delta's
+``_last_checkpoint``) — out of scope at this table's commit cadence.
 """
 
 from __future__ import annotations
 
 import json
-import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,40 +71,101 @@ from pyspark.sql.types import StructType
 
 _LOG_DIR = "_txn"
 _DATA_DIR = "data"
+_ENTRY_RE = re.compile(r"^\d{8}\.json$")
+_MAX_COMMIT_ATTEMPTS = 64
+
+
+class CommitConflictError(RuntimeError):
+    """Raised when a commit loses the version-slot race
+    ``_MAX_COMMIT_ATTEMPTS`` times in a row (pathological contention —
+    each loss means some OTHER writer committed, so the table is
+    making progress)."""
 
 
 class VersionedTable:
-    """Handle on a transaction-logged parquet table rooted at
-    ``root`` (a local path in this sandbox; the layout and protocol
-    are FS-agnostic)."""
+    """Handle on a transaction-logged parquet table rooted at ``root``
+    — a local path or any Hadoop FileSystem URI (``file://``,
+    ``hdfs://``, …); every metadata operation goes through the JVM
+    Hadoop FS API, never ``os.*``."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
-        self.root = root
-        self.log_dir = os.path.join(root, _LOG_DIR)
-        os.makedirs(self.log_dir, exist_ok=True)
+        self.root = root.rstrip("/")
+        self.log_dir = f"{self.root}/{_LOG_DIR}"
+        jvm = spark._jvm
+        self._jvm = jvm
+        self._P = jvm.org.apache.hadoop.fs.Path
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._fs = self._P(self.log_dir).getFileSystem(self._conf)
+        self._fs.mkdirs(self._P(self.log_dir))
+        # FileContext is the API carrying the atomic no-overwrite
+        # rename (FileSystem.rename has overwrite-prone local
+        # semantics); Options.Rename is a varargs enum, passed as a
+        # 1-element Java array.
+        self._fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            self._P(self.log_dir).toUri(), self._conf
+        )
+        gw = spark.sparkContext._gateway
+        self._rename_none = gw.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1
+        )
+        self._rename_none[0] = jvm.org.apache.hadoop.fs.Options.Rename.NONE
 
     # -- log plumbing --------------------------------------------------
     def _entry_path(self, version: int) -> str:
-        return os.path.join(self.log_dir, f"{version:08d}.json")
+        return f"{self.log_dir}/{version:08d}.json"
+
+    def _read_small(self, path: str) -> str:
+        """Full contents of a small metadata file via the Hadoop FS."""
+        stream = self._fs.open(self._P(path))
+        baos = self._jvm.java.io.ByteArrayOutputStream()
+        self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+            stream, baos, 8192, True
+        )
+        return bytes(baos.toByteArray()).decode("utf-8")
+
+    def _write_small(self, path: str, text: str) -> None:
+        out = self._fs.create(self._P(path), True)
+        out.write(bytearray(text.encode("utf-8")))
+        out.close()
+
+    def _entry_names(self) -> list[str]:
+        """Committed entry file names (``NNNNNNNN.json``), sorted.
+        Listing only — no content reads."""
+        if not self._fs.exists(self._P(self.log_dir)):
+            return []
+        return sorted(
+            name
+            for st in self._fs.listStatus(self._P(self.log_dir))
+            if _ENTRY_RE.match(name := st.getPath().getName())
+        )
 
     def entries(self) -> list[dict]:
-        """All committed log entries in version order."""
-        names = sorted(
-            n
-            for n in os.listdir(self.log_dir)
-            if n.endswith(".json") and not n.startswith(".")
-        )
+        """All committed log entries in version order. The publish
+        protocol makes partial entries unobservable; a malformed entry
+        therefore means external corruption and raises loudly rather
+        than silently truncating history."""
         out = []
-        for n in names:
-            with open(os.path.join(self.log_dir, n)) as fh:
-                out.append(json.load(fh))
+        for n in self._entry_names():
+            path = f"{self.log_dir}/{n}"
+            text = self._read_small(path)
+            try:
+                out.append(json.loads(text))
+            except ValueError as exc:
+                raise ValueError(
+                    f"corrupt transaction-log entry {path!r} "
+                    f"({len(text)} bytes) — the rename-NONE publish "
+                    "protocol never produces partial entries, so this "
+                    "file was damaged outside the protocol"
+                ) from exc
         return out
 
     def current_version(self) -> int:
-        """Latest committed version, -1 for an empty table."""
-        es = self.entries()
-        return es[-1]["version"] if es else -1
+        """Latest committed version, -1 for an empty table — resolved
+        from the listing alone (no entry reads), so pollers tail the
+        log cheaply."""
+        names = self._entry_names()
+        return int(names[-1][:8]) if names else -1
 
     # -- commit --------------------------------------------------------
     def commit(
@@ -91,45 +174,60 @@ class VersionedTable:
         """Commit ``df`` as the next version. ``mode``: ``append``
         adds files; ``overwrite`` adds files and removes every
         previously-live file (logically — bytes stay for time
-        travel). Returns the committed version."""
+        travel). Returns the committed version. Concurrency-safe:
+        losing a version-slot race re-reads the log and retries
+        against the new head (optimistic, the Delta OSS protocol)."""
         assert mode in ("append", "overwrite"), mode
-        version = self.current_version() + 1
-        commit_rel = os.path.join(_DATA_DIR, f"v{version}-{uuid.uuid4().hex[:8]}")
-        commit_dir = os.path.join(self.root, commit_rel)
+        commit_rel = f"{_DATA_DIR}/c-{uuid.uuid4().hex[:12]}"
+        commit_dir = f"{self.root}/{commit_rel}"
         df.write.mode("errorifexists").parquet(commit_dir)
         added = sorted(
-            os.path.join(commit_rel, f)
-            for f in os.listdir(commit_dir)
-            if f.endswith(".parquet")
+            f"{commit_rel}/{name}"
+            for st in self._fs.listStatus(self._P(commit_dir))
+            if (name := st.getPath().getName()).endswith(".parquet")
         )
         rows_added = sum(
             r.n
             for r in self.spark.read.parquet(
-                *[os.path.join(self.root, a) for a in added]
+                *[f"{self.root}/{a}" for a in added]
             )
             .groupBy()
             .agg(F.count("*").alias("n"))
             .collect()
         ) if added else 0
-        removed = self.live_files() if mode == "overwrite" else []
-        entry = {
-            "version": version,
-            "op": op or mode,
-            "schema": df.schema.json(),
-            "add": added,
-            "remove": removed,
-            "rows_added": rows_added,
-        }
-        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            json.dump(entry, fh)
-        final = self._entry_path(version)
-        # O_EXCL claim of the version slot, then atomic rename: a
-        # losing concurrent writer raises instead of clobbering.
-        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.close(fd)
-        os.rename(tmp, final)
-        return version
+        schema_json = df.schema.json()
+        for _ in range(_MAX_COMMIT_ATTEMPTS):
+            version = self.current_version() + 1
+            entry = {
+                "version": version,
+                "op": op or mode,
+                "schema": schema_json,
+                "add": added,
+                "remove": self.live_files() if mode == "overwrite" else [],
+                "rows_added": rows_added,
+            }
+            tmp = f"{self.log_dir}/.tmp-{uuid.uuid4().hex}"
+            self._write_small(tmp, json.dumps(entry))
+            try:
+                # Atomic claim AND publish: rename-NONE raises when the
+                # slot is taken, and a reader sees the whole entry or
+                # nothing.
+                self._fc.rename(
+                    self._P(tmp),
+                    self._P(self._entry_path(version)),
+                    self._rename_none,
+                )
+                return version
+            except Exception as exc:
+                self._fs.delete(self._P(tmp), False)
+                if "FileAlreadyExistsException" not in str(exc):
+                    raise
+                # lost the slot to a concurrent writer: retry against
+                # the new head (overwrite removes re-resolve there)
+        raise CommitConflictError(
+            f"lost the version-slot race {_MAX_COMMIT_ATTEMPTS} times "
+            f"under {self.root!r} — pathological writer contention"
+        )
 
     # -- reads ---------------------------------------------------------
     def live_files(self, version: int | None = None) -> list[str]:
@@ -169,9 +267,7 @@ class VersionedTable:
         reader = self.spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(
-            *[os.path.join(self.root, f) for f in files]
-        )
+        return reader.parquet(*[f"{self.root}/{f}" for f in files])
 
     def read_incremental(self, v0: int, v1: int) -> DataFrame:
         """Rows in files ADDED in versions (v0, v1] — the append-only
@@ -186,7 +282,7 @@ class VersionedTable:
             assert schema is not None, "incremental read of an empty log"
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(
-            *[os.path.join(self.root, f) for f in sorted(added)]
+            *[f"{self.root}/{f}" for f in sorted(added)]
         )
 
     def row_diff(
@@ -196,17 +292,30 @@ class VersionedTable:
         one full-outer join keyed on ``keys`` classifying every key as
         insert / delete / update / unchanged (update = any non-key
         column differs; NULL-safe comparison). Output: key columns +
-        ``change_type``."""
-        a = self.snapshot(v0)
-        b = self.snapshot(v1)
+        ``change_type``. Diffing across a schema-evolution boundary
+        works: both snapshots read merge-schema'd, value columns are
+        the UNION of the two schemas, and a column absent from one
+        side compares as NULL (so a row that gained a non-NULL value
+        in the new column classifies as ``update``)."""
+        a = self.snapshot(v0, merge_schema=True)
+        b = self.snapshot(v1, merge_schema=True)
         val_cols = [c for c in b.columns if c not in keys]
+        val_cols += [
+            c for c in a.columns if c not in keys and c not in val_cols
+        ]
+        a_side = [
+            (F.col(c) if c in a.columns else F.lit(None)).alias(f"a_{c}")
+            for c in val_cols
+        ]
+        b_side = [
+            (F.col(c) if c in b.columns else F.lit(None)).alias(f"b_{c}")
+            for c in val_cols
+        ]
         an = a.select(
-            *[F.col(k).alias(f"k0_{k}") for k in keys],
-            *[F.col(c).alias(f"a_{c}") for c in val_cols],
+            *[F.col(k).alias(f"k0_{k}") for k in keys], *a_side
         )
         bn = b.select(
-            *[F.col(k).alias(f"k1_{k}") for k in keys],
-            *[F.col(c).alias(f"b_{c}") for c in val_cols],
+            *[F.col(k).alias(f"k1_{k}") for k in keys], *b_side
         )
         cond = None
         for k in keys:
@@ -289,7 +398,11 @@ class VersionedTable:
     def vacuum(self, retain_versions: int = 1) -> list[str]:
         """Delete data files not live in any of the last
         ``retain_versions`` versions (and no longer referenced by any
-        retained snapshot). Returns the deleted relative paths."""
+        retained snapshot). Returns the deleted relative paths. A
+        time-travel read below the retention floor subsequently fails
+        at scan time (the file list references deleted paths) rather
+        than returning partial data — pinned by the vacuum-safety
+        property test."""
         head = self.current_version()
         keep: set[str] = set()
         for v in range(max(0, head - retain_versions + 1), head + 1):
@@ -299,8 +412,8 @@ class VersionedTable:
         for e in self.entries():
             all_files.update(e["add"])
         for rel in sorted(all_files - keep):
-            p = os.path.join(self.root, rel)
-            if os.path.exists(p):
-                os.remove(p)
+            p = self._P(f"{self.root}/{rel}")
+            if self._fs.exists(p):
+                self._fs.delete(p, False)
                 deleted.append(rel)
         return deleted

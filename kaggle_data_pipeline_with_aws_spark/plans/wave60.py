@@ -25,6 +25,8 @@ format — beyond-reference surface.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,6 +35,15 @@ from pyspark.sql import functions as F
 from ..operators.txnlog import VersionedTable
 from ..sources.readers import load_table
 from .registry import spark_query
+
+
+def _fresh_root(prefix: str) -> str:
+    """Temp root for a staged transaction-logged table, removed at
+    process exit (round-9 ADVICE: repeated driver/bench runs must not
+    leak staged parquet tables into the system tmp dir)."""
+    root = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
 
 # the synthetic orders span 1995-01-01 .. 2001-08-01; these cutoffs
 # populate all three CDC classes (insert / update / unchanged) at
@@ -65,7 +76,7 @@ def _staged_table(spark: SparkSession, sf_dir: str) -> VersionedTable:
     orders = _t(spark, sf_dir, "orders")
     c1 = F.lit(_CUT1).cast("timestamp")
     c2 = F.lit(_CUT2).cast("timestamp")
-    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vtab-"))
+    vt = VersionedTable(spark, _fresh_root("vtab-"))
     vt.commit(
         _spend(orders.filter(F.col("o_orderdate") < c1)),
         mode="overwrite",

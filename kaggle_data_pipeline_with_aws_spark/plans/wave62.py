@@ -24,15 +24,21 @@ upsert/compaction semantics — beyond-reference surface.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.txnlog import VersionedTable
 from ..sources.readers import load_table
 from .registry import spark_query
-from .wave60 import _CUT1, _CUT2, _RESUM_SQL, _SPEND_SQL, _spend, _staged_table
+from .wave60 import (
+    _CUT1,
+    _CUT2,
+    _RESUM_SQL,
+    _SPEND_SQL,
+    _fresh_root,
+    _spend,
+    _staged_table,
+)
 
 _DEL_THRESH = 600_000.0
 
@@ -139,7 +145,7 @@ def q118_versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFra
             .alias("spend")
         )
 
-    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vtab-evo-"))
+    vt = VersionedTable(spark, _fresh_root("vtab-evo-"))
     vt.commit(
         spend_only(orders.filter(F.col("o_orderdate") < c1)),
         mode="overwrite",
@@ -221,7 +227,7 @@ def q119_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     c1 = F.lit(_CUT1).cast("timestamp")
     c2 = F.lit(_CUT2).cast("timestamp")
-    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vtab-merge-"))
+    vt = VersionedTable(spark, _fresh_root("vtab-merge-"))
     vt.commit(
         _spend(orders.filter(F.col("o_orderdate") < c1)),
         mode="overwrite",

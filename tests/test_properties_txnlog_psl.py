@@ -54,6 +54,57 @@ def test_snapshot_replay_matches_python_model(spark_session, ops):
         assert got == sorted(rows), f"increment {version}"
 
 
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(commit_op, min_size=2, max_size=5),
+    st.integers(1, 3),
+)
+def test_vacuum_safety_model(spark_session, ops, retain):
+    """Vacuum-safety property (round-9 verdict #7): after
+    ``vacuum(retain_versions=r)``, every RETAINED version still reads
+    byte-identically to the pre-vacuum python model, and a time-travel
+    read below the retention floor fails loudly at scan time (its file
+    list references deleted paths) rather than returning partial
+    data. Versions whose live set happens to survive inside a retained
+    snapshot (e.g. pure-append histories) legitimately stay readable —
+    only reads that WOULD touch a deleted file must fail."""
+    spark = spark_session
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="txnvac-"))
+    model_states: list[list[tuple[int, int]]] = []
+    model: list[tuple[int, int]] = []
+    for mode, rows in ops:
+        model = (model if mode == "append" else []) + rows
+        model_states.append(sorted(model))
+        vt.commit(spark.createDataFrame(rows, "k int, v int"), mode=mode)
+    head = vt.current_version()
+    pre_live = {v: set(vt.live_files(v)) for v in range(head + 1)}
+    deleted = set(vt.vacuum(retain_versions=retain))
+    floor = max(0, head - retain + 1)
+    # nothing referenced by a retained snapshot was deleted
+    for v in range(floor, head + 1):
+        assert not (pre_live[v] & deleted), f"retained v{v} lost a file"
+        got = sorted((r.k, r.v) for r in vt.snapshot(v).collect())
+        assert got == model_states[v], f"retained v{v} changed after vacuum"
+    # below the floor: either the version's file set survived intact
+    # (subset of retained) and reads identically, or the read fails
+    # loudly — never a partial result
+    for v in range(0, floor):
+        if pre_live[v] & deleted:
+            try:
+                got = sorted(
+                    (r.k, r.v) for r in vt.snapshot(v).collect()
+                )
+            except Exception:
+                continue  # failed loudly — the required behavior
+            raise AssertionError(
+                f"v{v} read past the retention floor returned "
+                f"{len(got)} rows instead of failing"
+            )
+        else:
+            got = sorted((r.k, r.v) for r in vt.snapshot(v).collect())
+            assert got == model_states[v], f"intact v{v} changed"
+
+
 # ---------------------------------------------------------------------------
 # PSL compiler vs python reference on random rule sets + hosts
 # ---------------------------------------------------------------------------

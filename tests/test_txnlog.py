@@ -75,17 +75,98 @@ def test_commit_log_is_atomic_and_claims_version_slot(spark, vt):
     assert not [
         n for n in os.listdir(vt.log_dir) if n.startswith(".tmp")
     ]
-    # a second writer racing for the same slot fails instead of
-    # clobbering (the O_EXCL claim)
-    with pytest.raises(FileExistsError):
-        fd = os.open(
-            vt._entry_path(0), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+    # the publish primitive is rename-NONE: renaming onto the taken
+    # slot raises instead of clobbering (put-if-absent)
+    vt._write_small(f"{vt.log_dir}/.tmp-race", '{"version": 0}')
+    with pytest.raises(Exception, match="FileAlreadyExistsException"):
+        vt._fc.rename(
+            vt._P(f"{vt.log_dir}/.tmp-race"),
+            vt._P(vt._entry_path(0)),
+            vt._rename_none,
         )
-        os.close(fd)
-    # log entries are valid standalone JSON documents
+    # the losing writer's entry never became visible
     with open(vt._entry_path(0)) as fh:
         e = json.load(fh)
     assert e["version"] == 0 and e["add"]
+
+
+def test_concurrent_commits_one_wins_per_slot_loser_retries(spark, vt):
+    """Two writers committing concurrently: each version slot is won
+    exactly once, the loser retries the next slot (optimistic
+    concurrency), and both commits land."""
+    import threading
+
+    vt.commit(_df(spark, [(0, "base")]), "overwrite")
+    errs: list[Exception] = []
+    versions: list[int] = []
+
+    def writer(k: int):
+        try:
+            # each thread needs its own handle (FileContext is shared
+            # state); same root, same protocol
+            mine = VersionedTable(spark, vt.root)
+            versions.append(
+                mine.commit(_df(spark, [(k, f"w{k}")]), "append")
+            )
+        except Exception as exc:  # pragma: no cover - failure surface
+            errs.append(exc)
+
+    ts = [threading.Thread(target=writer, args=(k,)) for k in (1, 2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert sorted(versions) == [1, 2]  # distinct slots, no clobber
+    assert [e["version"] for e in vt.entries()] == [0, 1, 2]
+    assert sorted(r.k for r in vt.snapshot().collect()) == [0, 1, 2]
+
+
+def test_corrupt_entry_raises_loudly(spark, vt):
+    vt.commit(_df(spark, [(1, "a")]), "overwrite")
+    # damage the entry OUTSIDE the protocol (truncate to zero bytes)
+    with open(vt._entry_path(0), "w"):
+        pass
+    with pytest.raises(ValueError, match="corrupt transaction-log entry"):
+        vt.entries()
+
+
+def test_file_uri_root_end_to_end(spark):
+    """The same protocol over an explicit ``file://`` URI root — the
+    substrate_store discipline: the code path that runs here is the
+    one that runs against hdfs:// / abfs:// (S3's non-atomic rename is
+    the documented LogStore swap)."""
+    root = "file://" + tempfile.mkdtemp(prefix="txnlog-uri-")
+    vt = VersionedTable(spark, root)
+    vt.commit(_df(spark, [(1, "a"), (2, "b")]), "overwrite")
+    vt.commit(_df(spark, [(3, "c")]), "append")
+    vt.commit(_df(spark, [(9, "x")]), "overwrite")
+    assert vt.current_version() == 2
+    assert sorted(r.k for r in vt.snapshot(1).collect()) == [1, 2, 3]
+    assert sorted(r.k for r in vt.snapshot(2).collect()) == [9]
+    assert sorted(r.k for r in vt.read_incremental(0, 1).collect()) == [3]
+    got = {r.k: r.change_type for r in vt.row_diff(1, 2, ["k"]).collect()}
+    assert got == {1: "delete", 2: "delete", 3: "delete", 9: "insert"}
+    deleted = vt.vacuum(retain_versions=1)
+    assert deleted
+    assert sorted(r.k for r in vt.snapshot(2).collect()) == [9]
+
+
+def test_row_diff_across_schema_evolution_boundary(spark, vt):
+    """ADVICE round-9: diffing across an additive-evolution commit must
+    not fail on the column the older snapshot lacks — absent columns
+    compare as NULL, so a row that gained a value is an update."""
+    vt.commit(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+              "overwrite")
+    vt.commit(
+        spark.createDataFrame(
+            [(1, "a", "tag"), (2, "b", None)],
+            "k int, v string, label string",
+        ),
+        "overwrite",
+    )
+    got = {r.k: r.change_type for r in vt.row_diff(0, 1, ["k"]).collect()}
+    assert got == {1: "update", 2: "unchanged"}
 
 
 def test_vacuum_keeps_retained_versions_readable(spark, vt):
