@@ -88,6 +88,12 @@ _WINDOW_PRIORITY = [
     "q118_versioned_schema_evolution",
     "q119_versioned_merge",
     # ---- (B) round-10 additions (staged as they land) ----
+    # wave 63: connectivity-augmented graph ANN (round-9 verdict #2) —
+    # the NSW/HNSW build discipline (per-node top-20, bidirectional,
+    # never mutual-filtered) closes d205's 0.2-recall fragmentation;
+    # d209 is the audit row proving recall@5 ≥ 0.8.
+    "d208_nsw_augmented_search",
+    "d209_nsw_augmented_recall",
 ]
 # Window staging in progress (round 10); the driver checks the first
 # 50 of queries() — slots beyond the staged list fall through to

@@ -88,6 +88,60 @@ def edges_artifact_path(sf_dir: str) -> str:
     return substrate_store.artifact_path("knn_edges", _VERSION, sf_dir)
 
 
+# ---------------------------------------------------------------------------
+# Connectivity-augmented graph (round-9 verdict #2): the raw mutual
+# graph fragments (d205 measured recall@5 ≈ 0.2 — the beam search
+# exhausts its reachable component), because mutual top-5 pruning
+# DELETES the asymmetric links that make a kNN graph navigable. The
+# public NSW/HNSW build discipline keeps them: every node links to its
+# k nearest and links are made BIDIRECTIONAL (Malkov et al. — add
+# bidirectional connections; HNSW additionally prunes by diversity,
+# which needs per-node neighborhoods, not mutuality). This builder is
+# that discipline over the same IVF substrate: per-node top-K with a
+# wider K (degree floor K per node by construction — no node is
+# isolated), symmetrized, never mutual-filtered.
+# ---------------------------------------------------------------------------
+_VERSION_AUG = "v1"
+AUG_K = 20  # per-node degree floor (each node's top-20, bidirectional)
+AUG_N_PROBE = 3
+
+
+def build_augmented_edges_plan(embs: DataFrame) -> DataFrame:
+    """(node_a < node_b, cos_sim): symmetrized IVF-top-``AUG_K`` pairs
+    — the union of every node's top-20 links in both directions,
+    deduped on the undirected pair. Same scale-safe IVF cell equi-join
+    as ``build_edges_plan`` (never all-pairs); cos is symmetric and
+    round(·, 6) is applied to the same fixed-order expression on both
+    directed copies, so the dedup is exact."""
+    cents = embs.filter(F.col("vec_id") < 16)
+    knn = similarity.ivf_topk_fixed_centroids_grouped(
+        embs, embs, cents, k=AUG_K, n_probe=AUG_N_PROBE
+    ).select("query_id", "neighbor_id", "cos_sim")
+    return knn.select(
+        F.least("query_id", "neighbor_id").alias("node_a"),
+        F.greatest("query_id", "neighbor_id").alias("node_b"),
+        "cos_sim",
+    ).distinct()
+
+
+def augmented_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connectivity-augmented edge substrate, materializing on
+    first use (store contract identical to ``mutual_knn_edges``). The
+    NSW serving tier (wave 63) reads this; the mutual graph remains
+    the right substrate for the NOISE-FILTERING consumers (components,
+    triangles, k-core — d62/d63/d64/d122/d132), where asymmetric
+    links are exactly what you prune."""
+    return substrate_store.materialize_once(
+        spark,
+        "knn_edges_aug",
+        _VERSION_AUG,
+        sf_dir,
+        lambda: build_augmented_edges_plan(
+            load_table(spark, sf_dir, "embeddings")
+        ),
+    ).select("node_a", "node_b", "cos_sim")
+
+
 def mutual_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The substrate table, materializing it on first use.
 

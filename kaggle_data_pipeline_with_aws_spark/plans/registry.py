@@ -100,3 +100,4 @@ def load_all() -> None:
     from . import wave60  # noqa: F401
     from . import wave61  # noqa: F401
     from . import wave62  # noqa: F401
+    from . import wave63  # noqa: F401
