@@ -94,6 +94,11 @@ _WINDOW_PRIORITY = [
     # d209 is the audit row proving recall@5 ≥ 0.8.
     "d208_nsw_augmented_search",
     "d209_nsw_augmented_recall",
+    # wave 64: the lakehouse face's streaming SOURCE side (round-9
+    # verdict #3) — the transaction-log CDC tailer drained over the
+    # staged table, one micro-batch per committed version; live-log
+    # stream-vs-batch equality in tests/test_streaming_cdc.py.
+    "s15_txnlog_cdc_batches",
 ]
 # Window staging in progress (round 10); the driver checks the first
 # 50 of queries() — slots beyond the staged list fall through to

@@ -101,3 +101,4 @@ def load_all() -> None:
     from . import wave61  # noqa: F401
     from . import wave62  # noqa: F401
     from . import wave63  # noqa: F401
+    from . import wave64  # noqa: F401

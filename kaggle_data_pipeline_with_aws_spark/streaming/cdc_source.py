@@ -1,0 +1,123 @@
+"""Streaming CDC SOURCE over the transaction log (round-9 verdict #3:
+the lakehouse face had the sink side — s12's foreachBatch MERGE — but
+no source side).
+
+This is the public Delta/Iceberg streaming-source idea reduced to its
+core: the transaction log, not a directory listing, is the source of
+truth, and a micro-batch is exactly the files ADDED by one committed
+version (``VersionedTable.read_incremental`` — the append-only fast
+path that reads only the delta's bytes). The tailer:
+
+- polls ``current_version()`` — a LISTING-only operation (no entry
+  reads), so idle polls cost one metadata listing;
+- emits one ``(version, DataFrame)`` micro-batch per new commit, in
+  version order — the same exactly-once unit Delta's source uses
+  (versions are immutable and totally ordered, so "last version
+  processed" is the entire checkpoint state, exactly the T2 ledger
+  discipline);
+- surfaces REWRITE commits (entries with ``remove`` actions) instead
+  of silently treating them as appends: ``mode='fail'`` raises (the
+  safe default — a rewrite's adds are NOT row-level changes),
+  ``mode='adds'`` emits the added files anyway (Delta's
+  ``skipChangeCommits=false`` analog for compaction-aware consumers),
+  ``mode='skip'`` drops them (Delta's ``skipChangeCommits=true``).
+
+Scale shape: a poll moves O(new versions) metadata and ZERO data; each
+micro-batch scans only the committed delta's parquet bytes, with
+pushdown/pruning intact (it is a plain explicit-file-list scan). The
+driver never holds rows — batches are DataFrames handed to the
+caller's sink (foreachBatch discipline), so a 100 TB history streams
+through executor memory one commit at a time.
+
+Stream-vs-batch equality (the s10/s11 bar): the concatenation of every
+emitted micro-batch equals ``read_incremental(start, head)`` — proven
+by the s15 registry face (DuckDB oracle) and the live-log test
+(tests/test_streaming_cdc.py drains a log while a writer thread
+commits)."""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+from ..operators.txnlog import VersionedTable
+
+
+class RewriteCommitError(RuntimeError):
+    """A tailed commit removed files (overwrite/compact/merge): its
+    adds are a new table STATE, not row-level changes. Consumers that
+    want row-level CDC across rewrites pair the log with
+    ``VersionedTable.row_diff``."""
+
+
+class TxnLogStream:
+    """Micro-batch tailer of a ``VersionedTable``'s transaction log.
+
+    ``start_after``: last version already processed (-1 = from the
+    beginning). ``on_rewrite``: 'fail' (default) | 'adds' | 'skip' —
+    see the module docstring.
+    """
+
+    def __init__(
+        self,
+        vt: VersionedTable,
+        start_after: int = -1,
+        on_rewrite: str = "fail",
+    ):
+        assert on_rewrite in ("fail", "adds", "skip"), on_rewrite
+        self.vt = vt
+        self.last_version = start_after
+        self.on_rewrite = on_rewrite
+
+    def poll(self) -> list[tuple[int, DataFrame]]:
+        """All micro-batches committed since the last poll, in version
+        order: ``[(version, rows-added-by-that-version), ...]``. Empty
+        when the head hasn't moved (one listing, no reads). Advances
+        the checkpoint state (``last_version``) — callers persist that
+        one integer for exactly-once resumption."""
+        head = self.vt.current_version()
+        if head <= self.last_version:
+            return []
+        batches: list[tuple[int, DataFrame]] = []
+        rewrites = {
+            e["version"]
+            for e in self.vt.entries()
+            if e["remove"] and self.last_version < e["version"] <= head
+        }
+        for v in range(self.last_version + 1, head + 1):
+            if v in rewrites:
+                if self.on_rewrite == "fail":
+                    raise RewriteCommitError(
+                        f"version {v} removed files; adds are not "
+                        "row-level changes (use on_rewrite='adds'/"
+                        "'skip', or row_diff for row-level CDC)"
+                    )
+                if self.on_rewrite == "skip":
+                    continue
+            batches.append((v, self.vt.read_incremental(v - 1, v)))
+        self.last_version = head
+        return batches
+
+    def tail(
+        self,
+        until_version: int,
+        poll_interval_s: float = 0.05,
+        timeout_s: float = 30.0,
+    ) -> Iterator[tuple[int, DataFrame]]:
+        """Generator form: poll until ``until_version`` has been
+        emitted (the bounded-drain used by tests and batch backfills;
+        an unbounded service loops ``poll`` under its own trigger —
+        the T1 periodic-trigger discipline)."""
+        deadline = time.monotonic() + timeout_s
+        while self.last_version < until_version:
+            got = self.poll()
+            yield from got
+            if not got:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"log head {self.vt.current_version()} never "
+                        f"reached {until_version} within {timeout_s}s"
+                    )
+                time.sleep(poll_interval_s)
