@@ -99,6 +99,12 @@ _WINDOW_PRIORITY = [
     # staged table, one micro-batch per committed version; live-log
     # stream-vs-batch equality in tests/test_streaming_cdc.py.
     "s15_txnlog_cdc_batches",
+    # wave 65: the unigram tokenizer's serving leg (round-9 verdict
+    # #4) — Viterbi encode of the corpus under the trained vocab
+    # (exact integer token counts) and the unigram-vs-BPE tokens/char
+    # head-to-head on one corpus basis.
+    "d210_unigram_viterbi_encode",
+    "d211_tokenizer_compression_compare",
 ]
 # Window staging in progress (round 10); the driver checks the first
 # 50 of queries() — slots beyond the staged list fall through to

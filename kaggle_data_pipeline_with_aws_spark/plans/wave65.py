@@ -1,0 +1,237 @@
+"""Round-10 wave 65 — the unigram tokenizer's SERVING leg (round-9
+verdict #4: d202/d206 train and d203 reports lattice stats, but the
+corpus was never actually tokenized with the trained vocab):
+
+- d210 — Viterbi encode of every word type under the d202-trained
+  vocab (2 EM rounds, top-150 candidates): the argmax segmentation's
+  piece count per word, rolled up by word length — exact integer token
+  counts (Σ word-frequency × pieces), tokens/char, and the quantized
+  best-path probability mass.
+- d211 — tokens/char compression: unigram Viterbi vs an 8-round BPE
+  (the d162 trainer) encoding the SAME truncated word-type histogram —
+  the head-to-head the tokenizer tier was missing (d167's BPE curve
+  uses untruncated words, so it is not directly comparable to the
+  lattice-bounded unigram; this row states both on one corpus basis).
+
+The Viterbi piece COUNT rides the unrolled max-product recurrence as a
+closed-form column chain: c_i = c_{argmax_j}(v_j · p_{j,i}) + 1, the
+argmax recovered by comparing v_i to each candidate term in fixed
+ascending-j order (ties → smallest j = longest piece). Both engines
+evaluate identical expression trees, so the float equality that picks
+the arm is bit-exact (operators/unigram.py's determinism contract) and
+every cross-row reduction is an integer sum.
+
+Reference scope: beyond-reference LLM-data-curation surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import bpe
+from ..operators import unigram as U
+from ..sources.readers import load_table
+from .registry import spark_query
+from .wave42 import _round_cte
+from .wave59 import _ROUNDS, _TOPK, _train_ctes, _wide_cte
+
+_W = U.MAX_WORD_LEN
+_L = U.MAX_PIECE_LEN
+_Q = U.QUANT
+_BPE_ROUNDS = 8
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _vc_chain(src: str) -> str:
+    """Nested-subquery chain over a wide lattice row: v0..v{_W} (max-
+    product scores), c0..c{_W} (argmax piece counts), vbest, cbest —
+    the SQL twin of ``operators/unigram.py::viterbi_encode``."""
+    q = f"SELECT *, CAST(1.0 AS DOUBLE) AS v0, 0 AS c0 FROM {src}"
+    for i in range(1, _W + 1):
+        js = list(range(max(0, i - _L), i))
+        terms = [f"v{j} * p_{j}_{i}" for j in js]
+        expr = (
+            f"greatest({', '.join(terms)})" if len(terms) > 1 else terms[0]
+        )
+        q = f"SELECT *, ({expr}) AS v{i} FROM ({q})"
+        arms = " ".join(
+            f"WHEN v{i} = {t} THEN c{j} + 1" for j, t in zip(js, terms)
+        )
+        q = f"SELECT *, (CASE {arms} END) AS c{i} FROM ({q})"
+    varms = " ".join(
+        f"WHEN len(word) = {i} THEN v{i}" for i in range(1, _W)
+    )
+    carms = " ".join(
+        f"WHEN len(word) = {i} THEN c{i}" for i in range(1, _W)
+    )
+    q = (
+        f"SELECT word, w, CASE {varms} ELSE v{_W} END AS vbest, "
+        f"CAST(CASE {carms} ELSE c{_W} END AS BIGINT) AS n_pieces "
+        f"FROM ({q})"
+    )
+    return q
+
+
+def _enc_cte() -> str:
+    """Train (wave-59 CTEs, identical params to d202) + encode: ends
+    at ``uenc(word, w, vbest, n_pieces)``."""
+    return f"""{_train_ctes(_ROUNDS, frozenset())}{
+        _wide_cte(_ROUNDS + 1)},
+    uenc AS MATERIALIZED (
+      {_vc_chain(f'wide{_ROUNDS + 1}')}
+    )"""
+
+
+def _d210_oracle() -> str:
+    return f"""{_enc_cte()}
+    SELECT CAST(len(word) AS BIGINT) AS wlen,
+           CAST(count(*) AS BIGINT) AS n_word_types,
+           CAST(sum(w * n_pieces) AS BIGINT) AS n_tokens,
+           CAST(sum(w * len(word)) AS BIGINT) AS n_chars,
+           CAST(round(CAST(sum(w * n_pieces) AS DOUBLE)
+                      / sum(w * len(word)), 6) AS DOUBLE) AS tokens_per_char,
+           CAST(sum(CAST(floor(CAST(w AS DOUBLE) * vbest * {_Q} + 0.5)
+                         AS BIGINT)) AS BIGINT) AS q_vbest_mass
+    FROM uenc
+    GROUP BY 1
+    ORDER BY wlen
+    """
+
+
+@spark_query("d210_unigram_viterbi_encode", _d210_oracle())
+def d210_unigram_viterbi_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the trained unigram vocab: the Viterbi
+    argmax segmentation of every word type (operators/unigram.py::
+    viterbi_encode — the closed-form count-carrying recurrence, no UDF,
+    no loop), rolled up by word length. Token totals are exact integers
+    (Σ frequency × pieces); the best-path probability mass is the
+    1e-6-quantized integer sum. Corpus touched once (the word-type
+    histogram); encode itself is vocab-broadcast + one pivot — the
+    same 100 TB shape as the trainer."""
+    docs = _t(spark, sf_dir, "documents").select("text")
+    pieces = U.candidate_pieces(
+        U.word_types_truncated(docs)
+    ).localCheckpoint()
+    vocab = U.seed_vocab(pieces, _TOPK).localCheckpoint()
+    for _ in range(_ROUNDS):
+        vocab = U.em_expected_counts(
+            pieces, U.normalized_probs(vocab)
+        ).localCheckpoint()
+    enc = U.viterbi_encode(pieces, U.normalized_probs(vocab))
+    q_vb = F.floor(
+        F.col("w").cast("double") * F.col("vbest") * _Q + F.lit(0.5)
+    ).cast("long")
+    return (
+        enc.groupBy(F.length("word").cast("long").alias("wlen"))
+        .agg(
+            F.count("*").cast("long").alias("n_word_types"),
+            F.sum(F.col("w") * F.col("n_pieces")).alias("n_tokens"),
+            F.sum(F.col("w") * F.length("word")).cast("long")
+            .alias("n_chars"),
+            F.round(
+                F.sum(F.col("w") * F.col("n_pieces")).cast("double")
+                / F.sum(F.col("w") * F.length("word")),
+                6,
+            ).alias("tokens_per_char"),
+            F.sum(q_vb).alias("q_vbest_mass"),
+        )
+        .orderBy("wlen")
+    )
+
+
+def _d211_oracle() -> str:
+    # BPE over the SAME truncated word-type histogram the unigram
+    # lattice uses: seed the 1-char segmentation from wave-59's wt,
+    # then the wave-42 round blocks verbatim.
+    seg0 = """,
+    seg0 AS (
+      SELECT word, w,
+             CAST(unnest(range(1, len(word) + 1)) AS BIGINT) AS pos,
+             substr(word, CAST(unnest(range(1, len(word) + 1)) AS INT), 1)
+               AS sym
+      FROM wt
+    )"""
+    blocks = ",".join(_round_cte(r) for r in range(1, _BPE_ROUNDS + 1))
+    return f"""{_enc_cte()}{seg0},{blocks},
+    chars AS (
+      SELECT CAST(sum(w * len(word)) AS BIGINT) AS n_chars,
+             CAST(sum(w) AS BIGINT) AS n_words
+      FROM wt
+    ),
+    utok AS (SELECT CAST(sum(w * n_pieces) AS BIGINT) AS n_tokens
+             FROM uenc),
+    btok AS (SELECT CAST(sum(w) AS BIGINT) AS n_tokens
+             FROM seg{_BPE_ROUNDS})
+    SELECT tokenizer, n_tokens, n_chars,
+           CAST(round(CAST(n_tokens AS DOUBLE) / n_chars, 6) AS DOUBLE)
+             AS tokens_per_char,
+           CAST(round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS DOUBLE)
+             AS tokens_per_word
+    FROM (
+      SELECT 'bpe' AS tokenizer, b.n_tokens, c.n_chars, c.n_words
+      FROM btok b, chars c
+      UNION ALL
+      SELECT 'unigram', u.n_tokens, c.n_chars, c.n_words
+      FROM utok u, chars c
+    )
+    ORDER BY tokenizer
+    """
+
+
+@spark_query("d211_tokenizer_compression_compare", _d211_oracle())
+def d211_tokenizer_compression_compare(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Head-to-head tokens/char: the trained unigram's Viterbi encode
+    vs an 8-round BPE, both over the truncated word-type histogram —
+    one corpus basis, so the compression numbers compare directly (the
+    likelihood-trained vocab vs the merge-trained vocab at similar
+    effective vocabulary budgets). All token totals are exact integer
+    sums; the corpus collapses to the histogram once and both encoders
+    run on vocab-sized tables."""
+    docs = _t(spark, sf_dir, "documents").select("text")
+    wt = U.word_types_truncated(docs).localCheckpoint()
+    pieces = U.candidate_pieces(wt).localCheckpoint()
+    vocab = U.seed_vocab(pieces, _TOPK).localCheckpoint()
+    for _ in range(_ROUNDS):
+        vocab = U.em_expected_counts(
+            pieces, U.normalized_probs(vocab)
+        ).localCheckpoint()
+    enc = U.viterbi_encode(pieces, U.normalized_probs(vocab))
+    utok = enc.agg(
+        F.sum(F.col("w") * F.col("n_pieces")).alias("n_tokens")
+    )
+    seg = bpe.initial_segmentation(wt).localCheckpoint()
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        _, seg = bpe.bpe_round(seg, rnd)
+        seg = seg.localCheckpoint()
+    btok = seg.agg(F.sum("w").alias("n_tokens"))
+    chars = F.broadcast(
+        wt.agg(
+            F.sum(F.col("w") * F.length("word")).cast("long")
+            .alias("n_chars"),
+            F.sum("w").alias("n_words"),
+        )
+    )
+    out = (
+        btok.select(F.lit("bpe").alias("tokenizer"), "n_tokens")
+        .unionByName(
+            utok.select(F.lit("unigram").alias("tokenizer"), "n_tokens")
+        )
+        .crossJoin(chars)
+    )
+    return out.select(
+        "tokenizer",
+        "n_tokens",
+        "n_chars",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_chars"), 6
+        ).alias("tokens_per_char"),
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_words"), 6
+        ).alias("tokens_per_word"),
+    ).orderBy("tokenizer")

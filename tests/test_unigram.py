@@ -171,3 +171,40 @@ def test_em_mass_conservation(spark):
     )
     n_types = len(py_word_types(TEXTS))
     assert abs(qc_total - exp * Q) <= 26 * n_types
+
+
+def py_viterbi_encode(
+    word: str, probs: dict[str, float]
+) -> tuple[float, int]:
+    """Python replay of operators/unigram.py::viterbi_encode — same
+    max-product recurrence, same ascending-j tie-break (the comparison
+    against the recomputed term, not an argmax shortcut)."""
+    f, b, p = py_lattice(word, probs)
+    n = len(word)
+    v = [0.0] * (W + 1)
+    c = [0] * (W + 1)
+    v[0] = 1.0
+    for i in range(1, W + 1):
+        terms = [
+            (j, v[j] * p[(j, i)]) for j in range(max(0, i - L), i)
+        ]
+        v[i] = max(t for _, t in terms)
+        for j, t in terms:  # ascending j: first equal term wins
+            if v[i] == t:
+                c[i] = c[j] + 1
+                break
+    return v[n], c[n]
+
+
+def test_viterbi_encode_matches_python_replay(spark):
+    docs = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    pieces = U.candidate_pieces(U.word_types_truncated(docs)).localCheckpoint()
+    probs_df = U.normalized_probs(U.seed_vocab(pieces, 40))
+    probs = {r.piece: r.p for r in probs_df.collect()}
+    rows = U.viterbi_encode(pieces, probs_df).collect()
+    assert rows
+    for r in rows:
+        vb, nb = py_viterbi_encode(r.word, probs)
+        assert r.vbest == vb, r.word   # identical floats
+        assert r.n_pieces == nb, r.word  # exact path length
+        assert 1 <= r.n_pieces <= len(r.word)
