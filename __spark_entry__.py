@@ -105,6 +105,14 @@ _WINDOW_PRIORITY = [
     # head-to-head on one corpus basis.
     "d210_unigram_viterbi_encode",
     "d211_tokenizer_compression_compare",
+    # ---- (C) re-proofs: unigram lattice bounds raised W=8/L=4 →
+    # 12/6 after the round-10 width study (round-9 verdict #6; see
+    # BENCH_SCALING.md "Unigram lattice width") — trainer values
+    # change through the wider candidate space, so the whole family
+    # re-proves at the new bounds.
+    "d202_unigram_train",
+    "d203_unigram_segment_stats",
+    "d206_unigram_prune_round",
 ]
 # Window staging in progress (round 10); the driver checks the first
 # 50 of queries() — slots beyond the staged list fall through to

@@ -51,16 +51,30 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-MAX_WORD_LEN = 8  # W: training truncates word types to this length
-MAX_PIECE_LEN = 4  # L: longest candidate piece
+# Lattice bounds. Raised 8/4 → 12/6 in round 10 after the width study
+# (BENCH_SCALING.md "Unigram lattice width"): the closed-form codegen
+# chain at W=12/L=6 (57 lattice edges, 13-deep forward/backward
+# unrolls) costs ~1.7× the W=8/L=4 wall on the Spark side and is
+# negligible on the oracle side — an affordable step toward real
+# SentencePiece fidelity (its trainer defaults to ~16-char sentence
+# pieces). W=16/L=8 (100 edges) measured ~2.9×; the next raise should
+# come with evidence that 12-char truncation is losing real mass.
+MAX_WORD_LEN = 12  # W: training truncates word types to this length
+MAX_PIECE_LEN = 6  # L: longest candidate piece
 QUANT = 1_000_000  # micro-unit quantizer for expected counts
 
 
 def lattice_pairs(
-    w: int = MAX_WORD_LEN, l: int = MAX_PIECE_LEN  # noqa: E741
+    w: int | None = None, l: int | None = None  # noqa: E741
 ) -> list[tuple[int, int]]:
     """All (j, i) span endpoints of the bounded lattice, in the FIXED
-    (j asc, i asc) order every summation in this module uses."""
+    (j asc, i asc) order every summation in this module uses. The
+    bounds default to the module constants AT CALL TIME (not def
+    time), so a width study can re-run the trainer under different
+    W/L without rebinding every consumer — see BENCH_SCALING.md's
+    lattice-width note."""
+    w = MAX_WORD_LEN if w is None else w
+    l = MAX_PIECE_LEN if l is None else l  # noqa: E741
     return [
         (j, i)
         for j in range(w)
@@ -68,10 +82,12 @@ def lattice_pairs(
     ]
 
 
-def word_types_truncated(docs: DataFrame, w: int = MAX_WORD_LEN) -> DataFrame:
+def word_types_truncated(docs: DataFrame, w: int | None = None) -> DataFrame:
     """(word, w): word-type histogram with words truncated to ``w``
     chars (counts merge across truncation) — the only corpus-sized
-    pass of the whole trainer."""
+    pass of the whole trainer. ``w`` defaults to ``MAX_WORD_LEN`` at
+    call time (see ``lattice_pairs``)."""
+    w = MAX_WORD_LEN if w is None else w
     return (
         docs.select(F.explode(tokens("text")).alias("tok"))
         .select(F.substring("tok", 1, w).alias("word"))
