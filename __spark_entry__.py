@@ -113,6 +113,12 @@ _WINDOW_PRIORITY = [
     "d202_unigram_train",
     "d203_unigram_segment_stats",
     "d206_unigram_prune_round",
+    # re-proofs: resolve_domains_psl_join gained the deep-rule
+    # assert_true guard (round-9 ADVICE — a rule deeper than
+    # max_rule_labels now fails loudly instead of silently not
+    # resolving). Values unchanged; the dim projection's AST changed.
+    "d201_psl_join_resolution",
+    "d207_psl_version_drift",
 ]
 # Window staging in progress (round 10); the driver checks the first
 # 50 of queries() — slots beyond the staged list fall through to

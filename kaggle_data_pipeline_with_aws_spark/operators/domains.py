@@ -372,6 +372,34 @@ def resolve_domains_psl_join(
     for i, s in enumerate(sfx):
         out = out.withColumn(f"_psl_sfx{i + 1}", s)
     dim = psl_rules_dim(rules_df)
+    # A rule deeper than max_rule_labels would join at no probed depth
+    # and silently resolve hosts as if it were absent (round-9 ADVICE).
+    # Fail loudly instead, lazily and distributed: assert_true rides
+    # the dim projection (NULL on pass), kept alive by the filter so
+    # column pruning can't elide it; the dim is dimension-sized, so
+    # the check is broadcast-side work, never a fact-table cost.
+    depth = F.greatest(
+        F.coalesce(F.col("norm_d"), F.lit(0)),
+        F.coalesce(F.col("wild_d"), F.lit(0)),
+        F.coalesce(F.col("exc_d"), F.lit(0)),
+    )
+    dim = dim.filter(
+        F.coalesce(
+            F.assert_true(
+                depth <= max_rule_labels,
+                F.concat(
+                    F.lit("PSL rule deeper than max_rule_labels="),
+                    F.lit(str(max_rule_labels)),
+                    F.lit(" labels: key '"),
+                    F.col("psl_key"),
+                    F.lit("' has depth "),
+                    depth.cast("string"),
+                    F.lit(" — raise max_rule_labels to cover it"),
+                ),
+            ),
+            F.lit(True),
+        )
+    )
     for d in range(1, max_rule_labels + 1):
         dd = dim.select(
             F.col("psl_key").alias(f"_k{d}"),

@@ -150,3 +150,29 @@ def test_join_path_is_broadcast_no_shuffle(spark):
     ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_join_resolution_rejects_rules_deeper_than_max(spark):
+    """Round-9 ADVICE: a rule deeper than max_rule_labels must fail
+    loudly, not silently resolve hosts as if the rule were absent."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kaggle_data_pipeline_with_aws_spark.operators.domains import (
+        resolve_domains_psl_join,
+    )
+
+    rules = spark.createDataFrame(
+        [("com",), ("a.b.c.d.e.f",)], "rule string"
+    )
+    hosts = spark.createDataFrame([("x.example.com",)], "host string")
+    out = resolve_domains_psl_join(
+        hosts, "host", rules, max_rule_labels=5
+    )
+    with pytest.raises(Exception, match="deeper than max_rule_labels"):
+        out.collect()
+    # the same rule set resolves fine once the parameter covers it
+    ok = resolve_domains_psl_join(
+        hosts, "host", rules, max_rule_labels=6
+    )
+    assert [r.domain for r in ok.collect()] == ["example.com"]
