@@ -119,6 +119,11 @@ _WINDOW_PRIORITY = [
     # resolving). Values unchanged; the dim projection's AST changed.
     "d201_psl_join_resolution",
     "d207_psl_version_drift",
+    # wave 66: lakehouse tier 3 — per-file min/max statistics recorded
+    # in the log (commit(stats_cols=…)) and data-skipping reads
+    # (snapshot_pruned); skip counts AND scanned values oracle-pinned.
+    "q120_file_stats_skipping",
+    "q121_time_sliced_skipping",
 ]
 # Window staging in progress (round 10); the driver checks the first
 # 50 of queries() — slots beyond the staged list fall through to

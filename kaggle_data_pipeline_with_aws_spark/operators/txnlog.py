@@ -75,6 +75,14 @@ _ENTRY_RE = re.compile(r"^\d{8}\.json$")
 _MAX_COMMIT_ATTEMPTS = 64
 
 
+def _json_scalar(v):
+    """Log-entry-safe scalar: JSON primitives pass through, everything
+    else (timestamps, decimals) stringifies. Range pruning compares
+    values of the SAME column, so a consistent representation is all
+    that is required."""
+    return v if isinstance(v, (int, float, str, bool)) or v is None else str(v)
+
+
 class CommitConflictError(RuntimeError):
     """Raised when a commit loses the version-slot race
     ``_MAX_COMMIT_ATTEMPTS`` times in a row (pathological contention —
@@ -169,14 +177,25 @@ class VersionedTable:
 
     # -- commit --------------------------------------------------------
     def commit(
-        self, df: DataFrame, mode: str = "append", op: str | None = None
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        op: str | None = None,
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Commit ``df`` as the next version. ``mode``: ``append``
         adds files; ``overwrite`` adds files and removes every
         previously-live file (logically — bytes stay for time
         travel). Returns the committed version. Concurrency-safe:
         losing a version-slot race re-reads the log and retries
-        against the new head (optimistic, the Delta OSS protocol)."""
+        against the new head (optimistic, the Delta OSS protocol).
+
+        ``stats_cols``: record per-file min/max of these columns in
+        the log entry (the Delta/Iceberg file-statistics idea) —
+        ``snapshot_pruned`` then skips files whose range cannot match
+        a predicate without opening them. One extra scan of the
+        just-written files, grouped by ``input_file_name`` (file-local
+        aggregation, no shuffle wider than files × columns)."""
         assert mode in ("append", "overwrite"), mode
         commit_rel = f"{_DATA_DIR}/c-{uuid.uuid4().hex[:12]}"
         commit_dir = f"{self.root}/{commit_rel}"
@@ -195,6 +214,42 @@ class VersionedTable:
             .agg(F.count("*").alias("n"))
             .collect()
         ) if added else 0
+        stats: dict[str, dict[str, list]] = {}
+        if stats_cols and added:
+            back = self.spark.read.parquet(
+                *[f"{self.root}/{a}" for a in added]
+            )
+            aggs = []
+            for c in stats_cols:
+                aggs += [
+                    F.min(c).alias(f"min_{c}"),
+                    F.max(c).alias(f"max_{c}"),
+                ]
+            by_file = {
+                r["f"]: r
+                for r in back.groupBy(
+                    F.input_file_name().alias("f")
+                ).agg(*aggs).collect()
+            }
+            for rel in added:
+                # input_file_name is a URI; match on the basename +
+                # commit dir (both unique within the commit)
+                row = next(
+                    (
+                        r
+                        for f, r in by_file.items()
+                        if f.rstrip("/").endswith(rel.split("/")[-1])
+                    ),
+                    None,
+                )
+                if row is not None:
+                    stats[rel] = {
+                        c: [
+                            _json_scalar(row[f"min_{c}"]),
+                            _json_scalar(row[f"max_{c}"]),
+                        ]
+                        for c in stats_cols
+                    }
         schema_json = df.schema.json()
         for _ in range(_MAX_COMMIT_ATTEMPTS):
             version = self.current_version() + 1
@@ -205,6 +260,7 @@ class VersionedTable:
                 "add": added,
                 "remove": self.live_files() if mode == "overwrite" else [],
                 "rows_added": rows_added,
+                "stats": stats,
             }
             tmp = f"{self.log_dir}/.tmp-{uuid.uuid4().hex}"
             self._write_small(tmp, json.dumps(entry))
@@ -268,6 +324,68 @@ class VersionedTable:
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*[f"{self.root}/{f}" for f in files])
+
+    def file_stats(self, version: int | None = None) -> dict[str, dict]:
+        """Live-file → recorded column stats at ``version`` (files
+        committed without ``stats_cols`` map to ``{}`` — unprunable)."""
+        stats: dict[str, dict] = {}
+        for e in self.entries():
+            if version is not None and e["version"] > version:
+                break
+            for rel in e["remove"]:
+                stats.pop(rel, None)
+            est = e.get("stats", {})
+            for rel in e["add"]:
+                stats[rel] = est.get(rel, {})
+        return stats
+
+    def pruned_files(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """(files whose recorded [min, max] of ``col`` can intersect
+        [lo, hi], total live files) — the Delta/Iceberg data-skipping
+        decision, made from log metadata alone (no file opened). A
+        file WITHOUT stats for ``col`` is always kept: skipping is
+        only legal when the log can prove non-overlap. ``lo``/``hi``
+        of None are unbounded ends."""
+        stats = self.file_stats(version)
+        kept: list[str] = []
+        for rel in sorted(stats):
+            rng = stats[rel].get(col)
+            if rng is None or rng[0] is None or rng[1] is None:
+                kept.append(rel)
+                continue
+            fmin, fmax = rng
+            if (lo is not None and fmax < lo) or (
+                hi is not None and fmin > hi
+            ):
+                continue
+            kept.append(rel)
+        return kept, len(stats)
+
+    def snapshot_pruned(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """Range-predicate snapshot read through file skipping: scan
+        ONLY the files ``pruned_files`` keeps, then apply the exact
+        predicate (the stats bound is necessary, not sufficient —
+        parquet row-group pushdown finishes the job inside the kept
+        files). At scale this is the difference between touching the
+        whole table and touching the matching files' bytes."""
+        files, _total = self.pruned_files(col, lo, hi, version)
+        if not files:
+            schema = self._schema_at(version)
+            assert schema is not None, "pruned snapshot of an empty log"
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.parquet(
+                *[f"{self.root}/{f}" for f in files]
+            )
+        if lo is not None:
+            df = df.filter(F.col(col) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(col) <= hi)
+        return df
 
     def read_incremental(self, v0: int, v1: int) -> DataFrame:
         """Rows in files ADDED in versions (v0, v1] — the append-only

@@ -258,3 +258,55 @@ def test_merge_schema_reads_old_files_with_nulls(spark, vt):
     snap = vt.snapshot(1, merge_schema=True)
     got = {r.k: r.label for r in snap.collect()}
     assert got == {1: None, 2: "tag"}
+
+
+def test_file_stats_and_pruning_contract(spark, vt):
+    """Data-skipping mechanics: stats recorded per file at commit,
+    pruning keeps exactly the overlapping files, files committed
+    WITHOUT stats are never skipped, and the pruned read's rows equal
+    the full read's filtered rows."""
+    import pyspark.sql.functions as F
+
+    for lo in (0, 100, 200):
+        vt.commit(
+            spark.createDataFrame(
+                [(lo + i, f"v{lo + i}") for i in range(10)],
+                "k int, v string",
+            ).repartition(1),
+            "append",
+            stats_cols=["k"],
+        )
+    # a stats-less commit: always scanned
+    vt.commit(
+        spark.createDataFrame(
+            [(999, "z")], "k int, v string"
+        ).repartition(1),
+        "append",
+    )
+    stats = vt.file_stats()
+    assert len(stats) == 4
+    ranged = [s for s in stats.values() if s]
+    assert sorted(r["k"] for r in ranged) == [
+        [0, 9], [100, 109], [200, 209],
+    ]
+    files, total = vt.pruned_files("k", 100, 109)
+    assert total == 4
+    assert len(files) == 2  # the matching slice + the stats-less file
+    got = sorted(r.k for r in vt.snapshot_pruned("k", 100, 109).collect())
+    want = sorted(
+        r.k for r in vt.snapshot().filter(
+            (F.col("k") >= 100) & (F.col("k") <= 109)
+        ).collect()
+    )
+    assert got == want
+    # unbounded ends
+    files_lo, _ = vt.pruned_files("k", None, 9)
+    assert len(files_lo) == 2
+    # overwrite drops the old stats with the old files
+    vt.commit(
+        spark.createDataFrame([(5, "w")], "k int, v string").repartition(1),
+        "overwrite",
+        stats_cols=["k"],
+    )
+    stats2 = vt.file_stats()
+    assert len(stats2) == 1 and list(stats2.values())[0]["k"] == [5, 5]
