@@ -124,6 +124,9 @@ _WINDOW_PRIORITY = [
     # (snapshot_pruned); skip counts AND scanned values oracle-pinned.
     "q120_file_stats_skipping",
     "q121_time_sliced_skipping",
+    # q122: log checkpointing (Delta _last_checkpoint) — O(tail)
+    # metadata reads, replay plan + value identity oracle-pinned.
+    "q122_log_checkpointed_snapshot",
 ]
 # Window staging in progress (round 10); the driver checks the first
 # 50 of queries() — slots beyond the staged list fall through to

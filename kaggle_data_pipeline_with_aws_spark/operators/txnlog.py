@@ -54,9 +54,13 @@ reading ONLY the files added in the version window (the streaming
 fast path — ``streaming/cdc_source.py`` tails it); ``row_diff`` is one
 full-outer join of two snapshots on the key — shuffle bounded by the
 two snapshots, the general path when commits rewrite rows. Reading the
-log costs one listing plus one small read per entry; a production
-deployment at high commit rates adds log checkpoints (Delta's
-``_last_checkpoint``) — out of scope at this table's commit cadence.
+log costs one listing plus one small read per TAIL entry:
+``checkpoint`` materializes the replayed state (live set + schema +
+file stats) at a version — Delta's ``_last_checkpoint`` idea — and
+every read starts from the latest checkpoint at-or-below its version,
+so a 10⁵-commit table reads like a 10-commit one (q122 pins both the
+replay-plan arithmetic and value identity across the checkpoint
+boundary).
 """
 
 from __future__ import annotations
@@ -72,6 +76,7 @@ from pyspark.sql.types import StructType
 _LOG_DIR = "_txn"
 _DATA_DIR = "data"
 _ENTRY_RE = re.compile(r"^\d{8}\.json$")
+_CHECKPOINT_RE = re.compile(r"^chk-\d{8}\.json$")
 _MAX_COMMIT_ATTEMPTS = 64
 
 
@@ -147,6 +152,70 @@ class VersionedTable:
             for st in self._fs.listStatus(self._P(self.log_dir))
             if _ENTRY_RE.match(name := st.getPath().getName())
         )
+
+    # -- checkpoints -----------------------------------------------------
+    def _checkpoint_versions(self) -> list[int]:
+        """Versions with a published checkpoint, ascending (listing
+        only)."""
+        if not self._fs.exists(self._P(self.log_dir)):
+            return []
+        return sorted(
+            int(name[4:12])
+            for st in self._fs.listStatus(self._P(self.log_dir))
+            if _CHECKPOINT_RE.match(name := st.getPath().getName())
+        )
+
+    def checkpoint(self, version: int | None = None) -> int:
+        """Materialize the replayed state at ``version`` (default:
+        head) into ``_txn/chk-NNNNNNNN.json`` — Delta's
+        ``_last_checkpoint`` idea: readers start from the checkpoint's
+        live set and replay only the entries AFTER it, so log reads
+        are O(tail), not O(history). Published with the same
+        rename-NONE protocol as entries (atomic, idempotent — a
+        checkpoint that already exists is simply kept: checkpoints are
+        pure functions of the immutable log prefix)."""
+        v = self.current_version() if version is None else version
+        assert v >= 0, "checkpoint of an empty log"
+        path = f"{self.log_dir}/chk-{v:08d}.json"
+        if self._fs.exists(self._P(path)):
+            return v
+        state = {
+            "version": v,
+            "live": self.live_files(v),
+            "schema": self._schema_at(v).json(),
+            "stats": self.file_stats(v),
+        }
+        tmp = f"{self.log_dir}/.tmp-{uuid.uuid4().hex}"
+        self._write_small(tmp, json.dumps(state))
+        try:
+            self._fc.rename(self._P(tmp), self._P(path), self._rename_none)
+        except Exception as exc:
+            self._fs.delete(self._P(tmp), False)
+            if "FileAlreadyExistsException" not in str(exc):
+                raise
+        return v
+
+    def _read_checkpoint(self, v: int) -> dict:
+        return json.loads(self._read_small(f"{self.log_dir}/chk-{v:08d}.json"))
+
+    def replay_plan(self, version: int | None = None) -> tuple[int | None, int]:
+        """(checkpoint version used, tail entries replayed) for a read
+        at ``version`` — the observability hook q122 pins. None = full
+        replay (no checkpoint at or below the requested version)."""
+        head = self.current_version() if version is None else version
+        base = max(
+            (c for c in self._checkpoint_versions() if c <= head),
+            default=None,
+        )
+        return base, head - (base if base is not None else -1)
+
+    def _tail_entries(self, after: int, through: int) -> list[dict]:
+        """Entries for versions in (after, through] — reads exactly the
+        tail's files, never the whole log."""
+        return [
+            json.loads(self._read_small(self._entry_path(v)))
+            for v in range(after + 1, through + 1)
+        ]
 
     def entries(self) -> list[dict]:
         """All committed log entries in version order. The publish
@@ -286,26 +355,44 @@ class VersionedTable:
         )
 
     # -- reads ---------------------------------------------------------
+    def _base_and_tail(
+        self, version: int | None
+    ) -> tuple[dict | None, list[dict]]:
+        """(checkpoint state or None, tail entries after it) for a read
+        at ``version`` — the O(tail) read path. Versions past the head
+        clamp to the head (matching the replay semantics of the
+        pre-checkpoint implementation)."""
+        head = self.current_version()
+        if version is not None:
+            head = min(version, head)
+        if head < 0:
+            return None, []
+        base = max(
+            (c for c in self._checkpoint_versions() if c <= head),
+            default=None,
+        )
+        ck = self._read_checkpoint(base) if base is not None else None
+        return ck, self._tail_entries(base if base is not None else -1, head)
+
     def live_files(self, version: int | None = None) -> list[str]:
         """Replay add/remove actions through ``version`` (default:
-        head) → the live file set, sorted for determinism."""
-        live: set[str] = set()
-        for e in self.entries():
-            if version is not None and e["version"] > version:
-                break
+        head) → the live file set, sorted for determinism. Reads the
+        latest checkpoint at-or-below the version plus only the tail
+        entries after it."""
+        ck, tail = self._base_and_tail(version)
+        live: set[str] = set(ck["live"]) if ck else set()
+        for e in tail:
             live.difference_update(e["remove"])
             live.update(e["add"])
         return sorted(live)
 
     def _schema_at(self, version: int | None) -> StructType | None:
-        es = [
-            e
-            for e in self.entries()
-            if version is None or e["version"] <= version
-        ]
-        return (
-            StructType.fromJson(json.loads(es[-1]["schema"])) if es else None
-        )
+        ck, tail = self._base_and_tail(version)
+        if tail:
+            return StructType.fromJson(json.loads(tail[-1]["schema"]))
+        if ck:
+            return StructType.fromJson(json.loads(ck["schema"]))
+        return None
 
     def snapshot(
         self, version: int | None = None, merge_schema: bool = False
@@ -327,11 +414,11 @@ class VersionedTable:
 
     def file_stats(self, version: int | None = None) -> dict[str, dict]:
         """Live-file → recorded column stats at ``version`` (files
-        committed without ``stats_cols`` map to ``{}`` — unprunable)."""
-        stats: dict[str, dict] = {}
-        for e in self.entries():
-            if version is not None and e["version"] > version:
-                break
+        committed without ``stats_cols`` map to ``{}`` — unprunable).
+        Checkpoint-based like ``live_files``."""
+        ck, tail = self._base_and_tail(version)
+        stats: dict[str, dict] = dict(ck["stats"]) if ck else {}
+        for e in tail:
             for rel in e["remove"]:
                 stats.pop(rel, None)
             est = e.get("stats", {})
@@ -392,9 +479,8 @@ class VersionedTable:
         CDC fast path (reads only the delta's bytes). For commits that
         also removed files (rewrites), pair with ``row_diff``."""
         added: list[str] = []
-        for e in self.entries():
-            if v0 < e["version"] <= v1:
-                added.extend(e["add"])
+        for e in self._tail_entries(v0, min(v1, self.current_version())):
+            added.extend(e["add"])
         if not added:
             schema = self._schema_at(v1)
             assert schema is not None, "incremental read of an empty log"

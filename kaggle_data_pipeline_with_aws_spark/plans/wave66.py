@@ -238,3 +238,98 @@ def q121_time_sliced_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = agg if out is None else out.unionByName(agg)
     assert out is not None
     return out.orderBy("probe")
+
+
+# ---------------------------------------------------------------------------
+# q122 — log checkpointing: O(tail) reads across the checkpoint boundary.
+# ---------------------------------------------------------------------------
+_Q122_MONTHS = [f"1996-{m:02d}" for m in range(1, 13)]
+_CHK_AT = 7  # checkpoint after the 8th monthly commit (version 7)
+
+
+def _q122_oracle() -> str:
+    month_case = " ".join(
+        f"WHEN strftime(o_orderdate, '%Y-%m') <= '{m}' THEN {i}"
+        for i, m in enumerate(_Q122_MONTHS)
+    )
+    base = f"""WITH ym AS MATERIALIZED (
+      SELECT o_custkey AS custkey, o_totalprice,
+             CASE {month_case} END AS v
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+    )"""
+    sel = """
+      SELECT CAST({v} AS BIGINT) AS version,
+             CAST({chk} AS BIGINT) AS checkpoint_used,
+             CAST({tail} AS BIGINT) AS n_tail_entries,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                  AS DOUBLE) AS total_price
+      FROM ym WHERE v <= {v}"""
+    reads = " UNION ALL ".join(
+        sel.format(
+            v=v,
+            chk=(_CHK_AT if v >= _CHK_AT else -1),
+            tail=(v - _CHK_AT if v >= _CHK_AT else v + 1),
+        )
+        for v in (5, _CHK_AT, 11)
+    )
+    return f"""{base}
+    SELECT * FROM ({reads})
+    ORDER BY version
+    """
+
+
+@spark_query("q122_log_checkpointed_snapshot", _q122_oracle())
+def q122_log_checkpointed_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Log checkpointing (Delta's ``_last_checkpoint``): 12 monthly
+    append commits, a checkpoint materialized at version 7, then
+    snapshots at v5 (below the checkpoint — full replay), v7 (at it —
+    zero tail), and v11 (checkpoint + 4 tail entries). The output pins
+    BOTH the replay plan (which checkpoint a read used and how many
+    tail entries it read — the O(tail) claim) and the snapshots' value
+    identity against the oracle's direct statement. At production
+    commit rates this is what keeps metadata reads constant as the log
+    grows."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    vt = VersionedTable(spark, _fresh_root("vtab-chk-"))
+    for m in _Q122_MONTHS:
+        vt.commit(
+            orders.filter(F.date_format("o_orderdate", "yyyy-MM") == m)
+            .select(F.col("o_custkey").alias("custkey"), "o_totalprice")
+            .repartition(1),
+            mode="append",
+            op=f"month-{m}",
+        )
+    vt.checkpoint(_CHK_AT)
+    out: DataFrame | None = None
+    for v in (5, _CHK_AT, 11):
+        base, n_tail = vt.replay_plan(v)
+        agg = (
+            vt.snapshot(v)
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .select(
+                F.lit(v).cast("long").alias("version"),
+                F.lit(base if base is not None else -1)
+                .cast("long")
+                .alias("checkpoint_used"),
+                F.lit(n_tail).cast("long").alias("n_tail_entries"),
+                "*",
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    assert out is not None
+    return out.orderBy("version")

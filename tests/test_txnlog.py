@@ -310,3 +310,32 @@ def test_file_stats_and_pruning_contract(spark, vt):
     )
     stats2 = vt.file_stats()
     assert len(stats2) == 1 and list(stats2.values())[0]["k"] == [5, 5]
+
+
+def test_checkpoint_replay_plan_and_equivalence(spark, vt):
+    """Checkpointing: reads at-or-above the checkpoint start from it
+    (O(tail) replay plan), reads below fall back to full replay, and
+    every snapshot/stats answer is identical with and without the
+    checkpoint. Publishing is idempotent and atomic (rename-NONE)."""
+    for i in range(6):
+        vt.commit(
+            _df(spark, [(i, f"v{i}")]),
+            "append" if i % 3 else "overwrite",
+            stats_cols=["k"],
+        )
+    before = {v: vt.live_files(v) for v in range(6)}
+    stats_before = vt.file_stats(4)
+    assert vt.checkpoint(3) == 3
+    assert vt.checkpoint(3) == 3  # idempotent
+    assert vt.replay_plan(2) == (None, 3)   # below: full replay
+    assert vt.replay_plan(3) == (3, 0)      # at: zero tail
+    assert vt.replay_plan(5) == (3, 2)      # above: checkpoint + tail
+    for v in range(6):
+        assert vt.live_files(v) == before[v], f"v{v}"
+    assert vt.file_stats(4) == stats_before
+    snap = sorted((r.k, r.v) for r in vt.snapshot(4).collect())
+    assert snap == [(3, "v3"), (4, "v4")]  # v3 overwrite + v4 append
+    # a later checkpoint supersedes for reads above it
+    vt.checkpoint(5)
+    assert vt.replay_plan(5) == (5, 0)
+    assert vt.replay_plan(4) == (3, 1)
