@@ -321,6 +321,35 @@ SHOWCASE: list[tuple[str, str]] = [
         " log — pushdown and column pruning hit the files unchanged,"
         " so versioning costs metadata, not plan quality.",
     ),
+    (
+        "d208_nsw_augmented_search",
+        "Graph ANN over the connectivity-augmented substrate (round 10):"
+        " every stage is frontier-sized — beam × degree joins against the"
+        " published edge parquet, visited anti-joins, windowed top-B"
+        " reselects — never corpus². The edge scan is the amortized"
+        " knn_edges_aug artifact.",
+    ),
+    (
+        "q120_file_stats_skipping",
+        "Data skipping (round 10): the probe's scan lists ONLY the files"
+        " the log's min/max stats admit (1 of 4 here) — the skip happens"
+        " before any parquet footer is opened; the exact predicate"
+        " reapplies inside the kept files as a pushed filter.",
+    ),
+    (
+        "q122_log_checkpointed_snapshot",
+        "Log checkpointing (round 10): the v11 snapshot's file list comes"
+        " from the v7 checkpoint plus 4 tail entries — O(tail) metadata"
+        " reads; the data scan itself is the same explicit-file-list"
+        " parquet read as every snapshot.",
+    ),
+    (
+        "d210_unigram_viterbi_encode",
+        "Viterbi encode (round 10): the count-carrying max-product"
+        " recurrence is ONE whole-stage-codegen projection over the"
+        " pivoted lattice row — no UDF, no loop; the corpus appears only"
+        " as the word-type histogram shuffle.",
+    ),
 ]
 
 
