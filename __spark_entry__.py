@@ -127,6 +127,11 @@ _WINDOW_PRIORITY = [
     # q122: log checkpointing (Delta _last_checkpoint) — O(tail)
     # metadata reads, replay plan + value identity oracle-pinned.
     "q122_log_checkpointed_snapshot",
+    # wave 67: attribute-filtered ANN — pre-filtered posting lists
+    # through the global quantizer, plus the filtered-recall /
+    # candidate-selectivity audit.
+    "d212_ann_filtered_search",
+    "d213_ann_filtered_recall",
 ]
 # Window staging in progress (round 10); the driver checks the first
 # 50 of queries() — slots beyond the staged list fall through to

@@ -104,3 +104,4 @@ def load_all() -> None:
     from . import wave64  # noqa: F401
     from . import wave65  # noqa: F401
     from . import wave66  # noqa: F401
+    from . import wave67  # noqa: F401
