@@ -54,6 +54,13 @@ BENCH_EXTRA = [
     # substrate — the series tracks both tiers' economics
     "d202_unigram_train",
     "d204_nsw_beam_search",
+    # added round 10: d208 is the beam search over the
+    # connectivity-augmented substrate (the recall-recovered serving
+    # face), d210 the unigram Viterbi encode at the raised W=12/L=6
+    # lattice — the series tracks the serving tier and the wider
+    # lattice's cost going forward
+    "d208_nsw_augmented_search",
+    "d210_unigram_viterbi_encode",
 ]
 
 
