@@ -61,6 +61,12 @@ BENCH_EXTRA = [
     # lattice's cost going forward
     "d208_nsw_augmented_search",
     "d210_unigram_viterbi_encode",
+    # added round 11 with the serving-tier adaptation faces: d214 is
+    # the filtered search with per-query probe escalation, d216 the
+    # HNSW-style layered-entry beam search — the series tracks the
+    # adaptive serving economics going forward
+    "d214_ann_adaptive_probe_search",
+    "d216_nsw_layered_search",
 ]
 
 
@@ -78,71 +84,60 @@ def entry(spark: SparkSession) -> DataFrame:
 # against its proof-baseline commit) — and (b) as many
 # never-driver-checked queries as fit.
 #
-# Round-10 window. Leads with the round-10 re-proofs proof_audit
-# demands (the transaction log's port to the Hadoop FileSystem API —
-# round-9 verdict #1 — stales the whole lakehouse face) and the
-# round-10 additions (staged as they land).
+# Round-11 window. Leads with the re-proofs proof_audit demands (the
+# transaction log gained snapshot-isolation conflict detection,
+# grace-windowed vacuum, and stats type safety — round-10 verdict
+# #1/#7 + the ADVICE items — staling the whole lakehouse face; the
+# CDC tailer's poll went tail-only; the unigram serving leg gained
+# byte-fallback/UNK accounting), then the round-11 additions.
 _WINDOW_PRIORITY = [
-    # ---- (A) re-proofs: operators/txnlog.py rewritten onto the JVM
-    # Hadoop FileSystem/FileContext API with an atomic rename-NONE
-    # commit (round-9 verdict #1 + the ADVICE empty-file-window fix);
-    # row_diff now reads both snapshots merge-schema'd; the staged
-    # tables clean up at exit. Same values, new I/O substrate.
+    # ---- (A) re-proofs: operators/txnlog.py — commit() grew
+    # read_version conflict detection (merge/compact recompute against
+    # the new head instead of committing a stale snapshot-derived
+    # result), vacuum grew age + latest-checkpoint retention floors,
+    # file statistics record only order-preserving types and prune
+    # only same-type bounds, replay_plan clamps to head, checkpoint
+    # validates with ValueError. Same values, hardened protocol.
     "q114_snapshot_time_travel",
     "q115_version_incremental_read",
     "q116_version_row_diff",
     "q117_compaction_invariance",
     "q118_versioned_schema_evolution",
     "q119_versioned_merge",
-    # ---- (B) round-10 additions (staged as they land) ----
-    # wave 63: connectivity-augmented graph ANN (round-9 verdict #2) —
-    # the NSW/HNSW build discipline (per-node top-20, bidirectional,
-    # never mutual-filtered) closes d205's 0.2-recall fragmentation;
-    # d209 is the audit row proving recall@5 ≥ 0.8.
-    "d208_nsw_augmented_search",
-    "d209_nsw_augmented_recall",
-    # wave 64: the lakehouse face's streaming SOURCE side (round-9
-    # verdict #3) — the transaction-log CDC tailer drained over the
-    # staged table, one micro-batch per committed version; live-log
-    # stream-vs-batch equality in tests/test_streaming_cdc.py.
-    "s15_txnlog_cdc_batches",
-    # wave 65: the unigram tokenizer's serving leg (round-9 verdict
-    # #4) — Viterbi encode of the corpus under the trained vocab
-    # (exact integer token counts) and the unigram-vs-BPE tokens/char
-    # head-to-head on one corpus basis.
-    "d210_unigram_viterbi_encode",
-    "d211_tokenizer_compression_compare",
-    # ---- (C) re-proofs: unigram lattice bounds raised W=8/L=4 →
-    # 12/6 after the round-10 width study (round-9 verdict #6; see
-    # BENCH_SCALING.md "Unigram lattice width") — trainer values
-    # change through the wider candidate space, so the whole family
-    # re-proves at the new bounds.
-    "d202_unigram_train",
-    "d203_unigram_segment_stats",
-    "d206_unigram_prune_round",
-    # re-proofs: resolve_domains_psl_join gained the deep-rule
-    # assert_true guard (round-9 ADVICE — a rule deeper than
-    # max_rule_labels now fails loudly instead of silently not
-    # resolving). Values unchanged; the dim projection's AST changed.
-    "d201_psl_join_resolution",
-    "d207_psl_version_drift",
-    # wave 66: lakehouse tier 3 — per-file min/max statistics recorded
-    # in the log (commit(stats_cols=…)) and data-skipping reads
-    # (snapshot_pruned); skip counts AND scanned values oracle-pinned.
     "q120_file_stats_skipping",
     "q121_time_sliced_skipping",
-    # q122: log checkpointing (Delta _last_checkpoint) — O(tail)
-    # metadata reads, replay plan + value identity oracle-pinned.
     "q122_log_checkpointed_snapshot",
-    # wave 67: attribute-filtered ANN — pre-filtered posting lists
-    # through the global quantizer, plus the filtered-recall /
-    # candidate-selectivity audit.
-    "d212_ann_filtered_search",
-    "d213_ann_filtered_recall",
+    # re-proof: streaming/cdc_source.py poll() reads only the window's
+    # entries (round-10 ADVICE — O(new versions), not O(history)).
+    "s15_txnlog_cdc_batches",
+    # ---- (B) round-11 additions (staged as they land) ----
+    # wave 68: the CDC source as a REAL readStream DataSource (round-10
+    # verdict #2) — Spark 4 python DSv2, offset = committed version,
+    # engine checkpoints, versionsPerBatch rate limit; oracle shared
+    # verbatim with s15 (batch-for-batch equality).
+    "s16_txnlog_readstream_batches",
+    # wave 65 re-proofs (round-10 verdict #4): the serving leg now
+    # runs from the UNTRUNCATED histogram with byte-fallback/UNK
+    # token masses for words beyond the lattice (new columns,
+    # oracle-pinned; identical values at scales without overlong
+    # words).
+    "d210_unigram_viterbi_encode",
+    "d211_tokenizer_compression_compare",
+    # wave 69: filtered-ANN probe adaptation (round-10 verdict #3) —
+    # starved queries (admitted candidates below the floor) escalate
+    # n_probe; d215 is the fixed-vs-adaptive recall/cost sweep.
+    "d214_ann_adaptive_probe_search",
+    "d215_ann_adaptive_probe_sweep",
+    # wave 70: HNSW-style layered entry points (round-10 verdict #6) —
+    # a 1-in-8 sampled upper layer with its own kNN graph descends
+    # each query to local layer-0 entries; d217 is the d209-shaped
+    # recall/cost audit.
+    "d216_nsw_layered_search",
+    "d217_nsw_layered_recall",
 ]
-# Window staging in progress (round 10); the driver checks the first
-# 50 of queries() — slots beyond the staged list fall through to
-# already-proven oracle-backed queries via _ordered().
+# The driver checks the first 50 of queries() — slots beyond the
+# staged list fall through to already-proven oracle-backed queries via
+# _ordered().
 
 
 def _ordered() -> list[str]:

@@ -43,8 +43,27 @@ Object-store note: S3 has no atomic rename — ``rename`` on ``s3a://``
 is copy+delete and the NONE check is not atomic. A production S3
 deployment swaps this module's publish step for a put-if-absent
 LogStore (S3 conditional PUT / DynamoDB coordination — the documented
-Delta S3 story); HDFS/ABFS/GCS connectors and local FS satisfy the
-rename contract as-is.
+Delta S3 story). HDFS/ABFS-class stores implement the NONE check
+atomically server-side; on the LOCAL filesystem FileContext's
+rename-NONE is an exists-check followed by a rename (the
+DelegateToFileSystem default), so a cross-PROCESS slot race could in
+principle interleave — local roots are therefore safe for
+single-process multi-threaded use (this sandbox / the test suite),
+the same caveat Delta documents for its HDFSLogStore on file://.
+
+Isolation model (round-10 verdict #1): commits whose content does NOT
+depend on the table's read state — ``append`` and blind ``overwrite``
+(truncate-and-load) — retry a lost version-slot race blindly against
+the new head; the result serializes AFTER the interleaved commit and
+no update is lost. Commits whose content WAS computed from a snapshot
+(``commit_merge``, ``commit_compact``, or any caller passing
+``read_version``) are conflict-checked: if the head moved past the
+recorded read version, the stale result is NEVER committed — the
+low-level ``commit`` raises ``ConcurrentModificationError`` (the
+Delta OSS ConcurrentAppend/ConcurrentDeleteRead contract) and the
+high-level merge/compact wrappers RECOMPUTE against the new head and
+retry, so an append racing a merge is either merged in or the merge
+fails loudly — never silently clobbered.
 
 Scale notes: the log is metadata (KB per commit — file paths and
 counts, never data); snapshot reads hand Spark an explicit file list,
@@ -80,12 +99,32 @@ _CHECKPOINT_RE = re.compile(r"^chk-\d{8}\.json$")
 _MAX_COMMIT_ATTEMPTS = 64
 
 
-def _json_scalar(v):
-    """Log-entry-safe scalar: JSON primitives pass through, everything
-    else (timestamps, decimals) stringifies. Range pruning compares
-    values of the SAME column, so a consistent representation is all
-    that is required."""
-    return v if isinstance(v, (int, float, str, bool)) or v is None else str(v)
+def _stats_scalar(v):
+    """Order-preserving log-entry scalar, or None when the value's
+    JSON form would NOT preserve ordering. Range pruning compares
+    recorded stats against caller bounds with Python ``<``/``>``, so
+    only types whose JSON round-trip keeps that order are recordable:
+    int/float/bool (numeric order) and str (lexicographic — correct
+    for ISO dates and other order-encoded keys). Anything else
+    (timestamps, decimals, dates) is NOT recorded — a stringified
+    decimal would compare lexicographically ('9.5' > '10.0') and
+    silently skip files containing matching rows (round-10 ADVICE).
+    An unrecorded column simply keeps the file unprunable — skipping
+    is only legal when the log can PROVE non-overlap."""
+    return v if isinstance(v, (bool, int, float, str)) else None
+
+
+def _bounds_comparable(bound, lo_rec, hi_rec) -> bool:
+    """True when a caller bound and a file's recorded [min, max] live
+    in the same totally-ordered domain: numeric-vs-numeric or
+    str-vs-str. Any cross-type comparison keeps the file (prune only
+    on proof) — the same-type check the stats contract requires."""
+    num = (bool, int, float)
+    if isinstance(bound, num):
+        return isinstance(lo_rec, num) and isinstance(hi_rec, num)
+    if isinstance(bound, str):
+        return isinstance(lo_rec, str) and isinstance(hi_rec, str)
+    return False
 
 
 class CommitConflictError(RuntimeError):
@@ -93,6 +132,16 @@ class CommitConflictError(RuntimeError):
     ``_MAX_COMMIT_ATTEMPTS`` times in a row (pathological contention —
     each loss means some OTHER writer committed, so the table is
     making progress)."""
+
+
+class ConcurrentModificationError(RuntimeError):
+    """Raised when a snapshot-dependent commit (one carrying
+    ``read_version``) finds the table head past its read version: the
+    DataFrame being committed was computed from a snapshot another
+    writer has since changed, so committing it would silently drop the
+    interleaved commit (a lost update). The Delta OSS conflict-checker
+    contract: the caller re-reads, recomputes, and retries — which is
+    exactly what ``commit_merge``/``commit_compact`` do."""
 
 
 class VersionedTable:
@@ -175,7 +224,8 @@ class VersionedTable:
         checkpoint that already exists is simply kept: checkpoints are
         pure functions of the immutable log prefix)."""
         v = self.current_version() if version is None else version
-        assert v >= 0, "checkpoint of an empty log"
+        if v < 0:
+            raise ValueError("checkpoint of an empty log")
         path = f"{self.log_dir}/chk-{v:08d}.json"
         if self._fs.exists(self._P(path)):
             return v
@@ -201,8 +251,12 @@ class VersionedTable:
     def replay_plan(self, version: int | None = None) -> tuple[int | None, int]:
         """(checkpoint version used, tail entries replayed) for a read
         at ``version`` — the observability hook q122 pins. None = full
-        replay (no checkpoint at or below the requested version)."""
-        head = self.current_version() if version is None else version
+        replay (no checkpoint at or below the requested version).
+        Versions past the head clamp to it, matching what the actual
+        read (``_base_and_tail``) does."""
+        head = self.current_version()
+        if version is not None:
+            head = min(version, head)
         base = max(
             (c for c in self._checkpoint_versions() if c <= head),
             default=None,
@@ -251,21 +305,35 @@ class VersionedTable:
         mode: str = "append",
         op: str | None = None,
         stats_cols: list[str] | None = None,
+        read_version: int | None = None,
     ) -> int:
         """Commit ``df`` as the next version. ``mode``: ``append``
         adds files; ``overwrite`` adds files and removes every
         previously-live file (logically — bytes stay for time
-        travel). Returns the committed version. Concurrency-safe:
-        losing a version-slot race re-reads the log and retries
-        against the new head (optimistic, the Delta OSS protocol).
+        travel). Returns the committed version.
+
+        Concurrency: losing a version-slot race re-reads the log and
+        retries against the new head (optimistic, the Delta OSS
+        protocol) — correct for commits whose content does not depend
+        on the read state (append, blind overwrite: the retried
+        commit serializes after the interleaved one). A commit whose
+        DataFrame WAS computed from a snapshot passes that snapshot's
+        version as ``read_version``; if the head is found past it —
+        up front or via a lost slot race — the stale result is never
+        committed and ``ConcurrentModificationError`` is raised
+        instead (the Delta conflict-checker contract; the
+        merge/compact wrappers catch it and recompute).
 
         ``stats_cols``: record per-file min/max of these columns in
         the log entry (the Delta/Iceberg file-statistics idea) —
         ``snapshot_pruned`` then skips files whose range cannot match
         a predicate without opening them. One extra scan of the
         just-written files, grouped by ``input_file_name`` (file-local
-        aggregation, no shuffle wider than files × columns)."""
-        assert mode in ("append", "overwrite"), mode
+        aggregation, no shuffle wider than files × columns). Only
+        order-preserving types (int/float/bool/str) are recorded —
+        see ``_stats_scalar``."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unknown commit mode {mode!r}")
         commit_rel = f"{_DATA_DIR}/c-{uuid.uuid4().hex[:12]}"
         commit_dir = f"{self.root}/{commit_rel}"
         df.write.mode("errorifexists").parquet(commit_dir)
@@ -312,16 +380,36 @@ class VersionedTable:
                     None,
                 )
                 if row is not None:
+                    # NULL min/max (all-NULL file) records as [None,
+                    # None] — kept unprunable downstream; a column
+                    # whose type is not order-preserving in JSON is
+                    # dropped entirely (never wrongly skippable).
                     stats[rel] = {
                         c: [
-                            _json_scalar(row[f"min_{c}"]),
-                            _json_scalar(row[f"max_{c}"]),
+                            _stats_scalar(row[f"min_{c}"]),
+                            _stats_scalar(row[f"max_{c}"]),
                         ]
                         for c in stats_cols
+                        if (
+                            row[f"min_{c}"] is None
+                            or _stats_scalar(row[f"min_{c}"]) is not None
+                        )
+                        and (
+                            row[f"max_{c}"] is None
+                            or _stats_scalar(row[f"max_{c}"]) is not None
+                        )
                     }
         schema_json = df.schema.json()
         for _ in range(_MAX_COMMIT_ATTEMPTS):
             version = self.current_version() + 1
+            if read_version is not None and version != read_version + 1:
+                raise ConcurrentModificationError(
+                    f"table {self.root!r} moved to version "
+                    f"{version - 1} past this transaction's read "
+                    f"version {read_version}: committing the "
+                    "snapshot-derived result would drop the "
+                    "interleaved commit (recompute and retry)"
+                )
             entry = {
                 "version": version,
                 "op": op or mode,
@@ -434,7 +522,10 @@ class VersionedTable:
         decision, made from log metadata alone (no file opened). A
         file WITHOUT stats for ``col`` is always kept: skipping is
         only legal when the log can prove non-overlap. ``lo``/``hi``
-        of None are unbounded ends."""
+        of None are unbounded ends. A bound whose type does not share
+        a total order with the recorded stats (numeric-vs-numeric,
+        str-vs-str — ``_bounds_comparable``) also keeps the file: a
+        cross-type comparison proves nothing (round-10 ADVICE)."""
         stats = self.file_stats(version)
         kept: list[str] = []
         for rel in sorted(stats):
@@ -443,8 +534,14 @@ class VersionedTable:
                 kept.append(rel)
                 continue
             fmin, fmax = rng
-            if (lo is not None and fmax < lo) or (
-                hi is not None and fmin > hi
+            if (
+                lo is not None
+                and _bounds_comparable(lo, fmin, fmax)
+                and fmax < lo
+            ) or (
+                hi is not None
+                and _bounds_comparable(hi, fmin, fmax)
+                and fmin > hi
             ):
                 continue
             kept.append(rel)
@@ -559,20 +656,37 @@ class VersionedTable:
         (``ledger.merge_upsert`` — one full-outer shuffle, all clauses
         as projections) applied to the current snapshot and committed
         as an overwrite with ``op='merge'``. Under a production table
-        format this is ``DeltaTable.merge``; here the transaction log
-        supplies the same read-isolation and time-travel around the
-        identical relational plan."""
+        format this is ``DeltaTable.merge``.
+
+        Snapshot isolation under concurrent writers (round-10 verdict
+        #1): the merge records the version it READ; if another commit
+        lands between that read and the slot claim, the stale merged
+        result is never committed — the transaction RECOMPUTES the
+        merge against the new head and retries (bounded attempts), so
+        an append racing this merge is merged in, never silently
+        clobbered. Single-writer behavior is unchanged."""
         from .ledger import merge_upsert
 
-        merged = merge_upsert(
-            self.snapshot(),
-            source,
-            keys,
-            when_matched=when_matched,
-            insert_values=insert_values,
-            delete_condition=delete_condition,
+        for _ in range(_MAX_COMMIT_ATTEMPTS):
+            base = self.current_version()
+            merged = merge_upsert(
+                self.snapshot(base),
+                source,
+                keys,
+                when_matched=when_matched,
+                insert_values=insert_values,
+                delete_condition=delete_condition,
+            )
+            try:
+                return self.commit(
+                    merged, mode="overwrite", op="merge", read_version=base
+                )
+            except ConcurrentModificationError:
+                continue  # head moved: recompute from the new snapshot
+        raise CommitConflictError(
+            f"merge under {self.root!r} lost the read-recompute race "
+            f"{_MAX_COMMIT_ATTEMPTS} times — pathological contention"
         )
-        return self.commit(merged, mode="overwrite", op="merge")
 
     def commit_compact(self, target_files: int = 1) -> int:
         """OPTIMIZE as a committed version: rewrite the current live
@@ -580,10 +694,25 @@ class VersionedTable:
         row-identical by construction, so ``row_diff`` across the
         commit is empty while small-file scan overhead drops (the
         ``sinks.compact_parquet`` rationale, now with time travel:
-        pre-compaction versions stay readable until vacuum)."""
-        snap = self.snapshot()
-        return self.commit(
-            snap.repartition(target_files), mode="overwrite", op="compact"
+        pre-compaction versions stay readable until vacuum).
+        Snapshot-dependent like ``commit_merge``: a concurrent commit
+        between the snapshot read and the slot claim triggers a
+        recompute against the new head, never a stale rewrite."""
+        for _ in range(_MAX_COMMIT_ATTEMPTS):
+            base = self.current_version()
+            snap = self.snapshot(base)
+            try:
+                return self.commit(
+                    snap.repartition(target_files),
+                    mode="overwrite",
+                    op="compact",
+                    read_version=base,
+                )
+            except ConcurrentModificationError:
+                continue
+        raise CommitConflictError(
+            f"compact under {self.root!r} lost the read-recompute race "
+            f"{_MAX_COMMIT_ATTEMPTS} times — pathological contention"
         )
 
     def history(self) -> list[dict]:
@@ -599,25 +728,54 @@ class VersionedTable:
             for e in self.entries()
         ]
 
-    def vacuum(self, retain_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, retain_versions: int = 1, min_age_ms: int = 0
+    ) -> list[str]:
         """Delete data files not live in any of the last
-        ``retain_versions`` versions (and no longer referenced by any
-        retained snapshot). Returns the deleted relative paths. A
-        time-travel read below the retention floor subsequently fails
-        at scan time (the file list references deleted paths) rather
-        than returning partial data — pinned by the vacuum-safety
-        property test."""
+        ``retain_versions`` versions. Returns the deleted relative
+        paths. A time-travel read below the retention floor
+        subsequently fails at scan time (the file list references
+        deleted paths) rather than returning partial data — pinned by
+        the vacuum-safety property test.
+
+        Two further retention floors (round-10 verdict #7 — the
+        ``substrate_store.prune_superseded`` discipline applied here):
+
+        - **Age**: nothing younger than ``min_age_ms`` is deleted
+          (modification time from the Hadoop FS), so an in-flight
+          reader that resolved a file list before the vacuum gets a
+          full grace window to finish its scan. The sandbox default is
+          0 (tests stage and vacuum in one process); a production
+          deployment sets hours-to-days, exactly Delta's
+          ``deletedFileRetentionDuration``.
+        - **Checkpoints**: files referenced by the LATEST checkpoint's
+          live set are never deleted while that checkpoint is not
+          superseded by a newer one — the checkpoint must stay a valid
+          read basis (readers start from it), whatever the version
+          retention says.
+        """
         head = self.current_version()
         keep: set[str] = set()
         for v in range(max(0, head - retain_versions + 1), head + 1):
             keep.update(self.live_files(v))
+        cks = self._checkpoint_versions()
+        if cks:
+            keep.update(self._read_checkpoint(cks[-1])["live"])
+        now_ms = self._jvm.java.lang.System.currentTimeMillis()
         deleted = []
         all_files: set[str] = set()
         for e in self.entries():
             all_files.update(e["add"])
         for rel in sorted(all_files - keep):
             p = self._P(f"{self.root}/{rel}")
-            if self._fs.exists(p):
-                self._fs.delete(p, False)
-                deleted.append(rel)
+            if not self._fs.exists(p):
+                continue
+            if (
+                min_age_ms > 0
+                and now_ms - self._fs.getFileStatus(p).getModificationTime()
+                < min_age_ms
+            ):
+                continue  # inside the in-flight-reader grace window
+            self._fs.delete(p, False)
+            deleted.append(rel)
         return deleted

@@ -97,6 +97,22 @@ def word_types_truncated(docs: DataFrame, w: int | None = None) -> DataFrame:
     )
 
 
+def word_types_full(docs: DataFrame) -> DataFrame:
+    """(word, w): the UNTRUNCATED word-type histogram — the serving
+    tier's corpus basis (round-10 verdict #4: at 100× words longer
+    than ``MAX_WORD_LEN`` appear; honest token accounting must see the
+    full words so the tail beyond the lattice can be counted as
+    fallback/UNK instead of silently merged into truncated types).
+    Same single corpus-sized pass as ``word_types_truncated``."""
+    return (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .select(F.col("tok").alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+
+
 def candidate_pieces(wt: DataFrame) -> DataFrame:
     """(word, w, j, i, piece): every lattice edge of every word type —
     piece = word[j:i], 0 ≤ j < i ≤ len ≤ W, i-j ≤ L. Row-local

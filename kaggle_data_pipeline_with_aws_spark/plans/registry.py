@@ -105,3 +105,6 @@ def load_all() -> None:
     from . import wave65  # noqa: F401
     from . import wave66  # noqa: F401
     from . import wave67  # noqa: F401
+    from . import wave68  # noqa: F401
+    from . import wave69  # noqa: F401
+    from . import wave70  # noqa: F401

@@ -1,0 +1,170 @@
+"""Round-11 wave 68 — the transaction-log CDC source as a REAL
+``spark.readStream`` face (round-10 verdict #2):
+
+- s16 — the wave-60 three-commit table streamed through
+  ``spark.readStream.format("txnlog")`` (streaming/dsv2_source.py —
+  Spark 4's Python DataSource V2 streaming API): offsets are committed
+  versions, Spark owns the checkpoint, one micro-batch per version.
+  The face stages commits INTERLEAVED with stream progress (commit v0
+  → drain a batch → commit v1 → drain → commit v2 → drain), the live
+  tailing every production consumer actually runs, so each micro-batch
+  is deterministically one version. Per-batch aggregates equal the s15
+  tailer face's — the ORACLE IS s15's oracle, verbatim — so the DSv2
+  engine path and the driver-side tailer are proven batch-for-batch
+  equal against DuckDB.
+
+Engine-checkpoint recovery (kill mid-stream, resume: no dup, no loss),
+the versionsPerBatch rate limit, and the rewrite modes are
+tests/test_dsv2_source.py. Where the python DataSource API is absent
+the face falls back to the proven ``TxnLogStream`` tailer (identical
+batch semantics — the skip-gated arm the verdict asks to keep
+visible).
+
+Reference scope: the reference's T1–T3 trigger/incremental semantics
+as a first-class Structured Streaming source — beyond-reference
+surface.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..operators.txnlog import VersionedTable
+from ..streaming import dsv2_source
+from ..streaming.cdc_source import TxnLogStream
+from .registry import spark_query
+from .wave60 import _CUT1, _CUT2, _fresh_root, _spend, _t
+from .wave64 import _s15_oracle
+
+_BATCH_SCHEMA = StructType(
+    [
+        StructField("version", LongType(), False),
+        StructField("op", StringType(), False),
+        StructField("is_rewrite", BooleanType(), False),
+        StructField("n_rows", LongType(), False),
+        StructField("batch_spend", DoubleType(), True),
+    ]
+)
+_OPS = [("bootstrap", False), ("increment", False), ("rewrite", True)]
+
+
+def _batch_agg(df: DataFrame) -> tuple[int, float]:
+    row = df.agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum(F.col("spend").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("s"),
+    ).collect()[0]
+    return int(row.n), row.s
+
+
+def _commit_stages(spark: SparkSession, sf_dir: str):
+    """The wave-60 commit sequence as deferred thunks, so the stream
+    face can interleave them with batch progress."""
+    orders = _t(spark, sf_dir, "orders")
+    c1 = F.lit(_CUT1).cast("timestamp")
+    c2 = F.lit(_CUT2).cast("timestamp")
+    return [
+        lambda vt: vt.commit(
+            _spend(orders.filter(F.col("o_orderdate") < c1)),
+            mode="overwrite",
+            op="bootstrap",
+        ),
+        lambda vt: vt.commit(
+            _spend(
+                orders.filter(
+                    (F.col("o_orderdate") >= c1)
+                    & (F.col("o_orderdate") < c2)
+                )
+            ),
+            mode="append",
+            op="increment",
+        ),
+        lambda vt: vt.commit(_spend(orders), mode="overwrite", op="rewrite"),
+    ]
+
+
+def _drain_via_readstream(
+    spark: SparkSession, vt: VersionedTable, stages
+) -> list[tuple[int, float]]:
+    """Interleaved live tail: one staged commit, then wait for its
+    micro-batch, three times. Returns per-batch (n_rows, spend)."""
+    got: list[tuple[int, float]] = []
+
+    def sink(df: DataFrame, _bid: int) -> None:
+        got.append(_batch_agg(df))
+
+    stages[0](vt)  # v0 exists before the stream starts (schema source)
+    q = (
+        spark.readStream.format("txnlog")
+        .option("path", vt.root)
+        .option("onRewrite", "adds")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="s16-ck-"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        for want, stage in [(1, stages[1]), (2, stages[2]), (3, None)]:
+            deadline = time.time() + 120
+            while time.time() < deadline and len(got) < want:
+                time.sleep(0.2)
+            assert len(got) >= want, (
+                f"s16 stream drained {len(got)}/{want} batches"
+            )
+            if stage is not None:
+                stage(vt)
+    finally:
+        q.stop()
+    return got[:3]
+
+
+def _drain_via_tailer(
+    spark: SparkSession, vt: VersionedTable, stages
+) -> list[tuple[int, float]]:
+    """Fallback arm (python DataSource API unavailable): the proven
+    s15 tailer over the fully staged table — identical batches."""
+    for stage in stages:
+        stage(vt)
+    return [
+        _batch_agg(batch)
+        for _v, batch in TxnLogStream(vt, on_rewrite="adds").poll()
+    ]
+
+
+@spark_query("s16_txnlog_readstream_batches", _s15_oracle())
+def s16_txnlog_readstream_batches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The lakehouse CDC source through the ENGINE's streaming
+    machinery: ``spark.readStream.format("txnlog")`` tails the staged
+    table live (commits interleaved with batch progress), Spark owns
+    offsets and the checkpoint, and every micro-batch is exactly one
+    committed version's added files. Values are proven equal to the
+    driver-side tailer face (s15) by sharing its oracle verbatim. The
+    scan inside each batch is the version's explicit file list read as
+    Arrow batches — delta bytes only, never a full-table scan."""
+    vt = VersionedTable(spark, _fresh_root("vtab-s16-"))
+    stages = _commit_stages(spark, sf_dir)
+    if dsv2_source.register(spark):
+        batches = _drain_via_readstream(spark, vt, stages)
+    else:  # pragma: no cover - sandbox has DSv2
+        batches = _drain_via_tailer(spark, vt, stages)
+    rows = [
+        (v, _OPS[v][0], _OPS[v][1], n, s)
+        for v, (n, s) in enumerate(batches)
+    ]
+    return spark.createDataFrame(rows, _BATCH_SCHEMA).orderBy("version")

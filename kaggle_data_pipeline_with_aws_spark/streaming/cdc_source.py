@@ -81,10 +81,13 @@ class TxnLogStream:
         if head <= self.last_version:
             return []
         batches: list[tuple[int, DataFrame]] = []
+        # read ONLY the window's entries — a poll moves O(new versions)
+        # metadata even on a long-lived log (round-10 ADVICE: entries()
+        # here re-read the whole history on every non-empty poll)
         rewrites = {
             e["version"]
-            for e in self.vt.entries()
-            if e["remove"] and self.last_version < e["version"] <= head
+            for e in self.vt._tail_entries(self.last_version, head)
+            if e["remove"]
         }
         for v in range(self.last_version + 1, head + 1):
             if v in rewrites:

@@ -339,3 +339,163 @@ def test_checkpoint_replay_plan_and_equivalence(spark, vt):
     vt.checkpoint(5)
     assert vt.replay_plan(5) == (5, 0)
     assert vt.replay_plan(4) == (3, 1)
+
+
+# ---------------------------------------------------------------------------
+# Round-11: snapshot-isolation conflict detection (verdict #1), vacuum
+# retention floors (verdict #7), stats type safety (ADVICE medium),
+# replay_plan clamp + checkpoint validation (ADVICE lows).
+# ---------------------------------------------------------------------------
+def test_commit_with_read_version_raises_when_head_moved(spark, vt):
+    from kaggle_data_pipeline_with_aws_spark.operators.txnlog import (
+        ConcurrentModificationError,
+    )
+
+    vt.commit(_df(spark, [(1, "a")]), "overwrite")  # v0
+    other = VersionedTable(spark, vt.root)
+    other.commit(_df(spark, [(2, "b")]), "append")  # v1 — the interleave
+    with pytest.raises(ConcurrentModificationError, match="read version 0"):
+        vt.commit(_df(spark, [(9, "stale")]), "overwrite", read_version=0)
+    # the stale result never became a version; the interleave survived
+    assert vt.current_version() == 1
+    assert sorted(r.k for r in vt.snapshot().collect()) == [1, 2]
+
+
+def test_merge_racing_append_recomputes_never_loses_update(spark, vt):
+    """The round-10 verdict's lost-update scenario: an append lands
+    between commit_merge's snapshot read and its slot claim. The merge
+    must recompute against the new head (or fail) — never silently
+    clobber the append."""
+    import pyspark.sql.functions as F
+
+    vt.commit(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, bal double"),
+        "overwrite",
+    )
+    src = spark.createDataFrame([(2, 5.0), (4, 7.0)], "k int, d double")
+
+    real_snapshot = vt.snapshot
+    interleaved = {"done": False}
+
+    def snapshot_with_interleave(version=None, merge_schema=False):
+        out = real_snapshot(version, merge_schema)
+        if not interleaved["done"]:
+            interleaved["done"] = True
+            VersionedTable(spark, vt.root).commit(
+                spark.createDataFrame([(99, 1.0)], "k int, bal double"),
+                "append",
+            )
+        return out
+
+    vt.snapshot = snapshot_with_interleave
+    try:
+        v = vt.commit_merge(
+            src,
+            keys=["k"],
+            when_matched={"bal": F.col("t.bal") + F.col("s.d")},
+            insert_values={"bal": F.col("s.d")},
+        )
+    finally:
+        del vt.snapshot  # restore the bound method
+    assert v == 2  # v1 was the interleaved append; merge recomputed
+    got = {r.k: r.bal for r in vt.snapshot().collect()}
+    # the interleaved row 99 was NOT lost, and the merge applied
+    assert got == {1: 10.0, 2: 25.0, 4: 7.0, 99: 1.0}
+
+
+def test_vacuum_age_floor_protects_inflight_reader(spark, vt):
+    """Grace-windowed vacuum: with a min_age_ms floor nothing young is
+    deleted, so a reader that resolved its file list before the vacuum
+    still scans successfully (the substrate_store GC discipline)."""
+    vt.commit(_df(spark, [(1, "a")]), "overwrite")
+    vt.commit(_df(spark, [(2, "b")]), "overwrite")
+    vt.commit(_df(spark, [(3, "c")]), "overwrite")
+    inflight = vt.snapshot(0)  # file list resolved now, scan deferred
+    assert vt.vacuum(retain_versions=1, min_age_ms=3_600_000) == []
+    assert sorted(r.k for r in inflight.collect()) == [1]
+    # past the grace window (floor 0) the same call collects them
+    deleted = vt.vacuum(retain_versions=1, min_age_ms=0)
+    assert deleted
+    with pytest.raises(Exception):
+        vt.snapshot(0).collect()
+
+
+def test_vacuum_never_deletes_latest_checkpoint_basis(spark, vt):
+    """Files referenced by the latest (non-superseded) checkpoint's
+    live set survive vacuum whatever the version retention — the
+    checkpoint must remain a valid read basis. A newer checkpoint
+    supersedes and releases them."""
+    vt.commit(_df(spark, [(1, "a")]), "overwrite")  # v0
+    vt.commit(_df(spark, [(2, "b")]), "overwrite")  # v1
+    vt.checkpoint(1)
+    vt.commit(_df(spark, [(3, "c")]), "overwrite")  # v2
+    vt.commit(_df(spark, [(4, "d")]), "overwrite")  # v3
+    deleted = set(vt.vacuum(retain_versions=1))
+    assert not (deleted & set(vt._read_checkpoint(1)["live"]))
+    assert sorted(r.k for r in vt.snapshot(1).collect()) == [2]
+    vt.checkpoint(3)  # supersedes the v1 checkpoint
+    deleted2 = set(vt.vacuum(retain_versions=1))
+    assert set(vt._read_checkpoint(1)["live"]) <= deleted2
+    assert sorted(r.k for r in vt.snapshot(3).collect()) == [4]
+
+
+def test_stats_skip_non_order_preserving_types(spark, vt):
+    """Timestamps/dates/decimals must NOT be recorded as stringified
+    stats (lexicographic pruning on them is wrong — round-10 ADVICE):
+    the column is simply unprunable."""
+    import pyspark.sql.functions as F
+
+    vt.commit(
+        spark.createDataFrame(
+            [(1, "2024-01-05"), (2, "2024-03-05")], "k int, d string"
+        ).select("k", F.col("d").cast("timestamp").alias("ts"))
+        .repartition(1),
+        "append",
+        stats_cols=["k", "ts"],
+    )
+    stats = list(vt.file_stats().values())[0]
+    assert "k" in stats and "ts" not in stats
+    # pruning on the unrecorded column keeps every file
+    files, total = vt.pruned_files("ts", "1990-01-01", "1990-12-31")
+    assert len(files) == total == 1
+
+
+def test_pruning_cross_type_bounds_keep_files(spark, vt):
+    """A bound whose type shares no total order with the recorded
+    stats proves nothing — the file is kept, and numeric bounds
+    against string stats never raise (round-10 ADVICE: they used to
+    TypeError)."""
+    vt.commit(
+        spark.createDataFrame(
+            [("2024-01", 1), ("2024-02", 2)], "m string, k int"
+        ).repartition(1),
+        "append",
+        stats_cols=["m", "k"],
+    )
+    # int bounds against string stats: kept, no TypeError
+    files, total = vt.pruned_files("m", 5, 10)
+    assert len(files) == total == 1
+    # string bounds against int stats: kept, no TypeError
+    files2, _ = vt.pruned_files("k", "a", "z")
+    assert len(files2) == 1
+    # same-type bounds still prune
+    files3, _ = vt.pruned_files("m", "2025-01", "2025-12")
+    assert files3 == []
+
+
+def test_replay_plan_clamps_to_head(spark, vt):
+    vt.commit(_df(spark, [(1, "a")]), "overwrite")
+    vt.commit(_df(spark, [(2, "b")]), "append")
+    assert vt.replay_plan(99) == vt.replay_plan(1) == (None, 2)
+    vt.checkpoint(1)
+    assert vt.replay_plan(99) == (1, 0)
+
+
+def test_checkpoint_empty_log_raises_value_error(spark, vt):
+    with pytest.raises(ValueError, match="empty log"):
+        vt.checkpoint()
+
+
+def test_commit_unknown_mode_raises_value_error(spark, vt):
+    with pytest.raises(ValueError, match="unknown commit mode"):
+        vt.commit(_df(spark, [(1, "a")]), "upsert")
