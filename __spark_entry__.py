@@ -134,6 +134,13 @@ _WINDOW_PRIORITY = [
     # recall/cost audit.
     "d216_nsw_layered_search",
     "d217_nsw_layered_recall",
+    # wave 71: compound multi-column data skipping (pruned_files_ranges
+    # — per-column necessary conditions intersect) and the adaptive
+    # search's filtered-brute fallback tier (verdict #3's last clause);
+    # tiers move with scale: brute at sf0.001/0.01, hi-probe at sf0.1,
+    # base-probe from 10x.
+    "q123_compound_stats_skipping",
+    "d218_ann_adaptive_brute_fallback",
 ]
 # The driver checks the first 50 of queries() — slots beyond the
 # staged list fall through to already-proven oracle-backed queries via

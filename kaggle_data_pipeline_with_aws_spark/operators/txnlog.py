@@ -547,6 +547,44 @@ class VersionedTable:
             kept.append(rel)
         return kept, len(stats)
 
+    def pruned_files_ranges(
+        self, bounds: dict[str, tuple], version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Conjunctive multi-column skipping: (files whose recorded
+        stats can intersect EVERY ``col: (lo, hi)`` bound, total live
+        files). A file skips when ANY column's range provably misses
+        its bound — the Delta/Iceberg compound data-skipping decision
+        (per-column necessary conditions intersect). Unknown stats or
+        cross-type bounds keep the file, per ``pruned_files``."""
+        kept, total = None, 0
+        for col, (lo, hi) in bounds.items():
+            files, total = self.pruned_files(col, lo, hi, version)
+            kept = set(files) if kept is None else kept & set(files)
+        return sorted(kept or ()), total
+
+    def snapshot_pruned_ranges(
+        self, bounds: dict[str, tuple], version: int | None = None
+    ) -> DataFrame:
+        """Conjunctive-range snapshot read: scan only the files
+        ``pruned_files_ranges`` keeps, then apply every exact bound
+        (stats prove necessity only; parquet row-group pushdown
+        finishes inside the kept files)."""
+        files, _total = self.pruned_files_ranges(bounds, version)
+        if not files:
+            schema = self._schema_at(version)
+            assert schema is not None, "pruned snapshot of an empty log"
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.parquet(
+                *[f"{self.root}/{f}" for f in files]
+            )
+        for col, (lo, hi) in bounds.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= lo)
+            if hi is not None:
+                df = df.filter(F.col(col) <= hi)
+        return df
+
     def snapshot_pruned(
         self, col: str, lo, hi, version: int | None = None
     ) -> DataFrame:

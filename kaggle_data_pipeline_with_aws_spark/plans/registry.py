@@ -108,3 +108,4 @@ def load_all() -> None:
     from . import wave68  # noqa: F401
     from . import wave69  # noqa: F401
     from . import wave70  # noqa: F401
+    from . import wave71  # noqa: F401

@@ -9,16 +9,19 @@ layer to query-local entries):
   carries its own small kNN graph (IVF top-8 among upper nodes,
   symmetrized — the same build discipline as the base graph); a short
   beam search over the upper layer from fixed entries yields each
-  query's top-4 upper nodes, and THOSE become the layer-0 entry
+  query's top-12 upper nodes, and THOSE become the layer-0 entry
   points (operators/nsw.py::search_visited_from). The base beam then
   starts already near the query instead of at corpus-global entries.
 - d217 — the d209-shaped recall/cost audit: recall@5 against the
   exact ground truth with n_scored = upper + base scoring work, so
-  the row reads side by side with d209 (same beam/rounds at layer 0 —
-  any recall gain is the entry points' doing, at the upper layer's
-  bounded extra cost: |upper| = corpus/8 nodes carry a graph of
-  degree ≤ 8, and the upper search scores entries + rounds × beam ×
-  degree nodes per query, corpus-size-independent).
+  the row reads side by side with d209. The measured trade (sweep in
+  BENCH_SCALING.md round 11): locally-seeded beams expand into
+  heavily-overlapping neighborhoods, so each round admits FEWER new
+  candidates than globally-seeded ones — at sf0.1 a pure-layered
+  beam 12 × 3 scores only ~470 nodes (vs flat's ~902) but recalls
+  0.72. Spending the savings on width/depth (beam 20 × 4 rounds)
+  lands recall@5 = 0.94 at ~815 scored nodes — ABOVE d209's 0.86 at
+  ~10% FEWER scored nodes, the HNSW argument in measured form.
 
 Scale shape: the upper layer is a COLUMN-PREDICATE sample (no
 shuffle), its graph build is the same bucketed IVF (never all-pairs)
@@ -36,40 +39,37 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import nsw, similarity
-from ..operators.knn_substrate import augmented_knn_edges
-from ..operators.text import portable_hash, portable_hash_sql
+from ..operators.knn_substrate import (
+    UPPER_K as _UP_K,
+    UPPER_N_PROBE as _UP_PROBE,
+    UPPER_SAMPLE_MOD as _SAMPLE_MOD,
+    augmented_knn_edges,
+    upper_knn_edges,
+    upper_layer_pred as _upper_pred,
+)
+from ..operators.text import portable_hash_sql
 from ..sources.readers import load_table
 from .registry import spark_query
 from .wave63 import _aug_graph_cte, _cos_ab
 
 _N_CENTS = 16
 _Q_LO, _Q_HI = 100, 110
-_SAMPLE_MOD = 8     # upper layer = 1-in-8 deterministic sample
-_UP_K = 8           # upper-graph per-node degree
-_UP_PROBE = 2
 _UP_ENTRIES = 4     # fixed entries into the upper layer
 _UP_BEAM = 6
 _UP_ROUNDS = 2
-_ENTRY_E = 4        # per-query entries handed to layer 0
-_BEAM = 12          # layer-0 parameters — identical to d208/d209
-_ROUNDS = 3
+_ENTRY_E = 12       # per-query entries handed to layer 0
+# Layer-0 beam/rounds: measured at sf0.1 (BENCH_SCALING.md round 11),
+# the locally-seeded beam produces a much smaller candidate frontier
+# per round than d208's 16 global entries, so the SAME scored-node
+# budget affords a wider, deeper search: beam 20 × 4 rounds scores
+# ~815 nodes/query vs d209's 902 and lifts recall@5 0.86 → 0.94.
+_BEAM = 20
+_ROUNDS = 4
 _TOPK = 5
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
-
-
-def _upper_pred() -> F.Column:
-    return (
-        F.pmod(
-            portable_hash(
-                F.concat(F.lit("hl|"), F.col("vec_id").cast("string"))
-            ),
-            F.lit(_SAMPLE_MOD),
-        )
-        == 0
-    )
 
 
 def _upper_sql() -> str:
@@ -86,22 +86,11 @@ def _queries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _upper_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The upper layer's own kNN graph: IVF top-``_UP_K`` among upper
-    nodes (global quantizer), symmetrized, never mutual-filtered —
-    the base graph's build discipline on the sample."""
-    embs = _embs(spark, sf_dir)
-    upper = embs.filter(_upper_pred())
-    cents = embs.filter(F.col("vec_id") < _N_CENTS)
-    knn = similarity.ivf_topk_fixed_centroids(
-        upper, upper, cents, k=_UP_K, n_probe=_UP_PROBE
-    )
-    return (
-        knn.select(
-            F.least("query_id", "neighbor_id").alias("node_a"),
-            F.greatest("query_id", "neighbor_id").alias("node_b"),
-        )
-        .distinct()
-    )
+    """The upper layer's kNN graph — the published ``knn_edges_upper``
+    substrate (operators/knn_substrate.py::upper_knn_edges: IVF
+    top-``_UP_K`` among the sampled nodes, symmetrized, build-once
+    like the base graphs)."""
+    return upper_knn_edges(spark, sf_dir)
 
 
 def _layer0_entries(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -107,3 +107,48 @@ def test_augmented_graph_has_no_isolated_nodes_and_recall_recovers(spark):
     rows = QUERIES["d209_nsw_augmented_recall"](spark, sf).collect()
     mean_recall = sum(r.recall for r in rows) / len(rows)
     assert mean_recall >= 0.8, mean_recall
+
+
+def test_search_visited_from_uses_per_query_entries(spark):
+    """Round-11 (verdict #6): ``search_visited_from`` starts each
+    query at ITS OWN entry pairs — entries differ per query, a query
+    never scores itself, and with zero rounds the visited set is
+    exactly the scored entry pairs."""
+    from kaggle_data_pipeline_with_aws_spark.operators.nsw import (
+        search_visited_from,
+    )
+
+    embs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 1.0])],
+        "query_id long, embedding array<double>",
+    )
+    entries = spark.createDataFrame(
+        [(0, 2), (0, 0), (1, 3)], "query_id long, node long"
+    )  # (0, 0) is a self-entry: must be dropped
+    edges = spark.createDataFrame([(4, 5)], "node_a long, node_b long")
+    vis = search_visited_from(
+        queries, edges, embs, entries, beam=4, rounds=0
+    )
+    got = {(r.query_id, r.node) for r in vis.collect()}
+    assert got == {(0, 2), (1, 3)}
+
+
+def test_layered_entries_beat_flat_on_recall_per_scored_node(spark):
+    """The wave-70 claim at test scale: the layered search's recall is
+    at least the flat d209 recall on the same corpus (the audit rows
+    d217/d209 pin the exact values; this is the cheap invariant)."""
+    from kaggle_data_pipeline_with_aws_spark.plans.registry import (
+        QUERIES,
+        load_all,
+    )
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    flat = QUERIES["d209_nsw_augmented_recall"](spark, sf).collect()
+    layered = QUERIES["d217_nsw_layered_recall"](spark, sf).collect()
+    mean = lambda rows: sum(r.recall for r in rows) / len(rows)  # noqa: E731
+    assert mean(layered) >= mean(flat)

@@ -499,3 +499,39 @@ def test_checkpoint_empty_log_raises_value_error(spark, vt):
 def test_commit_unknown_mode_raises_value_error(spark, vt):
     with pytest.raises(ValueError, match="unknown commit mode"):
         vt.commit(_df(spark, [(1, "a")]), "upsert")
+
+
+def test_compound_pruning_intersects_per_column_decisions(spark, vt):
+    """Conjunctive multi-column skipping: a file is kept only when
+    EVERY probed column's recorded range can intersect its bound, and
+    the pruned read's rows equal the full read's filtered rows."""
+    import pyspark.sql.functions as F
+
+    for half, m in [(0, "a"), (0, "b"), (1, "a"), (1, "b")]:
+        lo = half * 100
+        vt.commit(
+            spark.createDataFrame(
+                [(lo + i, m, i) for i in range(10)],
+                "k int, m string, v int",
+            ).repartition(1),
+            "append",
+            stats_cols=["k", "m"],
+        )
+    files, total = vt.pruned_files_ranges({"k": (0, 50), "m": ("b", "b")})
+    assert total == 4 and len(files) == 1
+    got = sorted(
+        (r.k, r.m)
+        for r in vt.snapshot_pruned_ranges(
+            {"k": (0, 50), "m": ("b", "b")}
+        ).collect()
+    )
+    want = sorted(
+        (r.k, r.m)
+        for r in vt.snapshot()
+        .filter((F.col("k") >= 0) & (F.col("k") <= 50) & (F.col("m") == "b"))
+        .collect()
+    )
+    assert got == want
+    # unbounded column keeps everything on that axis
+    files2, _ = vt.pruned_files_ranges({"k": (None, None), "m": ("a", "a")})
+    assert len(files2) == 2
