@@ -119,7 +119,10 @@ def _drain_via_readstream(
     )
     try:
         for want, stage in [(1, stages[1]), (2, stages[2]), (3, None)]:
-            deadline = time.time() + 120
+            # generous per-batch deadline: a batch is an aggregate over
+            # one commit's files — seconds at driver scales, minutes at
+            # the 100x execution decade on a contended box
+            deadline = time.time() + 600
             while time.time() < deadline and len(got) < want:
                 time.sleep(0.2)
             assert len(got) >= want, (

@@ -208,3 +208,59 @@ def test_viterbi_encode_matches_python_replay(spark):
         assert r.vbest == vb, r.word   # identical floats
         assert r.n_pieces == nb, r.word  # exact path length
         assert 1 <= r.n_pieces <= len(r.word)
+
+
+def test_fallback_accounting_on_overlong_words(spark):
+    """Round-11 (round-10 verdict #4): words beyond the W-char lattice
+    encode as head-Viterbi + one token per tail character, split into
+    FALLBACK (tail char in the trained single vocab) and UNK (never
+    seen by the trainer). End-to-end on a synthetic corpus with
+    >W-char words: the d210 registry plan vs its registered DuckDB
+    oracle on the SAME staged table, with nonzero fallback AND UNK
+    masses. (Every shipped dataset stays within W=12 — the round-10
+    width raise absorbed even the 100x corpus's 11-char words — so
+    this synthetic corpus is what exercises the arms.)"""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from kaggle_data_pipeline_with_aws_spark.plans import registry
+
+    registry.load_all()
+    # 'abcdefghijkl' is the 12-char head; tails: 'ab' (chars in the
+    # head vocab -> fallback) and 'QZ' (never in any head -> UNK)
+    texts = [
+        "abcdefghijklab cd cd ab",        # 14-char word, known tail
+        "abcdefghijklQZ cd ab ab cd",     # 14-char word, unseen tail
+        "ab cd abcd",
+    ]
+    sf_dir = tempfile.mkdtemp(prefix="unigram-fb-")
+    docs = spark.createDataFrame(
+        [(i, t, "en", "synth", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    got = registry.QUERIES["d210_unigram_viterbi_encode"](
+        spark, sf_dir
+    ).collect()
+    overflow = [r for r in got if r.wlen == 13]
+    assert len(overflow) == 1
+    o = overflow[0]
+    assert o.n_truncated_types == 2
+    assert o.n_fallback_tokens == 2  # 'a'+'b' tail chars, one word
+    assert o.n_unk_tokens == 2       # 'Q'+'Z', one word
+    # tokens include the tail: n_tokens = head pieces + tail chars
+    assert o.n_tokens >= o.n_fallback_tokens + o.n_unk_tokens
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'documents.parquet')}/*.parquet'"
+    )
+    want = con.execute(
+        registry.ORACLE_SQL["d210_unigram_viterbi_encode"]
+    ).fetchall()
+    got_t = [tuple(r) for r in got]
+    assert sorted(got_t) == sorted(tuple(r) for r in want)

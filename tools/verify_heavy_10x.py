@@ -269,6 +269,43 @@ def _nsw_alt(name: str) -> list[str]:
     ]
 
 
+def _layered_alt(name: str) -> list[str]:
+    """d216/d217 (wave 70): the registered oracle appends the
+    upper-layer + layered beam unroll to the AUGMENTED graph chain
+    (wave 63's `edges`) — the same MATERIALIZED-downstream-of-the-
+    rescore-chain pathology as d204/d205 at 10x. Derived from the
+    registered SQL at runtime: the augmented edge list AND the shared
+    centroid-score table (`all_scored`, which the upper-layer CTEs
+    re-read) each land in a temp table once; everything after the
+    `qs` marker runs unchanged on top."""
+    from kaggle_data_pipeline_with_aws_spark.plans import registry
+
+    registry.load_all()
+    sql = registry.ORACLE_SQL[name]
+    marker = "qs AS ("
+    i = sql.find(marker)
+    assert i > 0, f"{name} oracle shape changed: qs CTE marker missing"
+    head = sql[:i].rstrip().rstrip(",")
+    tail = sql[i:]
+    assert tail.count("FROM edges") == 1, "unexpected edges reference form"
+    assert tail.count("FROM all_scored") == 2, (
+        "unexpected all_scored reference form"
+    )
+    tail = tail.replace("FROM edges", "FROM _nsw_edges")
+    tail = tail.replace("FROM all_scored", "FROM _nsw_allscored")
+    return [
+        "DROP TABLE IF EXISTS _nsw_edges",
+        "CREATE TEMP TABLE _nsw_edges AS "
+        + head
+        + "\n    SELECT node_a, node_b FROM edges",
+        "DROP TABLE IF EXISTS _nsw_allscored",
+        "CREATE TEMP TABLE _nsw_allscored AS "
+        + head
+        + "\n    SELECT node, centroid_id, cscore FROM all_scored",
+        "WITH " + tail,
+    ]
+
+
 ALT_ORACLES: dict[str, list[str]] = {}
 
 
@@ -279,6 +316,12 @@ def _load_alts() -> None:
     ALT_ORACLES["d40_pagerank"] = _d40_alt()
     ALT_ORACLES["d204_nsw_beam_search"] = _nsw_alt("d204_nsw_beam_search")
     ALT_ORACLES["d205_nsw_recall_audit"] = _nsw_alt("d205_nsw_recall_audit")
+    ALT_ORACLES["d216_nsw_layered_search"] = _layered_alt(
+        "d216_nsw_layered_search"
+    )
+    ALT_ORACLES["d217_nsw_layered_recall"] = _layered_alt(
+        "d217_nsw_layered_recall"
+    )
 
 
 def run_sql(con, stmts: list[str]):
