@@ -185,3 +185,12 @@ def test_schema_comes_from_log_head(spark):
     df = spark.readStream.format("txnlog").option("path", root).load()
     assert [f.name for f in df.schema.fields] == ["k", "v"]
     assert df.isStreaming
+
+
+def test_register_returns_false_without_dsv2(spark, monkeypatch):
+    """The skip-gated fallback arm: where the python DataSource API is
+    absent, register() reports False and the s16 face drains through
+    the proven TxnLogStream tailer instead (same batches — the shared
+    s15 oracle is the equality proof)."""
+    monkeypatch.setattr(dsv2_source, "HAVE_DSV2", False)
+    assert dsv2_source.register(spark) is False
