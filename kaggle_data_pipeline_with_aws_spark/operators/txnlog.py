@@ -84,6 +84,7 @@ boundary).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import re
 import uuid
@@ -93,6 +94,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _LOG_DIR = "_txn"
+_INDEX_DIR = "_txn_index"
 _DATA_DIR = "data"
 _ENTRY_RE = re.compile(r"^\d{8}\.json$")
 _CHECKPOINT_RE = re.compile(r"^chk-\d{8}\.json$")
@@ -112,6 +114,19 @@ def _stats_scalar(v):
     An unrecorded column simply keeps the file unprunable — skipping
     is only legal when the log can PROVE non-overlap."""
     return v if isinstance(v, (bool, int, float, str)) else None
+
+
+def _bloom_position(value, j: int, bits: int) -> int:
+    """Bit position of hash function ``j`` for a point-lookup key — the
+    driver-side twin of the commit-time column expression
+    (``portable_hash`` over ``'blm{j}|' || CAST(value AS STRING)``).
+    All three engines (Spark commit scan, this Python probe, the
+    DuckDB oracle) agree because md5 over the decimal string form of
+    the key is engine-independent; bloom indexing is therefore
+    supported for int/string keys (floats have no canonical string
+    form across engines and are rejected at commit)."""
+    s = f"blm{j}|{value}"
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % bits
 
 
 def _bounds_comparable(bound, lo_rec, hi_rec) -> bool:
@@ -234,6 +249,7 @@ class VersionedTable:
             "live": self.live_files(v),
             "schema": self._schema_at(v).json(),
             "stats": self.file_stats(v),
+            "bloom": self.file_blooms(v),
         }
         tmp = f"{self.log_dir}/.tmp-{uuid.uuid4().hex}"
         self._write_small(tmp, json.dumps(state))
@@ -306,6 +322,9 @@ class VersionedTable:
         op: str | None = None,
         stats_cols: list[str] | None = None,
         read_version: int | None = None,
+        bloom_col: str | None = None,
+        bloom_bits: int = 1 << 14,
+        bloom_k: int = 2,
     ) -> int:
         """Commit ``df`` as the next version. ``mode``: ``append``
         adds files; ``overwrite`` adds files and removes every
@@ -331,9 +350,36 @@ class VersionedTable:
         just-written files, grouped by ``input_file_name`` (file-local
         aggregation, no shuffle wider than files × columns). Only
         order-preserving types (int/float/bool/str) are recorded —
-        see ``_stats_scalar``."""
+        see ``_stats_scalar``.
+
+        ``bloom_col``: additionally build a per-file Bloom filter over
+        this high-cardinality column (the Delta bloom-filter-index
+        idea) — ``bloom_admitted_files`` then answers POINT lookups
+        from the index alone, skipping files the filter proves cannot
+        contain the key (min/max stats are useless for point probes on
+        unclustered keys). Each file's filter is a SIDECAR file under
+        ``_txn_index/`` (its set-bit positions, ≤ ``bloom_bits`` ints);
+        the log entry records only the pointer, so entries stay O(KB)
+        however many rows a file holds. Positions are ``bloom_k``
+        portable md5 hashes of the key's decimal string form —
+        engine-independent, so the DuckDB oracle rebuilds the identical
+        filter; int/string keys only (floats have no canonical string
+        form and are rejected). One extra file-local aggregation over
+        the just-written files; the driver materializes only set-bit
+        positions (bounded by ``bloom_bits``), and at production scale
+        the sidecar write moves into the writing job — same protocol,
+        no driver bytes."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown commit mode {mode!r}")
+        if bloom_col is not None:
+            ftype = dict(df.dtypes).get(bloom_col)
+            if ftype not in ("bigint", "int", "smallint", "tinyint",
+                             "string"):
+                raise ValueError(
+                    f"bloom_col {bloom_col!r} has type {ftype!r}: bloom "
+                    "indexing needs a canonical cross-engine string "
+                    "form — int/string keys only"
+                )
         commit_rel = f"{_DATA_DIR}/c-{uuid.uuid4().hex[:12]}"
         commit_dir = f"{self.root}/{commit_rel}"
         df.write.mode("errorifexists").parquet(commit_dir)
@@ -399,6 +445,55 @@ class VersionedTable:
                             or _stats_scalar(row[f"max_{c}"]) is not None
                         )
                     }
+        bloom: dict[str, dict] = {}
+        if bloom_col and added:
+            from .text import portable_hash
+
+            back = self.spark.read.parquet(
+                *[f"{self.root}/{a}" for a in added]
+            ).select(
+                F.input_file_name().alias("f"),
+                F.col(bloom_col).cast("string").alias("v"),
+            )
+            pos_cols = [
+                portable_hash(
+                    F.concat(F.lit(f"blm{j}|"), F.col("v")), bloom_bits
+                )
+                for j in range(bloom_k)
+            ]
+            by_file = {
+                r["f"]: r["ps"]
+                for r in back.select(
+                    "f", F.explode(F.array(*pos_cols)).alias("pos")
+                )
+                .groupBy("f")
+                .agg(F.sort_array(F.collect_set("pos")).alias("ps"))
+                .collect()
+            }
+            for rel in added:
+                ps = next(
+                    (
+                        v
+                        for f, v in by_file.items()
+                        if f.rstrip("/").endswith(rel.split("/")[-1])
+                    ),
+                    None,
+                )
+                if ps is None:
+                    continue  # all-NULL or empty file: never indexed
+                side_rel = f"{_INDEX_DIR}/blm-{uuid.uuid4().hex[:12]}.json"
+                self._write_small(
+                    f"{self.root}/{side_rel}",
+                    json.dumps(
+                        {
+                            "col": bloom_col,
+                            "bits": bloom_bits,
+                            "k": bloom_k,
+                            "positions": [int(p) for p in ps],
+                        }
+                    ),
+                )
+                bloom[rel] = {"col": bloom_col, "index": side_rel}
         schema_json = df.schema.json()
         for _ in range(_MAX_COMMIT_ATTEMPTS):
             version = self.current_version() + 1
@@ -418,6 +513,7 @@ class VersionedTable:
                 "remove": self.live_files() if mode == "overwrite" else [],
                 "rows_added": rows_added,
                 "stats": stats,
+                "bloom": bloom,
             }
             tmp = f"{self.log_dir}/.tmp-{uuid.uuid4().hex}"
             self._write_small(tmp, json.dumps(entry))
@@ -513,6 +609,75 @@ class VersionedTable:
             for rel in e["add"]:
                 stats[rel] = est.get(rel, {})
         return stats
+
+    def file_blooms(self, version: int | None = None) -> dict[str, dict]:
+        """Live-file → bloom-index pointer (``{col, index}``) at
+        ``version``; files committed without ``bloom_col`` are absent
+        (always admitted). Checkpoint-based like ``file_stats``."""
+        ck, tail = self._base_and_tail(version)
+        blooms: dict[str, dict] = dict(ck.get("bloom", {})) if ck else {}
+        for e in tail:
+            for rel in e["remove"]:
+                blooms.pop(rel, None)
+            ebl = e.get("bloom", {})
+            for rel in e["add"]:
+                if rel in ebl:
+                    blooms[rel] = ebl[rel]
+                else:
+                    blooms.pop(rel, None)
+        return blooms
+
+    def bloom_admitted_files(
+        self, col: str, value, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """(files whose bloom filter admits ``col = value``, total live
+        files) — the point-lookup skipping decision. A file without a
+        bloom for ``col`` is always admitted (skipping only on proof,
+        the ``pruned_files`` contract); a file whose filter lacks any
+        of the key's ``k`` bit positions provably does not contain the
+        key and is skipped. False positives admit extra files — never
+        wrong answers, the exact filter finishes inside the scan. Cost:
+        one small sidecar read per bloom-indexed live file (index
+        bytes, never data bytes)."""
+        live = self.live_files(version)
+        blooms = self.file_blooms(version)
+        admitted: list[str] = []
+        for rel in live:
+            meta = blooms.get(rel)
+            if meta is None or meta["col"] != col:
+                admitted.append(rel)
+                continue
+            side = json.loads(
+                self._read_small(f"{self.root}/{meta['index']}")
+            )
+            posset = set(side["positions"])
+            probe = {
+                _bloom_position(value, j, side["bits"])
+                for j in range(side["k"])
+            }
+            if probe <= posset:
+                admitted.append(rel)
+        return admitted, len(live)
+
+    def snapshot_bloom(
+        self, col: str, value, version: int | None = None
+    ) -> DataFrame:
+        """Point-lookup snapshot read through the bloom index: scan
+        ONLY the admitted files, then apply the exact equality (the
+        filter is necessary, not sufficient — false positives are
+        filtered inside the kept files). At scale this is the
+        difference between opening every file of an unclustered table
+        and opening the one file holding the key."""
+        files, _total = self.bloom_admitted_files(col, value, version)
+        if not files:
+            schema = self._schema_at(version)
+            assert schema is not None, "bloom snapshot of an empty log"
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.parquet(
+                *[f"{self.root}/{f}" for f in files]
+            )
+        return df.filter(F.col(col) == F.lit(value))
 
     def pruned_files(
         self, col: str, lo, hi, version: int | None = None
@@ -802,8 +967,11 @@ class VersionedTable:
         now_ms = self._jvm.java.lang.System.currentTimeMillis()
         deleted = []
         all_files: set[str] = set()
+        bloom_index: dict[str, str] = {}
         for e in self.entries():
             all_files.update(e["add"])
+            for rel, meta in e.get("bloom", {}).items():
+                bloom_index[rel] = meta["index"]
         for rel in sorted(all_files - keep):
             p = self._P(f"{self.root}/{rel}")
             if not self._fs.exists(p):
@@ -816,4 +984,10 @@ class VersionedTable:
                 continue  # inside the in-flight-reader grace window
             self._fs.delete(p, False)
             deleted.append(rel)
+            side = bloom_index.get(rel)
+            if side is not None:
+                # a bloom sidecar serves exactly one data file — it
+                # dies with it (same grace window: reached only after
+                # the data file cleared the age floor)
+                self._fs.delete(self._P(f"{self.root}/{side}"), False)
         return deleted
