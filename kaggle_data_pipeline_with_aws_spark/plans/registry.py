@@ -111,3 +111,4 @@ def load_all() -> None:
     from . import wave71  # noqa: F401
     from . import wave72  # noqa: F401
     from . import wave73  # noqa: F401
+    from . import wave74  # noqa: F401

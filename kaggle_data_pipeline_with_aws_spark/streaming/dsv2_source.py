@@ -49,10 +49,18 @@ refused loudly (a missing column raises in the reader): a streaming
 schema is fixed at query start, so evolve-then-stream consumers
 restart the query — the documented Structured Streaming contract.
 
-Registry face: s16 (plans/wave68.py) proves batch-for-batch equality
+The same DataSource also carries the BATCH face (round 11):
+``spark.read.format("txnlog").option("version", N)`` is snapshot/time
+travel through the standard reader API — ``partitions()`` replays the
+log (checkpoint-based, O(tail) like ``VersionedTable``) to the
+version's live file set and each file reads as Arrow batches.
+
+Registry faces: s16 (plans/wave68.py) proves batch-for-batch equality
 with the s15 tailer over the same staged table through the DuckDB
-oracle; tests/test_dsv2_source.py covers engine checkpoint recovery
-(kill mid-stream, resume: no dup, no loss) and the rewrite modes.
+oracle; q126 (plans/wave74.py) proves the batch reader's three-version
+time travel against q114's oracle. tests/test_dsv2_source.py covers
+engine checkpoint recovery (kill mid-stream, resume: no dup, no loss)
+and the rewrite modes.
 """
 
 from __future__ import annotations
@@ -64,10 +72,12 @@ import re
 from pyspark.sql.types import StructType
 
 _ENTRY_RE = re.compile(r"^\d{8}\.json$")
+_CHECKPOINT_RE = re.compile(r"^chk-\d{8}\.json$")
 
 try:  # Spark 4's python DataSource API; absent on older runtimes
     from pyspark.sql.datasource import (
         DataSource,
+        DataSourceReader,
         DataSourceStreamReader,
         InputPartition,
     )
@@ -79,6 +89,9 @@ except ImportError:  # pragma: no cover - older pyspark fallback
     class DataSource:  # type: ignore[no-redef]
         def __init__(self, options=None):
             self.options = options or {}
+
+    class DataSourceReader:  # type: ignore[no-redef]
+        pass
 
     class DataSourceStreamReader:  # type: ignore[no-redef]
         pass
@@ -129,6 +142,59 @@ class _PyLog:
             raise ValueError(f"empty transaction log under {self.root!r}")
         return StructType.fromJson(json.loads(self.entry(head)["schema"]))
 
+    # -- snapshot replay (batch reads) ---------------------------------
+    def _checkpoint_versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(n[4:12])
+            for n in os.listdir(self.log_dir)
+            if _CHECKPOINT_RE.match(n)
+        )
+
+    def _checkpoint(self, v: int) -> dict:
+        with open(
+            os.path.join(self.log_dir, f"chk-{v:08d}.json")
+        ) as fh:
+            return json.load(fh)
+
+    def _base_and_tail(
+        self, version: int | None
+    ) -> tuple[dict | None, list[dict]]:
+        """(checkpoint state or None, tail entries) — the same O(tail)
+        read plan ``VersionedTable._base_and_tail`` resolves; versions
+        past the head clamp to it."""
+        head = self.current_version()
+        if version is not None:
+            head = min(int(version), head)
+        if head < 0:
+            raise ValueError(
+                f"empty transaction log under {self.root!r}"
+            )
+        base = max(
+            (c for c in self._checkpoint_versions() if c <= head),
+            default=None,
+        )
+        ck = self._checkpoint(base) if base is not None else None
+        return ck, [
+            self.entry(v)
+            for v in range((base if base is not None else -1) + 1,
+                           head + 1)
+        ]
+
+    def live_files(self, version: int | None = None) -> list[str]:
+        ck, tail = self._base_and_tail(version)
+        live: set[str] = set(ck["live"]) if ck else set()
+        for e in tail:
+            live.difference_update(e["remove"])
+            live.update(e["add"])
+        return sorted(live)
+
+    def schema_at(self, version: int | None = None) -> StructType:
+        ck, tail = self._base_and_tail(version)
+        sj = tail[-1]["schema"] if tail else ck["schema"]
+        return StructType.fromJson(json.loads(sj))
+
 
 class RewriteCommitInStreamError(RuntimeError):
     """A streamed version removed files (overwrite/compact/merge): its
@@ -141,6 +207,25 @@ class _FilePartition(InputPartition):
     def __init__(self, path: str, schema_json: str):
         self.path = path
         self.schema_json = schema_json
+
+
+def _read_file_partition(partition):
+    """Executor-side read of one data file as Arrow batches with the
+    query's fixed schema applied (select + cast: column order, int
+    widths, timestamp units). A column missing from the file — schema
+    evolution inside the read set — raises loudly. Shared by the
+    stream and batch readers."""
+    if not partition.path:
+        return iter(())
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(
+        StructType.fromJson(json.loads(partition.schema_json))
+    )
+    tbl = pq.read_table(partition.path)
+    tbl = tbl.select(target.names).cast(target)
+    return iter(tbl.to_batches())
 
 
 class TxnLogStreamReader(DataSourceStreamReader):
@@ -201,20 +286,7 @@ class TxnLogStreamReader(DataSourceStreamReader):
 
     # -- execution (runs in python workers) -----------------------------
     def read(self, partition):
-        if not partition.path:
-            return iter(())
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        target = to_arrow_schema(
-            StructType.fromJson(json.loads(partition.schema_json))
-        )
-        tbl = pq.read_table(partition.path)
-        # fixed streaming schema: select + cast (column order, int
-        # widths, timestamp units); a column missing from the file —
-        # schema evolution inside the window — raises loudly here.
-        tbl = tbl.select(target.names).cast(target)
-        return iter(tbl.to_batches())
+        return _read_file_partition(partition)
 
     def commit(self, end: dict) -> None:
         # offsets are engine-managed; versions are immutable — nothing
@@ -222,9 +294,40 @@ class TxnLogStreamReader(DataSourceStreamReader):
         self._last = max(self._last or -1, int(end["version"]))
 
 
+class TxnLogBatchReader(DataSourceReader):
+    """Batch snapshot read AS OF a version: one partition per live
+    file of the version's replayed file set (log metadata only — the
+    same explicit-file-list scan ``VersionedTable.snapshot`` hands the
+    JVM reader), rows as Arrow batches. Time travel through the
+    standard reader API: ``spark.read.format("txnlog")
+    .option("path", root).option("version", N).load()``."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.log = _PyLog(options["path"])
+        self.schema_json = schema.json()
+        v = options.get("version")
+        self.version = None if v is None else int(v)
+
+    def partitions(self):
+        files = self.log.live_files(self.version)
+        parts = [
+            _FilePartition(
+                os.path.join(self.log.root, rel), self.schema_json
+            )
+            for rel in files
+        ]
+        return parts or [_FilePartition("", self.schema_json)]
+
+    def read(self, partition):
+        return _read_file_partition(partition)
+
+
 class TxnLogDataSource(DataSource):
-    """``spark.readStream.format("txnlog")`` over a VersionedTable
-    root. Options: ``path`` (required), ``startAfter`` (default -1),
+    """``spark.read.format("txnlog")`` / ``spark.readStream.format(
+    "txnlog")`` over a VersionedTable root. Batch options: ``path``
+    (required), ``version`` (snapshot AS OF, default head — clamped to
+    the head like ``VersionedTable.snapshot``). Stream options:
+    ``path`` (required), ``startAfter`` (default -1),
     ``versionsPerBatch`` (default 1), ``onRewrite`` (fail|adds|skip).
     Register once per session:
     ``spark.dataSource.register(TxnLogDataSource)``."""
@@ -234,7 +337,17 @@ class TxnLogDataSource(DataSource):
         return "txnlog"
 
     def schema(self):
-        return _PyLog(self.options["path"]).schema_at_head()
+        log = _PyLog(self.options["path"])
+        v = self.options.get("version")
+        # batch time travel reads the schema AS OF the version (a
+        # later schema-evolution commit must not leak backwards);
+        # streams fix their schema at the head as before.
+        return log.schema_at(int(v)) if v is not None else (
+            log.schema_at_head()
+        )
+
+    def reader(self, schema: StructType):
+        return TxnLogBatchReader(schema, dict(self.options))
 
     def streamReader(self, schema: StructType):
         return TxnLogStreamReader(schema, dict(self.options))

@@ -194,3 +194,73 @@ def test_register_returns_false_without_dsv2(spark, monkeypatch):
     s15 oracle is the equality proof)."""
     monkeypatch.setattr(dsv2_source, "HAVE_DSV2", False)
     assert dsv2_source.register(spark) is False
+
+
+# -- batch reader (round 11): spark.read.format("txnlog") ---------------
+
+
+def _batch_read(spark, root, version=None):
+    dsv2_source.register(spark)
+    r = spark.read.format("txnlog").option("path", root)
+    if version is not None:
+        r = r.option("version", version)
+    return r.load()
+
+
+def test_batch_read_head_and_time_travel(spark):
+    root = tempfile.mkdtemp(prefix="dsv2-batch-")
+    vt = VersionedTable(spark, root)
+    vt.commit(_df(spark, [(1, 10.0), (2, 20.0)]), "overwrite")
+    vt.commit(_df(spark, [(3, 30.0)]), "append")
+    vt.commit(_df(spark, [(9, 90.0)]), "overwrite")
+    assert sorted(r.k for r in _batch_read(spark, root).collect()) == [9]
+    assert sorted(
+        r.k for r in _batch_read(spark, root, 1).collect()
+    ) == [1, 2, 3]
+    assert sorted(
+        r.k for r in _batch_read(spark, root, 0).collect()
+    ) == [1, 2]
+    # a version past the head clamps to it (the snapshot() contract)
+    assert sorted(r.k for r in _batch_read(spark, root, 99).collect()) == [9]
+
+
+def test_batch_read_resolves_through_checkpoint(spark):
+    root = tempfile.mkdtemp(prefix="dsv2-batchck-")
+    vt = VersionedTable(spark, root)
+    vt.commit(_df(spark, [(1, 10.0)]), "overwrite")
+    vt.commit(_df(spark, [(2, 20.0)]), "append")
+    vt.checkpoint()
+    vt.commit(_df(spark, [(3, 30.0)]), "append")
+    # v2 read = checkpoint base (v1) + one tail entry
+    assert sorted(
+        r.k for r in _batch_read(spark, root, 2).collect()
+    ) == [1, 2, 3]
+    # pre-checkpoint version still replays entries
+    assert sorted(
+        r.k for r in _batch_read(spark, root, 0).collect()
+    ) == [1]
+
+
+def test_batch_read_equals_jvm_snapshot(spark):
+    root = tempfile.mkdtemp(prefix="dsv2-batcheq-")
+    vt = VersionedTable(spark, root)
+    vt.commit(_df(spark, [(i, float(i)) for i in range(50)]), "overwrite")
+    vt.commit(_df(spark, [(i, float(i)) for i in range(50, 80)]), "append")
+    for v in (0, 1):
+        got = sorted(
+            (r.k, r.v) for r in _batch_read(spark, root, v).collect()
+        )
+        want = sorted((r.k, r.v) for r in vt.snapshot(v).collect())
+        assert got == want
+
+
+def test_batch_read_time_travel_schema_is_versions_own(spark):
+    root = tempfile.mkdtemp(prefix="dsv2-batchsc-")
+    vt = VersionedTable(spark, root)
+    vt.commit(_df(spark, [(1, 10.0)]), "overwrite")
+    wide = spark.createDataFrame(
+        [(2, 20.0, "x")], "k int, v double, tag string"
+    )
+    vt.commit(wide, "overwrite")
+    assert _batch_read(spark, root, 0).columns == ["k", "v"]
+    assert _batch_read(spark, root, 1).columns == ["k", "v", "tag"]
