@@ -67,7 +67,9 @@ fails loudly — never silently clobbered.
 
 Scale notes: the log is metadata (KB per commit — file paths and
 counts, never data); snapshot reads hand Spark an explicit file list,
-so partition pruning / predicate pushdown on the scan work unchanged;
+so partition pruning / predicate pushdown on the scan work unchanged
+(a table with deletion vectors additionally anti-joins the scan
+against the broadcast DV position set — ``commit_delete_where``);
 ``read_incremental`` turns an append-only table into a CDC source
 reading ONLY the files added in the version window (the streaming
 fast path — ``streaming/cdc_source.py`` tails it); ``row_diff`` is one
@@ -89,7 +91,7 @@ import json
 import re
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -250,6 +252,7 @@ class VersionedTable:
             "schema": self._schema_at(v).json(),
             "stats": self.file_stats(v),
             "bloom": self.file_blooms(v),
+            "dv": self.file_dvs(v),
         }
         tmp = f"{self.log_dir}/.tmp-{uuid.uuid4().hex}"
         self._write_small(tmp, json.dumps(state))
@@ -495,6 +498,29 @@ class VersionedTable:
                 )
                 bloom[rel] = {"col": bloom_col, "index": side_rel}
         schema_json = df.schema.json()
+
+        def build(version: int) -> dict:
+            return {
+                "version": version,
+                "op": op or mode,
+                "schema": schema_json,
+                "add": added,
+                "remove": self.live_files() if mode == "overwrite" else [],
+                "rows_added": rows_added,
+                "stats": stats,
+                "bloom": bloom,
+            }
+
+        return self._publish_entry(build, read_version)
+
+    def _publish_entry(self, build, read_version: int | None = None) -> int:
+        """The slot-claim loop: resolve the next version, run
+        ``build(version)`` to produce the entry (re-resolved per
+        attempt, so state-dependent fields like overwrite removes see
+        the new head), publish via atomic rename-NONE. A transaction
+        carrying ``read_version`` raises
+        ``ConcurrentModificationError`` the moment the head is found
+        past it — the stale result is never committed."""
         for _ in range(_MAX_COMMIT_ATTEMPTS):
             version = self.current_version() + 1
             if read_version is not None and version != read_version + 1:
@@ -505,16 +531,7 @@ class VersionedTable:
                     "snapshot-derived result would drop the "
                     "interleaved commit (recompute and retry)"
                 )
-            entry = {
-                "version": version,
-                "op": op or mode,
-                "schema": schema_json,
-                "add": added,
-                "remove": self.live_files() if mode == "overwrite" else [],
-                "rows_added": rows_added,
-                "stats": stats,
-                "bloom": bloom,
-            }
+            entry = build(version)
             tmp = f"{self.log_dir}/.tmp-{uuid.uuid4().hex}"
             self._write_small(tmp, json.dumps(entry))
             try:
@@ -594,7 +611,9 @@ class VersionedTable:
         reader = self.spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*[f"{self.root}/{f}" for f in files])
+        return self._apply_dvs(
+            reader.parquet(*[f"{self.root}/{f}" for f in files]), version
+        )
 
     def file_stats(self, version: int | None = None) -> dict[str, dict]:
         """Live-file → recorded column stats at ``version`` (files
@@ -609,6 +628,168 @@ class VersionedTable:
             for rel in e["add"]:
                 stats[rel] = est.get(rel, {})
         return stats
+
+    @staticmethod
+    def _dv_key_of(rel: str) -> str:
+        """Join key identifying a data file across the log and the
+        scan's ``_metadata.file_path``: the last two path segments
+        (``c-<uuid>/part-*.parquet`` — the commit dir uuid makes it
+        unique table-wide, and it is derivable from both sides without
+        knowing how the filesystem renders the root)."""
+        return "/".join(rel.split("/")[-2:])
+
+    @staticmethod
+    def _dv_key_col() -> Column:
+        return F.array_join(
+            F.slice(F.split(F.col("_metadata.file_path"), "/"), -2, 2),
+            "/",
+        )
+
+    def file_dvs(self, version: int | None = None) -> dict[str, dict]:
+        """Live-file → deletion-vector pointer (``{index, n}``) at
+        ``version``. A delete commit's per-file entry REPLACES the
+        file's previous pointer (the sidecar it points at carries the
+        merged position set); a removed file drops its DV.
+        Checkpoint-based like ``file_stats``."""
+        ck, tail = self._base_and_tail(version)
+        dvs: dict[str, dict] = dict(ck.get("dv", {})) if ck else {}
+        for e in tail:
+            for rel in e["remove"]:
+                dvs.pop(rel, None)
+            for rel, meta in e.get("dv", {}).items():
+                dvs[rel] = meta
+        return dvs
+
+    def _apply_dvs(
+        self, df: DataFrame, version: int | None
+    ) -> DataFrame:
+        """Filter out rows a deletion vector marks dead: one broadcast
+        anti-join of the scan (keyed by file + row position, from the
+        parquet reader's ``_metadata`` columns) against the version's
+        merged DV position set. A table without DVs pays nothing (the
+        plan is untouched); with DVs the join side is
+        deleted-rows-sized metadata, broadcast — never a shuffle of
+        the data."""
+        dvs = self.file_dvs(version)
+        if not dvs:
+            return df
+        pairs: list[tuple[str, int]] = []
+        for rel, meta in dvs.items():
+            side = json.loads(
+                self._read_small(f"{self.root}/{meta['index']}")
+            )
+            k = self._dv_key_of(rel)
+            pairs.extend((k, int(p)) for p in side["positions"])
+        if not pairs:
+            return df
+        cols = df.columns
+        dv_df = self.spark.createDataFrame(
+            pairs, "__dv_key string, __dv_pos bigint"
+        )
+        return (
+            df.withColumn("__dv_key", self._dv_key_col())
+            .withColumn("__dv_pos", F.col("_metadata.row_index"))
+            .join(F.broadcast(dv_df), ["__dv_key", "__dv_pos"], "left_anti")
+            .select(*cols)
+        )
+
+    def commit_delete_where(self, condition) -> int:
+        """DELETE WHERE as a committed version WITHOUT rewriting data
+        files — the Delta/Iceberg deletion-vector discipline: matching
+        rows' (file, row position) pairs are recorded in per-file
+        sidecars under ``_txn_index/`` and the entry carries only the
+        pointers (``op='delete'``, no adds, no removes). Reads at or
+        after this version anti-join the scan against the DV set
+        (``_apply_dvs``); earlier versions still see the rows — time
+        travel across the delete is free. A later ``commit_compact``
+        materializes the delete (the rewrite drops the DVs), which is
+        exactly Delta's OPTIMIZE-after-delete behavior.
+
+        Snapshot-dependent like ``commit_merge``: positions are
+        computed against the version the transaction read; if another
+        commit lands first, the delete RECOMPUTES against the new head
+        (the ConcurrentDeleteRead contract), never publishing stale
+        positions. A second delete on an already-vectored file merges
+        position sets (the sidecar is immutable; a new merged sidecar
+        is published and the entry re-points — old sidecars stay for
+        time travel until vacuum retires their versions).
+
+        At 100 TB: deleting k rows from an n-row table costs one
+        predicate scan plus k positions of metadata — not an n-row
+        rewrite; the driver materializes only matching positions
+        (bounded by the delete's selectivity; a production writer
+        moves sidecar writes into the job, same protocol). CDC note:
+        a DV commit adds no files, so the append-only CDC faces
+        (read_incremental, the streaming source) see an empty batch —
+        row-level deletes surface through ``row_diff``, which reads
+        DV-filtered snapshots and classifies them as ``delete``."""
+        cond = (
+            F.expr(condition) if isinstance(condition, str) else condition
+        )
+        for _ in range(_MAX_COMMIT_ATTEMPTS):
+            base = self.current_version()
+            live = self.live_files(base)
+            if not live:
+                raise ValueError("delete from an empty table")
+            scan = (
+                self.spark.read.parquet(
+                    *[f"{self.root}/{f}" for f in live]
+                )
+                .withColumn("__dv_key", self._dv_key_col())
+                .withColumn("__dv_pos", F.col("_metadata.row_index"))
+            )
+            hits = (
+                scan.filter(cond)
+                .groupBy("__dv_key")
+                .agg(F.collect_list("__dv_pos").alias("ps"))
+                .collect()
+            )
+            existing = self.file_dvs(base)
+            key2rel = {self._dv_key_of(rel): rel for rel in live}
+            dv_map: dict[str, dict] = {}
+            for r in hits:
+                rel = key2rel.get(r["__dv_key"])
+                if rel is None:  # pragma: no cover - key derivation bug
+                    raise RuntimeError(
+                        f"scan file key {r['__dv_key']!r} not in the "
+                        f"live set of {self.root!r}"
+                    )
+                newps = {int(p) for p in r["ps"]}
+                old = existing.get(rel)
+                if old is not None:
+                    oldside = json.loads(
+                        self._read_small(f"{self.root}/{old['index']}")
+                    )
+                    newps |= {int(p) for p in oldside["positions"]}
+                side_rel = f"{_INDEX_DIR}/dv-{uuid.uuid4().hex[:12]}.json"
+                self._write_small(
+                    f"{self.root}/{side_rel}",
+                    json.dumps({"positions": sorted(newps)}),
+                )
+                dv_map[rel] = {"index": side_rel, "n": len(newps)}
+            schema_json = self._schema_at(base).json()
+
+            def build(version: int) -> dict:
+                return {
+                    "version": version,
+                    "op": "delete",
+                    "schema": schema_json,
+                    "add": [],
+                    "remove": [],
+                    "rows_added": 0,
+                    "stats": {},
+                    "bloom": {},
+                    "dv": dv_map,
+                }
+
+            try:
+                return self._publish_entry(build, read_version=base)
+            except ConcurrentModificationError:
+                continue  # head moved: recompute positions against it
+        raise CommitConflictError(
+            f"delete under {self.root!r} lost the read-recompute race "
+            f"{_MAX_COMMIT_ATTEMPTS} times — pathological contention"
+        )
 
     def file_blooms(self, version: int | None = None) -> dict[str, dict]:
         """Live-file → bloom-index pointer (``{col, index}``) at
@@ -674,8 +855,11 @@ class VersionedTable:
             assert schema is not None, "bloom snapshot of an empty log"
             df = self.spark.createDataFrame([], schema)
         else:
-            df = self.spark.read.parquet(
-                *[f"{self.root}/{f}" for f in files]
+            df = self._apply_dvs(
+                self.spark.read.parquet(
+                    *[f"{self.root}/{f}" for f in files]
+                ),
+                version,
             )
         return df.filter(F.col(col) == F.lit(value))
 
@@ -740,8 +924,11 @@ class VersionedTable:
             assert schema is not None, "pruned snapshot of an empty log"
             df = self.spark.createDataFrame([], schema)
         else:
-            df = self.spark.read.parquet(
-                *[f"{self.root}/{f}" for f in files]
+            df = self._apply_dvs(
+                self.spark.read.parquet(
+                    *[f"{self.root}/{f}" for f in files]
+                ),
+                version,
             )
         for col, (lo, hi) in bounds.items():
             if lo is not None:
@@ -765,8 +952,11 @@ class VersionedTable:
             assert schema is not None, "pruned snapshot of an empty log"
             df = self.spark.createDataFrame([], schema)
         else:
-            df = self.spark.read.parquet(
-                *[f"{self.root}/{f}" for f in files]
+            df = self._apply_dvs(
+                self.spark.read.parquet(
+                    *[f"{self.root}/{f}" for f in files]
+                ),
+                version,
             )
         if lo is not None:
             df = df.filter(F.col(col) >= lo)
@@ -990,4 +1180,38 @@ class VersionedTable:
                 # dies with it (same grace window: reached only after
                 # the data file cleared the age floor)
                 self._fs.delete(self._P(f"{self.root}/{side}"), False)
+        # DV sidecars follow VERSION retention (not file lifetime): a
+        # superseded sidecar is still the read basis of older
+        # versions, so it is deletable only once no retained version
+        # (nor the latest checkpoint) references it — the same floor
+        # data files get.
+        keep_dv: set[str] = set()
+        for v in range(max(0, head - retain_versions + 1), head + 1):
+            keep_dv.update(
+                m["index"] for m in self.file_dvs(v).values()
+            )
+        if cks:
+            keep_dv.update(
+                m["index"]
+                for m in self._read_checkpoint(cks[-1])
+                .get("dv", {})
+                .values()
+            )
+        all_dv: set[str] = set()
+        for e in self.entries():
+            all_dv.update(
+                m["index"] for m in e.get("dv", {}).values()
+            )
+        for side in sorted(all_dv - keep_dv):
+            p = self._P(f"{self.root}/{side}")
+            if not self._fs.exists(p):
+                continue
+            if (
+                min_age_ms > 0
+                and now_ms - self._fs.getFileStatus(p).getModificationTime()
+                < min_age_ms
+            ):
+                continue
+            self._fs.delete(p, False)
+            deleted.append(side)
         return deleted

@@ -613,3 +613,150 @@ def test_vacuum_deletes_bloom_sidecars_with_their_files(spark):
     assert len(sidecars()) == 0
     # the table still answers (compacted file has no bloom: admitted)
     assert vt.snapshot_bloom("k", 207).count() == 1
+
+
+# -- deletion vectors (round 11) ----------------------------------------
+
+
+def _dv_vt(spark):
+    """Two single-file commits, keys 0..9 and 10..19."""
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="txnlog-dv-"))
+    vt.commit(
+        _df(spark, [(i, "a") for i in range(10)]).repartition(1),
+        "append",
+    )
+    vt.commit(
+        _df(spark, [(i, "b") for i in range(10, 20)]).repartition(1),
+        "append",
+    )
+    return vt
+
+
+def test_delete_where_filters_without_rewriting_files(spark):
+    vt = _dv_vt(spark)
+    files_before = vt.live_files()
+    v = vt.commit_delete_where("k % 2 = 0")
+    assert v == 2
+    # no files added or removed — the delete is pure metadata
+    assert vt.live_files() == files_before
+    got = sorted(r.k for r in vt.snapshot().collect())
+    assert got == [1, 3, 5, 7, 9, 11, 13, 15, 17, 19]
+    # both files carry a DV of their 5 even rows
+    dvs = vt.file_dvs()
+    assert len(dvs) == 2 and all(m["n"] == 5 for m in dvs.values())
+
+
+def test_delete_time_travel_sees_predelete_rows(spark):
+    vt = _dv_vt(spark)
+    vt.commit_delete_where("k < 15")
+    assert vt.snapshot().count() == 5
+    assert vt.snapshot(1).count() == 20  # pre-delete: rows intact
+    assert vt.snapshot(0).count() == 10
+
+
+def test_second_delete_merges_positions(spark):
+    vt = _dv_vt(spark)
+    vt.commit_delete_where("k < 5")
+    vt.commit_delete_where("k >= 15")
+    got = sorted(r.k for r in vt.snapshot().collect())
+    assert got == [5, 6, 7, 8, 9, 10, 11, 12, 13, 14]
+    # intermediate version applies only the first DV
+    assert sorted(r.k for r in vt.snapshot(2).collect()) == list(
+        range(5, 20)
+    )
+
+
+def test_delete_then_compact_materializes_and_drops_dvs(spark):
+    vt = _dv_vt(spark)
+    vt.commit_delete_where("k >= 10")
+    vt.commit_compact(target_files=1)
+    assert sorted(r.k for r in vt.snapshot().collect()) == list(range(10))
+    assert vt.file_dvs() == {}  # rewrite retired the vectors
+
+
+def test_delete_row_diff_classifies_deletes(spark):
+    vt = _dv_vt(spark)
+    v0 = vt.current_version()
+    vt.commit_delete_where("k = 3 OR k = 17")
+    diff = {
+        r.k: r.change_type
+        for r in vt.row_diff(v0, vt.current_version(), ["k"]).collect()
+    }
+    assert diff[3] == "delete" and diff[17] == "delete"
+    assert diff[4] == "unchanged"
+
+
+def test_delete_pruned_and_bloom_reads_apply_dvs(spark):
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="txnlog-dvp-"))
+    vt.commit(
+        _df(spark, [(i, "x") for i in range(20)]).repartition(1),
+        "append",
+        stats_cols=["k"],
+        bloom_col="k",
+    )
+    vt.commit_delete_where("k = 7")
+    assert sorted(
+        r.k for r in vt.snapshot_pruned("k", 5, 9).collect()
+    ) == [5, 6, 8, 9]
+    assert vt.snapshot_bloom("k", 7).count() == 0
+    assert vt.snapshot_bloom("k", 8).count() == 1
+
+
+def test_delete_survives_checkpoint_boundary(spark):
+    vt = _dv_vt(spark)
+    vt.commit_delete_where("k < 3")
+    vt.checkpoint()
+    vt.commit(_df(spark, [(99, "z")]).repartition(1), "append")
+    got = sorted(r.k for r in vt.snapshot().collect())
+    assert got == list(range(3, 20)) + [99]
+
+
+def test_delete_racing_append_recomputes(spark):
+    """An append landing between the delete's read and its slot claim
+    must not be lost OR wrongly deleted: the delete recomputes (its
+    predicate re-evaluated against the new head)."""
+    vt = _dv_vt(spark)
+    orig_publish = vt._publish_entry
+    raced = {"done": False}
+
+    def racing_publish(build, read_version=None):
+        if not raced["done"]:
+            raced["done"] = True
+            vt2 = VersionedTable(vt.spark, vt.root)
+            vt2.commit(
+                _df(vt.spark, [(100, "c"), (101, "c")]).repartition(1),
+                "append",
+            )
+        return orig_publish(build, read_version)
+
+    vt._publish_entry = racing_publish
+    try:
+        vt.commit_delete_where("k % 2 = 0")
+    finally:
+        vt._publish_entry = orig_publish
+    got = sorted(r.k for r in vt.snapshot().collect())
+    # odd originals survive; the raced-in 101 survives; 100 (even,
+    # present at recompute time) is deleted by the re-evaluated
+    # predicate — the recompute semantics, not a lost update
+    assert got == [1, 3, 5, 7, 9, 11, 13, 15, 17, 19, 101]
+
+
+def test_vacuum_retires_superseded_dv_sidecars_only(spark):
+    vt = _dv_vt(spark)
+    vt.commit_delete_where("k = 0")  # v2: sidecar A on file 1
+    vt.commit_delete_where("k = 1")  # v3: merged sidecar B supersedes A
+    root = vt.root
+    dv_sides = lambda: sorted(
+        f
+        for f in os.listdir(f"{root}/_txn_index")
+        if f.startswith("dv-")
+    )
+    assert len(dv_sides()) == 2  # A (v2) + merged B (v3)
+    deleted = vt.vacuum(retain_versions=1)
+    # A is no retained version's read basis anymore — retired; the
+    # merged B stays referenced by the head
+    assert len(dv_sides()) == 1
+    assert any(s.startswith("_txn_index/dv-") for s in deleted)
+    assert sorted(r.k for r in vt.snapshot().collect()) == list(
+        range(2, 20)
+    )
