@@ -253,6 +253,7 @@ class VersionedTable:
             "stats": self.file_stats(v),
             "bloom": self.file_blooms(v),
             "dv": self.file_dvs(v),
+            "txn": self.txn_versions(v),
         }
         tmp = f"{self.log_dir}/.tmp-{uuid.uuid4().hex}"
         self._write_small(tmp, json.dumps(state))
@@ -328,6 +329,8 @@ class VersionedTable:
         bloom_col: str | None = None,
         bloom_bits: int = 1 << 14,
         bloom_k: int = 2,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
     ) -> int:
         """Commit ``df`` as the next version. ``mode``: ``append``
         adds files; ``overwrite`` adds files and removes every
@@ -371,9 +374,29 @@ class VersionedTable:
         the just-written files; the driver materializes only set-bit
         positions (bounded by ``bloom_bits``), and at production scale
         the sidecar write moves into the writing job — same protocol,
-        no driver bytes."""
+        no driver bytes.
+
+        ``txn_app``/``txn_version``: exactly-once transactional writes
+        (Delta's ``txnAppId``/``txnVersion`` contract — the T7 face at
+        the table-format level). The entry records the writer app's
+        monotonically increasing version; a commit at or below the
+        app's committed high-water mark is SKIPPED (idempotent
+        replay — the foreachBatch retry case), checked both before any
+        bytes are written and again under the slot-claim race, so two
+        writers replaying the same (app, version) can never both
+        land."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown commit mode {mode!r}")
+        if (txn_app is None) != (txn_version is None):
+            raise ValueError(
+                "txn_app and txn_version must be passed together"
+            )
+        if txn_app is not None and (
+            self.last_txn_version(txn_app) >= txn_version
+        ):
+            # already applied (a replayed micro-batch / retried job):
+            # skip before writing any bytes — the idempotent fast path
+            return self.current_version()
         if bloom_col is not None:
             ftype = dict(df.dtypes).get(bloom_col)
             if ftype not in ("bigint", "int", "smallint", "tinyint",
@@ -509,9 +532,58 @@ class VersionedTable:
                 "rows_added": rows_added,
                 "stats": stats,
                 "bloom": bloom,
+                "txn": (
+                    {txn_app: txn_version} if txn_app is not None else {}
+                ),
             }
 
-        return self._publish_entry(build, read_version)
+        if txn_app is None:
+            return self._publish_entry(build, read_version)
+        # Transactional write (Delta's txnAppId/txnVersion contract):
+        # the app's high-water mark is re-checked against the head the
+        # publish is pinned to, so every lost slot race forces a
+        # re-check — two writers replaying the same (app, version) can
+        # never both land, whatever the interleaving.
+        for _ in range(_MAX_COMMIT_ATTEMPTS):
+            head = self.current_version()
+            if self.last_txn_version(txn_app) >= txn_version:
+                return head  # a concurrent replay already applied it
+            try:
+                return self._publish_entry(
+                    build,
+                    read_version=(
+                        read_version if read_version is not None else head
+                    ),
+                )
+            except ConcurrentModificationError:
+                if read_version is not None:
+                    raise  # the caller's snapshot is stale: recompute
+                continue
+        raise CommitConflictError(
+            f"transactional commit under {self.root!r} lost the "
+            f"re-check race {_MAX_COMMIT_ATTEMPTS} times — "
+            "pathological contention"
+        )
+
+    def txn_versions(self, version: int | None = None) -> dict[str, int]:
+        """Writer-app → highest committed ``txn_version`` at
+        ``version`` (checkpoint-based like ``file_stats``) — the
+        idempotence high-water marks transactional writers check."""
+        ck, tail = self._base_and_tail(version)
+        txns: dict[str, int] = dict(ck.get("txn", {})) if ck else {}
+        for e in tail:
+            for app, v in e.get("txn", {}).items():
+                if txns.get(app, -1) < v:
+                    txns[app] = v
+        return txns
+
+    def last_txn_version(self, app: str) -> int:
+        """Highest ``txn_version`` committed by ``app`` (-1 when the
+        app never wrote) — pair with ``commit(txn_app=...,
+        txn_version=...)`` for exactly-once sinks: a replayed
+        micro-batch whose version is at or below this mark is skipped
+        before any bytes are written."""
+        return self.txn_versions().get(app, -1)
 
     def _publish_entry(self, build, read_version: int | None = None) -> int:
         """The slot-claim loop: resolve the next version, run

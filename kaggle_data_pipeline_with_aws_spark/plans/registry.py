@@ -113,3 +113,4 @@ def load_all() -> None:
     from . import wave73  # noqa: F401
     from . import wave74  # noqa: F401
     from . import wave75  # noqa: F401
+    from . import wave76  # noqa: F401

@@ -760,3 +760,77 @@ def test_vacuum_retires_superseded_dv_sidecars_only(spark):
     assert sorted(r.k for r in vt.snapshot().collect()) == list(
         range(2, 20)
     )
+
+
+# -- transactional (exactly-once) writes (round 11) ---------------------
+
+
+def test_txn_commit_skips_replayed_version(spark, vt):
+    vt.commit(_df(spark, [(1, "a")]), "append", txn_app="w",
+              txn_version=0)
+    vt.commit(_df(spark, [(2, "b")]), "append", txn_app="w",
+              txn_version=1)
+    # a replayed batch — with different (wrong) data — must be skipped
+    vt.commit(_df(spark, [(999, "DUP")]), "append", txn_app="w",
+              txn_version=1)
+    assert sorted(r.k for r in vt.snapshot().collect()) == [1, 2]
+    assert vt.current_version() == 1
+    assert vt.last_txn_version("w") == 1
+
+
+def test_txn_apps_are_independent(spark, vt):
+    vt.commit(_df(spark, [(1, "a")]), "append", txn_app="w1",
+              txn_version=5)
+    vt.commit(_df(spark, [(2, "b")]), "append", txn_app="w2",
+              txn_version=0)
+    assert vt.last_txn_version("w1") == 5
+    assert vt.last_txn_version("w2") == 0
+    assert vt.last_txn_version("nobody") == -1
+    assert sorted(r.k for r in vt.snapshot().collect()) == [1, 2]
+
+
+def test_txn_requires_both_params(spark, vt):
+    with pytest.raises(ValueError, match="together"):
+        vt.commit(_df(spark, [(1, "a")]), "append", txn_app="w")
+
+
+def test_txn_watermark_survives_checkpoint(spark, vt):
+    vt.commit(_df(spark, [(1, "a")]), "append", txn_app="w",
+              txn_version=3)
+    vt.checkpoint()
+    vt.commit(_df(spark, [(2, "b")]), "append")
+    assert vt.last_txn_version("w") == 3
+    vt.commit(_df(spark, [(9, "z")]), "append", txn_app="w",
+              txn_version=3)  # replay across the checkpoint: skipped
+    assert sorted(r.k for r in vt.snapshot().collect()) == [1, 2]
+
+
+def test_txn_racing_duplicate_writers_land_once(spark, vt):
+    """Two writers replaying the SAME (app, version) concurrently:
+    exactly one lands, whatever the interleaving — the high-water
+    mark is re-checked under the slot-claim race."""
+    import threading
+
+    vt.commit(_df(spark, [(0, "base")]), "append")
+    errs: list[Exception] = []
+
+    def writer(tag: int):
+        try:
+            mine = VersionedTable(spark, vt.root)
+            mine.commit(
+                _df(spark, [(tag, f"w{tag}")]), "append",
+                txn_app="race", txn_version=7,
+            )
+        except Exception as exc:  # pragma: no cover - failure surface
+            errs.append(exc)
+
+    ts = [threading.Thread(target=writer, args=(k,)) for k in (1, 2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    rows = sorted(r.k for r in vt.snapshot().collect())
+    # base plus exactly ONE of the two racers
+    assert len(rows) == 2 and rows[0] == 0 and rows[1] in (1, 2)
+    assert vt.last_txn_version("race") == 7
