@@ -141,6 +141,33 @@ _WINDOW_PRIORITY = [
     # base-probe from 10x.
     "q123_compound_stats_skipping",
     "d218_ann_adaptive_brute_fallback",
+    # wave 72: Z-order vs linear clustering under 2-D box probes
+    # (files-scanned counts oracle-derived from the same assignment)
+    # and bloom-filter point-lookup skipping (per-file sidecar index,
+    # filters rebuilt in SQL).
+    "q124_zorder_clustered_skipping",
+    "q125_bloom_point_lookup_skipping",
+    # wave 73: SQ8 scalar-quantized ANN tier — 8-bit affine
+    # quantization against per-dim corpus [min,max], dequantized-cosine
+    # candidates, exact fp32 rerank; d220 is the recall audit (1.0 at
+    # sandbox scales, 4x fewer candidate bytes).
+    "d219_ann_sq8_rerank_search",
+    "d220_ann_sq8_recall",
+    # wave 74: batch time travel through the standard reader API
+    # (spark.read.format("txnlog").option("version", N)) — the DSv2
+    # batch reader proven value-equal to the JVM snapshot path against
+    # q114's oracle verbatim.
+    "q126_dsv2_batch_time_travel",
+    # wave 75: deletion vectors (DELETE WHERE as per-file position
+    # sidecars — no rewrite, n_files oracle-pinned constant) and
+    # incremental view maintenance (monthly rollup maintained from CDC
+    # deltas via commit_merge, proven equal to the direct aggregate).
+    "q127_deletion_vector_delete",
+    "q128_incremental_view_maintenance",
+    # wave 76: exactly-once transactional sink (txnAppId/txnVersion
+    # high-water marks; a replayed foreachBatch with wrong data is
+    # skipped; sink commit count oracle-pinned).
+    "s17_exactly_once_txn_sink",
 ]
 # The driver checks the first 50 of queries() — slots beyond the
 # staged list fall through to already-proven oracle-backed queries via

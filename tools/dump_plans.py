@@ -350,6 +350,29 @@ SHOWCASE: list[tuple[str, str]] = [
         " pivoted lattice row — no UDF, no loop; the corpus appears only"
         " as the word-type histogram shuffle.",
     ),
+    (
+        "q124_zorder_clustered_skipping",
+        "Z-order clustering (round 11): the 2-D box probe's scan lists"
+        " only the Z-tile files whose per-file (cb, mb) ranges intersect"
+        " the box — 1 of 8 for the origin box vs the linear layout's 2 —"
+        " decided from log metadata before any footer is opened.",
+    ),
+    (
+        "q127_deletion_vector_delete",
+        "Deletion vectors (round 11): the post-delete snapshot is the"
+        " SAME explicit-file-list scan plus one BroadcastHashJoin"
+        " LeftAnti against the deleted-positions set keyed by"
+        " (_metadata file, row_index) — no file rewritten, no data"
+        " shuffle; pre-delete versions read with no DV join at all.",
+    ),
+    (
+        "d219_ann_sq8_rerank_search",
+        "SQ8 search (round 11): candidate generation is the d09 brute"
+        " shape (corpus streams against broadcast queries, k·|queries|"
+        " rows shuffle) but every vector decodes from 8-bit codes via"
+        " codegen transform/aggregate folds — 4x fewer scan bytes; the"
+        " exact rerank touches only queries × 20 fp32 rows.",
+    ),
 ]
 
 
