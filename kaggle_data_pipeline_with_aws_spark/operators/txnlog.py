@@ -414,32 +414,30 @@ class VersionedTable:
             for st in self._fs.listStatus(self._P(commit_dir))
             if (name := st.getPath().getName()).endswith(".parquet")
         )
-        rows_added = sum(
-            r.n
-            for r in self.spark.read.parquet(
-                *[f"{self.root}/{a}" for a in added]
-            )
-            .groupBy()
-            .agg(F.count("*").alias("n"))
-            .collect()
-        ) if added else 0
+        # ONE file-grouped pass over the just-written files carries the
+        # row count AND the per-file min/max stats (the bloom index,
+        # when requested, is a second pass — its exploded-positions
+        # aggregation has a different shape). Previously three separate
+        # jobs re-read the commit; now stats-only commits pay one.
+        rows_added = 0
         stats: dict[str, dict[str, list]] = {}
-        if stats_cols and added:
-            back = self.spark.read.parquet(
-                *[f"{self.root}/{a}" for a in added]
-            )
-            aggs = []
-            for c in stats_cols:
+        if added:
+            aggs = [F.count("*").alias("__n")]
+            for c in stats_cols or []:
                 aggs += [
                     F.min(c).alias(f"min_{c}"),
                     F.max(c).alias(f"max_{c}"),
                 ]
             by_file = {
                 r["f"]: r
-                for r in back.groupBy(
-                    F.input_file_name().alias("f")
-                ).agg(*aggs).collect()
+                for r in self.spark.read.parquet(
+                    *[f"{self.root}/{a}" for a in added]
+                )
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(*aggs)
+                .collect()
             }
+            rows_added = sum(r["__n"] for r in by_file.values())
             for rel in added:
                 # input_file_name is a URI; match on the basename +
                 # commit dir (both unique within the commit)
@@ -451,7 +449,7 @@ class VersionedTable:
                     ),
                     None,
                 )
-                if row is not None:
+                if row is not None and stats_cols:
                     # NULL min/max (all-NULL file) records as [None,
                     # None] — kept unprunable downstream; a column
                     # whose type is not order-preserving in JSON is
@@ -547,7 +545,16 @@ class VersionedTable:
         for _ in range(_MAX_COMMIT_ATTEMPTS):
             head = self.current_version()
             if self.last_txn_version(txn_app) >= txn_version:
-                return head  # a concurrent replay already applied it
+                # a concurrent replay already applied it AFTER this
+                # call wrote its files: reclaim the never-referenced
+                # bytes (no log entry points at them, so vacuum would
+                # never find them)
+                self._fs.delete(self._P(commit_dir), True)
+                for meta in bloom.values():
+                    self._fs.delete(
+                        self._P(f"{self.root}/{meta['index']}"), False
+                    )
+                return head
             try:
                 return self._publish_entry(
                     build,
@@ -1252,6 +1259,7 @@ class VersionedTable:
                 # dies with it (same grace window: reached only after
                 # the data file cleared the age floor)
                 self._fs.delete(self._P(f"{self.root}/{side}"), False)
+                deleted.append(side)
         # DV sidecars follow VERSION retention (not file lifetime): a
         # superseded sidecar is still the read basis of older
         # versions, so it is deletable only once no retained version

@@ -46,10 +46,11 @@ from ..sources.readers import load_table
 from .registry import spark_query
 from .wave60 import _CUT1, _CUT2, _fresh_root, _spend
 
+# one constant per predicate, shared verbatim by the Spark delete and
+# the oracle's derivation (the twin-constant discipline: editing one
+# side cannot desynchronize the other)
 _DEL1 = "spend < 800000.0"
 _DEL2 = "spend > 3000000.0"
-_DEL1_SQL = "spend < 800000.0"
-_DEL2_SQL = "spend > 3000000.0"
 _RESUM = "CAST(round(sum(CAST(spend AS DECIMAL(18,2))), 2) AS DOUBLE)"
 
 
@@ -72,10 +73,10 @@ def _q127_oracle() -> str:
                   AS DOUBLE) AS spend
       FROM orders GROUP BY 1
     ),
-    d1 AS MATERIALIZED (SELECT * FROM sall WHERE {_DEL1_SQL}),
-    d2 AS MATERIALIZED (SELECT * FROM sall WHERE {_DEL2_SQL}),
-    s1 AS (SELECT * FROM sall WHERE NOT ({_DEL1_SQL})),
-    s2 AS (SELECT * FROM s1 WHERE NOT ({_DEL2_SQL})),
+    d1 AS MATERIALIZED (SELECT * FROM sall WHERE {_DEL1}),
+    d2 AS MATERIALIZED (SELECT * FROM sall WHERE {_DEL2}),
+    s1 AS (SELECT * FROM sall WHERE NOT ({_DEL1})),
+    s2 AS (SELECT * FROM s1 WHERE NOT ({_DEL2})),
     nd1 AS (SELECT count(DISTINCT custkey % 4) AS f, count(*) AS n
             FROM d1),
     nd2 AS (SELECT count(DISTINCT custkey % 4) AS f, count(*) AS n

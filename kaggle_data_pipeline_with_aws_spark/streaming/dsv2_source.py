@@ -190,6 +190,23 @@ class _PyLog:
             live.update(e["add"])
         return sorted(live)
 
+    def file_dvs(self, version: int | None = None) -> dict[str, dict]:
+        """Live-file → deletion-vector pointer at ``version`` — the
+        pure-python twin of ``VersionedTable.file_dvs`` (a batch read
+        that ignored DVs would resurrect deleted rows)."""
+        ck, tail = self._base_and_tail(version)
+        dvs: dict[str, dict] = dict(ck.get("dv", {})) if ck else {}
+        for e in tail:
+            for rel in e["remove"]:
+                dvs.pop(rel, None)
+            for rel, meta in e.get("dv", {}).items():
+                dvs[rel] = meta
+        return dvs
+
+    def dv_positions(self, rel_index: str) -> list[int]:
+        with open(os.path.join(self.root, rel_index)) as fh:
+            return [int(p) for p in json.load(fh)["positions"]]
+
     def schema_at(self, version: int | None = None) -> StructType:
         ck, tail = self._base_and_tail(version)
         sj = tail[-1]["schema"] if tail else ck["schema"]
@@ -204,9 +221,18 @@ class RewriteCommitInStreamError(RuntimeError):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, schema_json: str):
+    def __init__(
+        self,
+        path: str,
+        schema_json: str,
+        dv_positions: list[int] | None = None,
+    ):
         self.path = path
         self.schema_json = schema_json
+        # deleted row positions (deletion vector) — None for a file
+        # with no vector; shipped with the partition (delete-sized
+        # metadata, resolved at plan time from the sidecar)
+        self.dv_positions = dv_positions
 
 
 def _read_file_partition(partition):
@@ -224,6 +250,17 @@ def _read_file_partition(partition):
         StructType.fromJson(json.loads(partition.schema_json))
     )
     tbl = pq.read_table(partition.path)
+    dead = getattr(partition, "dv_positions", None)
+    if dead:
+        # apply the file's deletion vector: keep every row position
+        # not marked dead (positions are file-absolute row indices)
+        import numpy as np
+
+        keep = np.setdiff1d(
+            np.arange(tbl.num_rows, dtype="int64"),
+            np.asarray(dead, dtype="int64"),
+        )
+        tbl = tbl.take(keep)
     tbl = tbl.select(target.names).cast(target)
     return iter(tbl.to_batches())
 
@@ -298,24 +335,36 @@ class TxnLogBatchReader(DataSourceReader):
     """Batch snapshot read AS OF a version: one partition per live
     file of the version's replayed file set (log metadata only — the
     same explicit-file-list scan ``VersionedTable.snapshot`` hands the
-    JVM reader), rows as Arrow batches. Time travel through the
-    standard reader API: ``spark.read.format("txnlog")
-    .option("path", root).option("version", N).load()``."""
+    JVM reader), each file's deletion vector attached to its
+    partition and applied worker-side, rows as Arrow batches. Time
+    travel through the standard reader API:
+    ``spark.read.format("txnlog").option("path", root)
+    .option("version", N).load()``. The version is PINNED by the
+    DataSource before planning (head resolved once when the option is
+    absent), so repeated actions on one DataFrame read one snapshot —
+    a concurrent commit can never make two actions disagree or break
+    the plan-time schema."""
 
-    def __init__(self, schema: StructType, options: dict):
+    def __init__(self, schema: StructType, options: dict, version: int):
         self.log = _PyLog(options["path"])
         self.schema_json = schema.json()
-        v = options.get("version")
-        self.version = None if v is None else int(v)
+        self.version = version
 
     def partitions(self):
         files = self.log.live_files(self.version)
-        parts = [
-            _FilePartition(
-                os.path.join(self.log.root, rel), self.schema_json
+        dvs = self.log.file_dvs(self.version)
+        parts = []
+        for rel in files:
+            meta = dvs.get(rel)
+            parts.append(
+                _FilePartition(
+                    os.path.join(self.log.root, rel),
+                    self.schema_json,
+                    self.log.dv_positions(meta["index"])
+                    if meta is not None
+                    else None,
+                )
             )
-            for rel in files
-        ]
         return parts or [_FilePartition("", self.schema_json)]
 
     def read(self, partition):
@@ -336,18 +385,34 @@ class TxnLogDataSource(DataSource):
     def name(cls) -> str:
         return "txnlog"
 
+    def _resolved_version(self) -> int:
+        """Pin the batch-read version ONCE per DataSource instance:
+        the explicit ``version`` option (clamped to the head like
+        ``snapshot``), else the head AT RESOLUTION TIME — so
+        ``schema()`` and every subsequent action plan against the
+        same snapshot even while writers keep committing."""
+        if not hasattr(self, "_pinned_version"):
+            log = _PyLog(self.options["path"])
+            head = log.current_version()
+            v = self.options.get("version")
+            self._pinned_version = (
+                head if v is None else min(int(v), head)
+            )
+        return self._pinned_version
+
     def schema(self):
-        log = _PyLog(self.options["path"])
-        v = self.options.get("version")
-        # batch time travel reads the schema AS OF the version (a
-        # later schema-evolution commit must not leak backwards);
-        # streams fix their schema at the head as before.
-        return log.schema_at(int(v)) if v is not None else (
-            log.schema_at_head()
+        # batch time travel reads the schema AS OF the pinned version
+        # (a later schema-evolution commit must not leak backwards);
+        # for streams the pinned head IS the stream-start schema — the
+        # fixed-streaming-schema contract unchanged.
+        return _PyLog(self.options["path"]).schema_at(
+            self._resolved_version()
         )
 
     def reader(self, schema: StructType):
-        return TxnLogBatchReader(schema, dict(self.options))
+        return TxnLogBatchReader(
+            schema, dict(self.options), self._resolved_version()
+        )
 
     def streamReader(self, schema: StructType):
         return TxnLogStreamReader(schema, dict(self.options))

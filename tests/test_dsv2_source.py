@@ -264,3 +264,38 @@ def test_batch_read_time_travel_schema_is_versions_own(spark):
     vt.commit(wide, "overwrite")
     assert _batch_read(spark, root, 0).columns == ["k", "v"]
     assert _batch_read(spark, root, 1).columns == ["k", "v", "tag"]
+
+
+def test_batch_read_applies_deletion_vectors(spark):
+    """A batch read must not resurrect rows a deletion vector killed —
+    it stays value-equal to vt.snapshot() after commit_delete_where."""
+    root = tempfile.mkdtemp(prefix="dsv2-batchdv-")
+    vt = VersionedTable(spark, root)
+    vt.commit(_df(spark, [(i, float(i)) for i in range(20)]), "append")
+    vt.commit_delete_where("k % 3 = 0")
+    got = sorted(r.k for r in _batch_read(spark, root).collect())
+    want = sorted(r.k for r in vt.snapshot().collect())
+    assert got == want and 0 not in got and len(got) == 13
+    # time travel before the delete still sees every row
+    assert len(_batch_read(spark, root, 0).collect()) == 20
+
+
+def test_batch_read_version_is_pinned_across_actions(spark):
+    """One DataFrame = one snapshot: a commit landing between two
+    actions must not change what the second action reads (nor break
+    the plan-time schema after evolution)."""
+    root = tempfile.mkdtemp(prefix="dsv2-batchpin-")
+    vt = VersionedTable(spark, root)
+    vt.commit(_df(spark, [(1, 1.0), (2, 2.0)]), "append")
+    dsv2_source.register(spark)
+    df = (
+        spark.read.format("txnlog").option("path", root).load()
+    )
+    assert df.count() == 2
+    wide = spark.createDataFrame(
+        [(9, 9.0, "x")], "k int, v double, tag string"
+    )
+    vt.commit(wide, "overwrite")  # new head, new schema
+    # the pinned snapshot still reads the OLD version, same schema
+    assert sorted(r.k for r in df.collect()) == [1, 2]
+    assert df.columns == ["k", "v"]

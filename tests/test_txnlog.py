@@ -834,3 +834,51 @@ def test_txn_racing_duplicate_writers_land_once(spark, vt):
     # base plus exactly ONE of the two racers
     assert len(rows) == 2 and rows[0] == 0 and rows[1] in (1, 2)
     assert vt.last_txn_version("race") == 7
+
+
+def test_txn_loser_reclaims_orphan_files(spark, vt):
+    """A transactional writer that loses the replay race AFTER writing
+    its parquet files must delete them on the skip path — no entry
+    references them, so vacuum could never reclaim them."""
+    vt.commit(_df(spark, [(0, "base")]), "append")
+    orig = vt._publish_entry
+    raced = {"done": False}
+
+    def racing_publish(build, read_version=None):
+        if not raced["done"]:
+            raced["done"] = True
+            other = VersionedTable(spark, vt.root)
+            other.commit(
+                _df(spark, [(50, "winner")]).repartition(1), "append",
+                txn_app="a", txn_version=1, bloom_col="k",
+            )
+        return orig(build, read_version)
+
+    vt._publish_entry = racing_publish
+    try:
+        vt.commit(
+            _df(spark, [(60, "loser")]).repartition(1), "append",
+            txn_app="a", txn_version=1, bloom_col="k",
+        )
+    finally:
+        vt._publish_entry = orig
+    assert sorted(r.k for r in vt.snapshot().collect()) == [0, 50]
+    # every commit dir on disk is referenced by some log entry
+    referenced = {
+        rel.split("/")[1] for e in vt.entries() for rel in e["add"]
+    }
+    on_disk = set(os.listdir(f"{vt.root}/data"))
+    assert on_disk == referenced
+    # and no orphan bloom sidecars either (winner's one survives)
+    sides = [
+        f for f in os.listdir(f"{vt.root}/_txn_index")
+        if f.startswith("blm-")
+    ]
+    assert len(sides) == 1
+
+
+def test_vacuum_reports_bloom_sidecars_in_deleted_list(spark):
+    vt = _bloom_vt(spark)
+    vt.commit_compact(target_files=1)
+    deleted = vt.vacuum(retain_versions=1)
+    assert any(s.startswith("_txn_index/blm-") for s in deleted)
