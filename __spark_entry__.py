@@ -168,6 +168,29 @@ _WINDOW_PRIORITY = [
     # high-water marks; a replayed foreachBatch with wrong data is
     # skipped; sink commit count oracle-pinned).
     "s17_exactly_once_txn_sink",
+    # ---- (C) round-11 OPTIMIZATION re-proofs (same values, faster
+    # plans — see OPTIMIZATION_r11.md). operators/unigram.py: EM
+    # rounds/Viterbi serve from a literal vocab prob map over the
+    # histogram (no per-round broadcast join / word-keyed pivot
+    # exchange / materialized lattice table); d210/d211 derive the
+    # truncated histogram from the full one (one corpus pass).
+    "d202_unigram_train",
+    "d203_unigram_segment_stats",
+    "d206_unigram_prune_round",
+    # operators/bpe.py: array-form segmentation — row-local pair
+    # explode + greedy-merge fold; winner is a 1-row fence (no window
+    # exchanges per round).
+    "d162_bpe_train",
+    "d167_bpe_encode_stats",
+    # operators/text_substrate.py: PPJoin verify carries per-doc
+    # shingle counts through the candidate dedup (counts re-agg + two
+    # broadcast joins removed); d126 folds its 3-threshold sweep into
+    # ONE aggregation over one PPJoin pass.
+    "d06_ngram_jaccard",
+    "d42_shingle_containment",
+    "d126_dedup_threshold_sweep",
+    "d152_lsh_band_tuning",
+    "d155_ppjoin_cost_estimate",
 ]
 # The driver checks the first 50 of queries() — slots beyond the
 # staged list fall through to already-proven oracle-backed queries via

@@ -7,27 +7,41 @@ multi-round loop that, per round, (1) counts adjacent symbol pairs,
 every word by merging that pair greedily left-to-right, and records
 the merge table — the artifact a tokenizer ships.
 
-Scale shape (how a 100 TB corpus trains a real BPE vocab):
+Scale shape (how a 100 TB corpus trains a real BPE vocab), REWORKED in
+the round-11 optimization pass (guide §1.2/§2.4 — fix the distributed
+algorithm before anything else; remove shuffles outright):
 
 - **The corpus collapses first.** Training runs on the WORD-TYPE
   histogram (word, count), never the token stream: one map-side-
   partial shuffle bounded by vocabulary size, after which every round
   touches a vocab-sized table — millions of rows at web scale, not
   trillions.
-- **No data-sized driver state.** The winning pair is a 1-row
-  DataFrame broadcast into the re-segmentation (a broadcast 1-row
-  cross join, the repo's scalar-join convention) — the driver never
-  collects anything.
+- **Segmentations are array rows, merges are row-local folds.** The
+  segmentation lives as one ``array<string>`` per word type. Pair
+  counting explodes adjacent pairs row-locally into one partial-
+  aggregated integer-sum shuffle (the round's ONLY exchange); the
+  greedy merge is a ``F.aggregate`` fold over the array — no window,
+  no per-round hash-partition-by-word exchange, no sort. (The previous
+  exploded (word, pos, sym) form paid, per round, a word-keyed
+  exchange + 4 window sorts for the gaps-and-islands merge and a
+  second word-keyed exchange for the ``lead`` pair count.)
+- **The winner is a 1-row fence.** The round's best pair is collected
+  (1 row — the repo's provably-tiny scalar-fence class) and embedded
+  as string literals in the fold, replacing the 1-row localCheckpoint
+  + broadcast cross join.
 - **Bounded lineage.** Each round's segmentation is
-  ``localCheckpoint``-ed (the d40/pagerank discipline), so R rounds
-  cost R short jobs, not a 4^R plan.
+  ``localCheckpoint``-ed (the d40/pagerank discipline): R rounds cost
+  R short row-local jobs + R 1-row collects, not a 4^R plan.
 
-Greedy merge without a sequential scan: adjacent occurrences of the
-winning pair (l, r) can only overlap when ``l == r`` (a run of the
-same symbol), and greedy left-to-right pairing within a run of length
-k merges exactly the even offsets 0, 2, 4, … — so the merge is three
-window passes (run grouping, offset parity, consumed-by-previous),
-all per-word partitions, no UDF and no order-dependent fold.
+Greedy-merge-as-fold correctness: scanning symbols left to right, a
+merge fires when the accumulator's LAST element equals ``l`` (and the
+current symbol is ``r``). A freshly merged element is the string
+``l||r``, which can never equal ``l`` (``r`` is non-empty), so a
+merged piece can never chain as the left of another merge in the same
+round — exactly greedy non-overlap. For ``l == r`` runs this yields
+merges at even offsets (run "aaaa" → [aa, aa], "aaa" → [aa, a]), the
+classic semantics the window/gaps-and-islands form implemented; the
+python-replay test pins both shapes.
 
 Reference scope: beyond-reference LLM-data-curation surface (the
 reference has no tokenizer); d74's one-round statistic is at
@@ -36,10 +50,15 @@ reference has no tokenizer); d74's one-round statistic is at
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens
+
+_MERGE_SCHEMA = (
+    "round long, left_sym string, right_sym string, "
+    "pair_count long, merged string"
+)
 
 
 def word_types(docs: DataFrame) -> DataFrame:
@@ -54,85 +73,104 @@ def word_types(docs: DataFrame) -> DataFrame:
 
 
 def initial_segmentation(wt: DataFrame) -> DataFrame:
-    """(word, w, pos, sym): every word split into 1-char symbols,
-    positions 1-based — row-local sequence+transform, no Python."""
+    """(word, w, syms): every word split into 1-char symbols as ONE
+    array row — row-local sequence+transform, no Python, no explode."""
     return wt.select(
         "word",
         "w",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("word")),
-                lambda i: F.col("word").substr(i, F.lit(1)),
-            )
-        ).alias("p0", "sym"),
-    ).select(
-        "word", "w", (F.col("p0") + 1).cast("long").alias("pos"), "sym"
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        ).alias("syms"),
     )
 
 
+def pair_counts(seg: DataFrame) -> DataFrame:
+    """(lsym, rsym, n): overlapping adjacent-pair counts weighted by
+    word-type count (the classic ``get_stats``) — a row-local pair
+    explode into one partial-aggregated integer sum."""
+    pairs = seg.filter(F.size("syms") >= 2).select(
+        "w",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i).alias("lsym"),
+                    F.element_at(F.col("syms"), i + 1).alias("rsym"),
+                ),
+            )
+        ).alias("pr"),
+    )
+    return pairs.groupBy(
+        F.col("pr.lsym").alias("lsym"), F.col("pr.rsym").alias("rsym")
+    ).agg(F.sum("w").alias("n"))
+
+
+def merge_segmentation(seg: DataFrame, lsym: str, rsym: str) -> DataFrame:
+    """Apply one greedy left-to-right merge of (lsym, rsym) — a
+    row-local ``F.aggregate`` fold (see the module docstring for the
+    greedy-correctness argument). Zero exchanges."""
+    merged = F.lit(lsym + rsym)
+
+    def step(acc, s):
+        # try_element_at: NULL (→ false condition) on the empty
+        # accumulator — element_at(-1) would raise under ANSI mode
+        can = (
+            (F.size(acc) > 0)
+            & (F.try_element_at(acc, F.lit(-1)) == F.lit(lsym))
+            & (s == F.lit(rsym))
+        )
+        return F.when(
+            can,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return seg.select(
+        "word",
+        "w",
+        F.aggregate(
+            F.col("syms"), F.slice(F.col("syms"), 1, 0), step
+        ).alias("syms"),
+    )
+
+
+def best_pair(seg: DataFrame) -> tuple[str, str, int] | None:
+    """The round winner (n DESC, lsym, rsym) — a 1-row collect
+    (TakeOrderedAndProject; the repo's scalar-fence class)."""
+    rows = (
+        pair_counts(seg)
+        .orderBy(F.col("n").desc(), "lsym", "rsym")
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        return None
+    return rows[0]["lsym"], rows[0]["rsym"], rows[0]["n"]
+
+
 def bpe_round(seg: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
-    """One training round over a segmentation table.
+    """One training round over an array-form segmentation table.
 
     Returns ``(merge_row, new_seg)``: the 1-row merge table entry
     (round, left_sym, right_sym, pair_count, merged) and the
     re-segmented table. Pair counting weights by word-type count and
     counts every adjacent position (overlapping, the classic
     ``get_stats``); only the merge APPLICATION is non-overlapping
-    greedy. Ties break deterministically by (n DESC, left, right)."""
-    wo = Window.partitionBy("word").orderBy("pos")
-    adj = seg.withColumn("nsym", F.lead("sym").over(wo))
-    best = (
-        adj.filter(F.col("nsym").isNotNull())
-        .groupBy(F.col("sym").alias("lsym"), F.col("nsym").alias("rsym"))
-        .agg(F.sum("w").alias("n"))
-        .orderBy(F.col("n").desc(), "lsym", "rsym")
-        .limit(1)
-        .localCheckpoint()
-    )
-    j = (
-        adj.crossJoin(F.broadcast(best))
-        .withColumn("is_l", F.col("sym") == F.col("lsym"))
-    )
-    # gaps-and-islands: constant per maximal run of the left symbol
-    wg = Window.partitionBy("word", "is_l").orderBy("pos")
-    j = j.withColumn(
-        "grp", F.when(F.col("is_l"), F.col("pos") - F.row_number().over(wg))
-    )
-    wr = Window.partitionBy("word", "grp").orderBy("pos")
-    j = j.withColumn(
-        "adjm",
-        F.col("is_l")
-        & F.coalesce(F.col("nsym") == F.col("rsym"), F.lit(False)),
-    ).withColumn(
-        "ms",
-        F.col("adjm")
-        & (
-            (F.col("lsym") != F.col("rsym"))
-            | (F.pmod(F.row_number().over(wr) - 1, F.lit(2)) == 0)
-        ),
-    )
-    j = j.withColumn(
-        "consumed", F.coalesce(F.lag("ms").over(wo), F.lit(False))
-    )
-    new_seg = (
-        j.filter(~F.col("consumed"))
-        .select(
-            "word",
-            "w",
-            F.row_number().over(wo).cast("long").alias("pos"),
-            F.when(F.col("ms"), F.concat("sym", "rsym"))
-            .otherwise(F.col("sym"))
-            .alias("sym"),
+    greedy. Ties break deterministically by (n DESC, left, right).
+    A pairless segmentation yields an empty merge row and an empty
+    new segmentation (the pre-rework semantics)."""
+    spark = seg.sparkSession
+    best = best_pair(seg)
+    if best is None:
+        return (
+            spark.createDataFrame([], _MERGE_SCHEMA),
+            seg.filter(F.lit(False)),
         )
+    lsym, rsym, n = best
+    merge_row = spark.createDataFrame(
+        [(rnd, lsym, rsym, n, lsym + rsym)], _MERGE_SCHEMA
     )
-    merge_row = best.select(
-        F.lit(rnd).cast("long").alias("round"),
-        F.col("lsym").alias("left_sym"),
-        F.col("rsym").alias("right_sym"),
-        F.col("n").alias("pair_count"),
-        F.concat("lsym", "rsym").alias("merged"),
-    )
-    return merge_row, new_seg
+    return merge_row, merge_segmentation(seg, lsym, rsym)
 
 
 def encode_stats(docs: DataFrame, rounds: int) -> DataFrame:
@@ -148,7 +186,9 @@ def encode_stats(docs: DataFrame, rounds: int) -> DataFrame:
     seg = initial_segmentation(wt).localCheckpoint()
 
     def stat(seg_df: DataFrame, rnd: int) -> DataFrame:
-        return seg_df.agg(F.sum("w").alias("corpus_tokens")).select(
+        return seg_df.agg(
+            F.sum(F.col("w") * F.size("syms")).alias("corpus_tokens")
+        ).select(
             F.lit(rnd).cast("long").alias("round"), "corpus_tokens"
         )
 
@@ -182,14 +222,16 @@ def encode_stats(docs: DataFrame, rounds: int) -> DataFrame:
 def bpe_train(docs: DataFrame, rounds: int) -> DataFrame:
     """Train ``rounds`` merges; returns the merge table ordered by
     round. Each round's segmentation is localCheckpoint-ed so lineage
-    stays one round deep."""
+    stays one round deep; the merge table accumulates as 1-row fences
+    (pairless rounds stop the loop — no further pair can exist)."""
+    spark = docs.sparkSession
     seg = initial_segmentation(word_types(docs)).localCheckpoint()
-    merge_rows = []
+    merge_rows: list[tuple] = []
     for rnd in range(1, rounds + 1):
-        merge_row, seg = bpe_round(seg, rnd)
-        seg = seg.localCheckpoint()
-        merge_rows.append(merge_row)
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionByName(m)
-    return out.orderBy("round")
+        best = best_pair(seg)
+        if best is None:
+            break
+        lsym, rsym, n = best
+        merge_rows.append((rnd, lsym, rsym, n, lsym + rsym))
+        seg = merge_segmentation(seg, lsym, rsym).localCheckpoint()
+    return spark.createDataFrame(merge_rows, _MERGE_SCHEMA).orderBy("round")

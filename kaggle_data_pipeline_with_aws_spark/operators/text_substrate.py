@@ -162,6 +162,12 @@ def jaccard_pairs(
     alpha = _int_ceil(
         F.lit(threshold / (1.0 + threshold)) * (F.col("__n1") + F.col("__n2"))
     )
+    # Carry the per-doc shingle counts THROUGH the candidate dedup
+    # (they are functionally dependent on the doc ids, so the grouped
+    # set is identical) instead of re-aggregating the whole posting
+    # list into a counts table and re-attaching it with two broadcast
+    # joins (round-11 optimization, guide §2.3 — don't recompute what
+    # the rows already know).
     candidates = (
         pa.join(pb, "__s")
         .filter(
@@ -177,8 +183,8 @@ def jaccard_pairs(
                 >= alpha
             )
         )
-        .select("doc_id_1", "doc_id_2")
-        .distinct()
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.min("__n1").alias("n_1"), F.min("__n2").alias("n_2"))
     )
     # shuffle_hash for the same reason as the standalone plan: the
     # posting list is data-sized; Catalyst's row estimate would
@@ -193,21 +199,14 @@ def jaccard_pairs(
         candidates.join(sh_a, "doc_id_1")
         .join(sh_b, ["doc_id_2", "__sh"])
         .groupBy("doc_id_1", "doc_id_2")
-        .agg(F.count("*").alias("n_common"))
-    )
-    counts = ranked.groupBy("doc_id").agg(
-        F.max("n_shingles").alias("n_shingles")
-    )
-    ca = counts.select(
-        F.col("doc_id").alias("doc_id_1"), F.col("n_shingles").alias("n_1")
-    )
-    cb = counts.select(
-        F.col("doc_id").alias("doc_id_2"), F.col("n_shingles").alias("n_2")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.min("n_1").alias("n_1"),
+            F.min("n_2").alias("n_2"),
+        )
     )
     return (
-        inter.join(F.broadcast(ca), "doc_id_1")
-        .join(F.broadcast(cb), "doc_id_2")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")
@@ -246,6 +245,9 @@ def containment_pairs(
         F.col("n_shingles").alias("__n2"),
     ).hint("shuffle_hash")
     req = _int_ceil(F.lit(threshold) * F.col("__n1"))
+    # Count-carry through the candidate dedup — see ``jaccard_pairs``
+    # (round-11 optimization: the counts re-aggregation + broadcast
+    # join were recomputing a value every candidate row already held).
     candidates = (
         pa.join(pb, "__s")
         .filter(
@@ -260,8 +262,8 @@ def containment_pairs(
                 >= req
             )
         )
-        .select("contained_id", "container_id")
-        .distinct()
+        .groupBy("contained_id", "container_id")
+        .agg(F.min("__n1").alias("n_contained"))
     )
     sh_a = ranked.select(
         F.col("doc_id").alias("contained_id"), F.col("shingle").alias("__sh")
@@ -273,18 +275,13 @@ def containment_pairs(
         candidates.join(sh_a, "contained_id")
         .join(sh_b, ["container_id", "__sh"])
         .groupBy("contained_id", "container_id")
-        .agg(F.count("*").alias("n_common"))
-    )
-    counts = ranked.groupBy("doc_id").agg(
-        F.max("n_shingles").alias("n_shingles")
-    )
-    ca = counts.select(
-        F.col("doc_id").alias("contained_id"),
-        F.col("n_shingles").alias("n_contained"),
+        .agg(
+            F.count("*").alias("n_common"),
+            F.min("n_contained").alias("n_contained"),
+        )
     )
     return (
-        inter.join(F.broadcast(ca), "contained_id")
-        .withColumn(
+        inter.withColumn(
             "containment",
             F.round(F.col("n_common") / F.col("n_contained"), 6),
         )

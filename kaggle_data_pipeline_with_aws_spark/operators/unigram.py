@@ -27,21 +27,36 @@ backward sums ascend over the successor index, posterior edges sum in
 (j, i) order — and both engines evaluate the identical left-associated
 tree; the only cross-row reductions are integer sums.
 
-Scale shape (how a 100 TB corpus trains this):
+Scale shape (how a 100 TB corpus trains this), REWORKED in the
+round-11 optimization pass (guide §2.4 "remove shuffles outright",
+§1.2 "the distributed algorithm first"):
 
 - **The corpus collapses first** (the ``bpe.py`` rule): everything
   runs on the word-type histogram — one corpus-sized shuffle, then
-  every EM round touches vocab-sized tables only.
+  every EM round touches word-type-sized tables only.
 - **Bounded lattice, no DP loop.** Words truncate to ``max_word_len``
   characters (SentencePiece caps sentence length the same way), so
   the forward/backward recurrences unroll into a CLOSED-FORM column
-  expression chain over a pivoted (word × position-pair) wide row —
-  no iteration, no UDF, one whole-stage-codegen projection.
-- **Per round: one broadcast join + two vocab-sized shuffles.** The
-  candidate-piece lattice table is materialized once
-  (localCheckpoint); each round broadcast-joins the (≤ K + alphabet)-
-  row vocab into it, pivots per word, and aggregates expected counts
-  per piece. The vocab is always broadcast-sized by construction.
+  expression chain over a (word × position-pair) wide row — no
+  iteration, no UDF, one whole-stage-codegen projection.
+- **Per round: ZERO joins, ONE piece-keyed integer-sum shuffle.**
+  The vocabulary is bounded by construction (top_k + alphabet rows —
+  a few hundred), so each round's smoothed probabilities ship into
+  the lattice as a LITERAL map (``try_element_at`` over a constant
+  ``create_map``) instead of a broadcast join + word-keyed pivot
+  shuffle. The round's only distributed work is the E-step projection
+  over the checkpointed histogram and the M-step's partial-aggregated
+  integer sum; the vocab-sized result is collected to the driver
+  (the same provably-bounded fence class as the repo's 1-row scalar
+  collects) to parameterize the next round's literals. Before this
+  rework every round paid a broadcast build + a word-keyed pivot
+  exchange of the 57-edges-per-word lattice table; see
+  OPTIMIZATION_r11.md for the measured delta.
+- **Identical values.** The map literal carries the SAME doubles the
+  broadcast-join path produced: p = (qc+1)/(Σqc+V) is one IEEE-754
+  division of exact integers whether evaluated by Spark, DuckDB, or
+  the driver (all < 2^53), and every downstream float expression is
+  unchanged. The python replay test and the DuckDB oracles pin this.
 """
 
 from __future__ import annotations
@@ -113,32 +128,39 @@ def word_types_full(docs: DataFrame) -> DataFrame:
     )
 
 
+def truncate_types(wt_full: DataFrame, w: int | None = None) -> DataFrame:
+    """(word, w): the truncated histogram DERIVED from the full one —
+    a word-type-sized re-aggregation instead of a second corpus pass
+    (round-11 optimization: d210 needed both histograms and paid the
+    corpus explode + shuffle twice; counts merge across truncation
+    identically either way)."""
+    w = MAX_WORD_LEN if w is None else w
+    return (
+        wt_full.select(
+            F.substring("word", 1, w).alias("word"), F.col("w")
+        )
+        .groupBy("word")
+        .agg(F.sum("w").alias("w"))
+    )
+
+
 def candidate_pieces(wt: DataFrame) -> DataFrame:
     """(word, w, j, i, piece): every lattice edge of every word type —
     piece = word[j:i], 0 ≤ j < i ≤ len ≤ W, i-j ≤ L. Row-local
-    sequence/transform explode, no Python. Built once per training
-    run and localCheckpoint-ed by callers."""
-    n = F.length("word")
-    spans = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), n - 1),
-            lambda j: F.transform(
-                F.sequence(
-                    j + 1, F.least(j + MAX_PIECE_LEN, n)
-                ),
-                lambda i: F.struct(j.alias("j"), i.alias("i")),
-            ),
-        )
+    sequence/transform explode, no Python. Feeds the one-shot seed
+    histogram; the EM rounds no longer touch it (the lattice is
+    re-derived per round from the histogram + a literal prob map)."""
+    spans = (
+        "flatten(transform(sequence(0, length(word) - 1), "
+        f"j -> transform(sequence(j + 1, least(j + {MAX_PIECE_LEN}, "
+        "length(word))), i -> named_struct('j', j, 'i', i))))"
     )
-    ji = F.explode(spans).alias("ji")
-    return wt.select("word", "w", ji).select(
+    return wt.selectExpr("word", "w", f"explode({spans}) AS ji").selectExpr(
         "word",
         "w",
-        F.col("ji.j").cast("int").alias("j"),
-        F.col("ji.i").cast("int").alias("i"),
-        F.col("word").substr(
-            F.col("ji.j") + 1, F.col("ji.i") - F.col("ji.j")
-        ).alias("piece"),
+        "CAST(ji.j AS INT) AS j",
+        "CAST(ji.i AS INT) AS i",
+        "substring(word, ji.j + 1, ji.i - ji.j) AS piece",
     )
 
 
@@ -198,11 +220,148 @@ def normalized_probs(vocab_counts: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Driver-side vocab bookkeeping (round-11 optimization). The vocab is
+# bounded by construction (top_k multi-char pieces + the alphabet), so
+# holding it as a list of (piece, qc) int rows on the driver is the
+# same provably-tiny fence class as the repo's 1-row scalar collects —
+# NOT data-sized driver state. Every float it derives is one IEEE-754
+# division of exact integers (< 2^53), identical in Spark, DuckDB and
+# CPython, so shipping the probabilities back into the plan as
+# literals preserves the module's bit-exactness contract.
+# ---------------------------------------------------------------------------
+def collect_vocab(vocab_counts: DataFrame) -> list[tuple[str, int]]:
+    """Collect a (piece, qc) vocab DataFrame to driver rows, sorted by
+    piece (a canonical order; values are order-free)."""
+    return sorted(
+        (r["piece"], r["qc"]) for r in vocab_counts.collect()
+    )
+
+
+def probs_map(vocab_rows: list[tuple[str, int]]) -> dict[str, float]:
+    """piece → (qc+1)/(Σqc+V): the SAME double ``normalized_probs``
+    computes (one exact-integer IEEE division)."""
+    t = sum(qc for _, qc in vocab_rows)
+    v = len(vocab_rows)
+    return {piece: (qc + 1) / (t + v) for piece, qc in vocab_rows}
+
+
+def prune_rows(
+    vocab_rows: list[tuple[str, int]], keep_multi: int
+) -> list[tuple[str, int]]:
+    """Driver-side twin of ``prune_vocab`` over collected rows: all
+    singles + top ``keep_multi`` multis by (qc desc, piece asc) —
+    exact integer ordering; python str comparison is codepoint order,
+    which equals the engines' binary UTF-8 collation."""
+    singles = [(p, c) for p, c in vocab_rows if len(p) == 1]
+    multis = sorted(
+        ((p, c) for p, c in vocab_rows if len(p) >= 2),
+        key=lambda x: (-x[1], x[0]),
+    )[:keep_multi]
+    return sorted(singles + multis)
+
+
+def vocab_df(spark, vocab_rows: list[tuple[str, int]]) -> DataFrame:
+    """(piece, qc) DataFrame from driver rows (computed THIS run from
+    the corpus — a plan-construction convenience, not a cache)."""
+    return spark.createDataFrame(vocab_rows, "piece string, qc long")
+
+
+def vocab_with_probs_df(spark, vocab_rows: list[tuple[str, int]]) -> DataFrame:
+    """(piece, qc, p): the trained artifact — probabilities computed
+    by the SAME Spark expression ``normalized_probs`` uses, with the
+    integer total/size as literals instead of a broadcast 1-row
+    cross join."""
+    t = sum(qc for _, qc in vocab_rows)
+    v = len(vocab_rows)
+    return vocab_df(spark, vocab_rows).select(
+        "piece",
+        "qc",
+        (
+            (F.col("qc") + 1).cast("double")
+            / (F.lit(t) + F.lit(v)).cast("double")
+        ).alias("p"),
+    )
+
+
+def _sql_str(x: str) -> str:
+    """A Spark-SQL string literal for ``x`` (backslash escapes are ON
+    by default in Spark's parser, so escape both)."""
+    return "'" + x.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sql_double(v: float) -> str:
+    """An exact double literal: repr() round-trips doubles in python 3
+    and CAST(string AS DOUBLE) is correctly-rounded parsing, so the
+    folded constant is bit-identical to ``F.lit(v)``."""
+    return f"CAST('{repr(v)}' AS DOUBLE)"
+
+
+def _prob_map_sqls(pmap: dict[str, float]) -> dict[int, str]:
+    """Constant map<string,double> SQL text, ONE MAP PER PIECE LENGTH
+    (folded to literals by Catalyst's ConstantFolding — vocab-bounded
+    by construction). Per-length because a literal-map lookup is a
+    linear key scan and an edge (j, i) can only hold a piece of length
+    i-j — each of the 57 per-row lookups scans the handful of keys of
+    that exact length instead of the whole vocab."""
+    by_len: dict[int, dict[str, float]] = {}
+    for piece, p in pmap.items():
+        by_len.setdefault(len(piece), {})[piece] = p
+    out: dict[int, str] = {}
+    for ln, sub in by_len.items():
+        parts = []
+        for piece in sorted(sub):
+            parts.append(f"{_sql_str(piece)}, {_sql_double(sub[piece])}")
+        out[ln] = "map(" + ", ".join(parts) + ")"
+    return out
+
+
+def _edge_prob_sql(
+    maps: dict[int, str], word_sql: str, j: int, i: int
+) -> str:
+    """p_{j}_{i} as SQL: the vocab probability of word[j:i] when the
+    edge exists (i ≤ len) and the piece is in the vocab, else 0.0 —
+    the identical expression tree ``F.when``/``F.coalesce``/
+    ``F.try_element_at`` built, parsed in one pass."""
+    m = maps.get(i - j)
+    if m is None:  # no vocab piece of this length at all
+        return "CAST(0.0 AS DOUBLE)"
+    return (
+        f"CASE WHEN length({word_sql}) >= {i} THEN "
+        f"coalesce(try_element_at({m}, "
+        f"substring({word_sql}, {j + 1}, {i - j})), CAST(0.0 AS DOUBLE)) "
+        f"ELSE CAST(0.0 AS DOUBLE) END"
+    )
+
+
+def lattice_wide_from_map(wt: DataFrame, pmap: dict[str, float]) -> DataFrame:
+    """One wide row per word type DIRECTLY from the histogram:
+    p_{j}_{i} = pmap[word[j:i]] when the edge exists (i ≤ len) and the
+    piece is in the vocab, else 0.0 — the exact cell values
+    ``_pivot_lattice`` produced via broadcast join + pivot aggregate,
+    with zero joins and zero shuffles (guide §2.4).
+
+    Built via ONE ``selectExpr`` from generated SQL text: constructing
+    the 57 edge expressions as python Column objects costs seconds of
+    py4j round trips PER ROUND (measured — the dominant cost of the
+    whole trainer at bench scale, where the histogram is tiny and all
+    walls are driver-side), while a generated string parses in a
+    single JVM call to the IDENTICAL expression tree."""
+    maps = _prob_map_sqls(pmap)
+    cols = [
+        f"{_edge_prob_sql(maps, 'word', j, i)} AS p_{j}_{i}"
+        for j, i in lattice_pairs()
+    ]
+    return wt.selectExpr("word", "w", *cols)
+
+
 def _pivot_lattice(pieces: DataFrame, probs: DataFrame) -> DataFrame:
     """One wide row per word type: p_{j}_{i} = prob of the piece on
     lattice edge (j, i), 0.0 when the substring is not in the vocab.
     Broadcast join + one word-keyed pivot aggregate (max over a
-    singleton — exact)."""
+    singleton — exact). Kept as the DataFrame-probs semantic twin of
+    ``lattice_wide_from_map`` (tests pin their equivalence through the
+    python replay); the plans use the map form."""
     joined = pieces.join(F.broadcast(probs), "piece")
     aggs = [
         F.coalesce(
@@ -220,70 +379,70 @@ def _with_forward_backward(wide: DataFrame) -> DataFrame:
     """Append f0..fW (forward sums), bW..b0 (backward sums) and z to
     the wide lattice row — the unrolled closed-form recurrences, each
     term chain left-associated in ascending index order (the
-    determinism contract)."""
+    determinism contract). Levels are generated as SQL text and parsed
+    in one ``selectExpr`` call per dependency level (f ascends while b
+    descends, so level t adds f_t AND b_{W-t} together) — the python
+    Column-object form cost seconds of py4j round trips per call (see
+    ``lattice_wide_from_map``); the parsed expression trees are
+    identical."""
     w = MAX_WORD_LEN
     l = MAX_PIECE_LEN  # noqa: E741
-    n = F.length("word")
-    out = wide.withColumn("f0", F.lit(1.0))
-    for i in range(1, w + 1):
-        terms = [
-            F.col(f"f{j}") * F.col(f"p_{j}_{i}")
-            for j in range(max(0, i - l), i)
-        ]
-        expr = terms[0]
-        for t in terms[1:]:
-            expr = expr + t
-        out = out.withColumn(f"f{i}", expr)
-    out = out.withColumn(
-        f"b{w}", F.when(n == w, F.lit(1.0)).otherwise(F.lit(0.0))
+    out = wide.selectExpr(
+        "*",
+        "CAST(1.0 AS DOUBLE) AS f0",
+        f"CASE WHEN length(word) = {w} THEN CAST(1.0 AS DOUBLE) "
+        f"ELSE CAST(0.0 AS DOUBLE) END AS b{w}",
     )
-    for i in range(w - 1, -1, -1):
-        terms = [
-            F.col(f"p_{i}_{k}") * F.col(f"b{k}")
-            for k in range(i + 1, min(i + l, w) + 1)
-        ]
-        expr = terms[0]
-        for t in terms[1:]:
-            expr = expr + t
-        sum_col = expr
-        if i > 0:
-            out = out.withColumn(
-                f"b{i}", F.when(n == i, F.lit(1.0)).otherwise(sum_col)
+    for t in range(1, w + 1):
+        adds = []
+        i = t
+        f_terms = " + ".join(
+            f"f{j} * p_{j}_{i}" for j in range(max(0, i - l), i)
+        )
+        adds.append(f"({f_terms}) AS f{i}")
+        bi = w - t
+        b_terms = " + ".join(
+            f"p_{bi}_{k} * b{k}"
+            for k in range(bi + 1, min(bi + l, w) + 1)
+        )
+        if bi > 0:
+            adds.append(
+                f"CASE WHEN length(word) = {bi} THEN CAST(1.0 AS DOUBLE) "
+                f"ELSE ({b_terms}) END AS b{bi}"
             )
         else:
-            out = out.withColumn("b0", sum_col)  # words are non-empty
-    return out.withColumn("z", F.col("b0"))
+            adds.append(f"({b_terms}) AS b0")  # words are non-empty
+        out = out.selectExpr("*", *adds)
+    return out.selectExpr("*", "b0 AS z")
+
+
+def _expected_count_edges(fb: DataFrame) -> DataFrame:
+    """(piece, qc): 1e-6-quantized posterior expected counts from a
+    forward/backward wide row — explode the (j, i) edges, drop zero
+    quanta, integer-sum per piece (map-side partial aggregation)."""
+    packs = ", ".join(
+        f"named_struct('pc', substring(word, {j + 1}, {i - j}), "
+        f"'q', CAST(floor(CAST(w AS DOUBLE) * "
+        f"(f{j} * p_{j}_{i} * b{i} / z) * {QUANT} + "
+        f"CAST(0.5 AS DOUBLE)) AS BIGINT))"
+        for j, i in lattice_pairs()
+    )
+    ex = fb.selectExpr(f"explode(array({packs})) AS e").selectExpr(
+        "e.pc AS piece", "e.q AS q"
+    )
+    return (
+        ex.filter(F.col("q") > 0).groupBy("piece").agg(F.sum("q").alias("qc"))
+    )
 
 
 def em_expected_counts(pieces: DataFrame, probs: DataFrame) -> DataFrame:
-    """E-step + quantization: (piece, qc) — the 1e-6-quantized
+    """E-step + quantization over DataFrame probs (the semantic twin
+    kept for tests/one-shot callers): (piece, qc) — the 1e-6-quantized
     posterior expected count of every vocab piece, summed as exact
     integers across word types. Posterior of edge (j, i) is
     f_j · p_{j,i} · b_i / Z, weighted by the word-type count."""
     fb = _with_forward_backward(_pivot_lattice(pieces, probs))
-    edges = []
-    for j, i in lattice_pairs():
-        c = (
-            F.col(f"f{j}")
-            * F.col(f"p_{j}_{i}")
-            * F.col(f"b{i}")
-            / F.col("z")
-        )
-        q = F.floor(
-            F.col("w").cast("double") * c * QUANT + F.lit(0.5)
-        ).cast("long")
-        edges.append(
-            F.struct(
-                F.col("word").substr(F.lit(j + 1), F.lit(i - j)).alias("pc"),
-                q.alias("q"),
-            )
-        )
-    ex = fb.select(F.explode(F.array(*edges)).alias("e")).select(
-        F.col("e.pc").alias("piece"), F.col("e.q").alias("q")
-    )
-    counts = (
-        ex.filter(F.col("q") > 0).groupBy("piece").agg(F.sum("q").alias("qc"))
-    )
+    counts = _expected_count_edges(fb)
     # keep V fixed: every vocab piece survives, zero-count included
     return (
         probs.select("piece")
@@ -292,22 +451,88 @@ def em_expected_counts(pieces: DataFrame, probs: DataFrame) -> DataFrame:
     )
 
 
+def em_round_rows(
+    wt: DataFrame, vocab_rows: list[tuple[str, int]]
+) -> list[tuple[str, int]]:
+    """One EM round over the checkpointed histogram, vocab in / vocab
+    out as driver rows: E-step projection (lattice from the literal
+    prob map — no join, no pivot shuffle), M-step integer sum (the
+    round's ONLY exchange, piece-keyed and partial-aggregated), then
+    the vocab-bounded collect. Pieces absent from the vocab have p=0,
+    hence posterior 0, hence never appear in the sum; zero-count vocab
+    pieces are re-joined driver-side so V stays fixed."""
+    pmap = probs_map(vocab_rows)
+    fb = _with_forward_backward(lattice_wide_from_map(wt, pmap))
+    got = {
+        r["piece"]: r["qc"] for r in _expected_count_edges(fb).collect()
+    }
+    return [(piece, got.get(piece, 0)) for piece, _ in vocab_rows]
+
+
+def train_rows(
+    wt: DataFrame, rounds: int, top_k: int
+) -> list[tuple[str, int]]:
+    """Seed + ``rounds`` EM iterations over a (word, w) histogram
+    (callers localCheckpoint ``wt`` — it is scanned once per round).
+    Returns the final vocab as driver rows."""
+    vocab_rows = collect_vocab(seed_vocab(candidate_pieces(wt), top_k))
+    for _ in range(rounds):
+        vocab_rows = em_round_rows(wt, vocab_rows)
+    return vocab_rows
+
+
 def unigram_train(
     docs: DataFrame, rounds: int, top_k: int
 ) -> DataFrame:
     """Train ``rounds`` EM iterations over the seeded candidate vocab;
     returns (piece, qc, p) — the final expected micro-counts and
     smoothed probabilities, the artifact a unigram tokenizer ships.
-    Each round's vocab is localCheckpoint-ed (bounded lineage, the
-    bpe.py discipline) — a (K + alphabet)-row table, trivially cheap."""
-    pieces = candidate_pieces(word_types_truncated(docs)).localCheckpoint()
-    vocab = seed_vocab(pieces, top_k).localCheckpoint()
-    for _ in range(rounds):
-        vocab = em_expected_counts(
-            pieces, normalized_probs(vocab)
-        ).localCheckpoint()
-    probs = normalized_probs(vocab)
-    return vocab.join(probs, "piece").select("piece", "qc", "p")
+    Round-11 plan shape: histogram checkpoint + seed top-K job + one
+    shuffle-light job per round (see the module docstring); the
+    lattice-edge table is never materialized."""
+    wt = word_types_truncated(docs).localCheckpoint()
+    rows = train_rows(wt, rounds, top_k)
+    return vocab_with_probs_df(docs.sparkSession, rows)
+
+
+def _viterbi_chain(
+    out: DataFrame, with_counts: bool
+) -> DataFrame:
+    """Append v0..vW (max-product scores) and, optionally, c0..cW
+    (argmax piece counts) to a wide lattice row — the unrolled
+    closed-form recurrence with the fixed ascending-j tie-break."""
+    w = MAX_WORD_LEN
+    l = MAX_PIECE_LEN  # noqa: E741
+    init = ["CAST(1.0 AS DOUBLE) AS v0"] + (
+        ["0 AS c0"] if with_counts else []
+    )
+    out = out.selectExpr("*", *init)
+    for i in range(1, w + 1):
+        js = list(range(max(0, i - l), i))
+        terms = [f"v{j} * p_{j}_{i}" for j in js]
+        vi = (
+            f"greatest({', '.join(terms)})"
+            if len(terms) > 1
+            else terms[0]
+        )
+        out = out.selectExpr("*", f"({vi}) AS v{i}")
+        if with_counts:
+            arms = " ".join(
+                f"WHEN v{i} = {t} THEN c{j} + 1"
+                for j, t in zip(js, terms)
+            )
+            out = out.selectExpr("*", f"CASE {arms} END AS c{i}")
+    return out
+
+
+def _select_at_length(prefix: str, n: Column) -> Column:
+    """CASE chain picking col ``{prefix}{len}``: x1..x{W-1} by word
+    length, else x{W} (the determinism-contract arm order)."""
+    w = MAX_WORD_LEN
+    best = F.col(f"{prefix}{w}")
+    for i in range(w - 1, 0, -1):
+        best = F.when(n == i, F.col(f"{prefix}{i}")).otherwise(best)
+    return best
 
 
 def viterbi_encode(pieces: DataFrame, probs: DataFrame) -> DataFrame:
@@ -315,7 +540,8 @@ def viterbi_encode(pieces: DataFrame, probs: DataFrame) -> DataFrame:
     the max-product Viterbi best segmentation's probability ``vbest``
     AND its piece count ``n_pieces`` — the number of tokens the
     tokenizer actually emits for the word. Returns (word, w, vbest,
-    n_pieces).
+    n_pieces). DataFrame-probs form (tests / one-shot callers); the
+    plans use ``viterbi_encode_cols`` over the literal prob map.
 
     The count rides the same closed-form unrolled recurrence as the
     score: c_i = c_{argmax j}(v_j · p_{j,i}) + 1, with the argmax
@@ -324,33 +550,57 @@ def viterbi_encode(pieces: DataFrame, probs: DataFrame) -> DataFrame:
     Both engines compute v_i and every term from identical expression
     trees, so the float equality that picks the arm is bit-exact (the
     module's determinism contract); counts are exact integers."""
-    w = MAX_WORD_LEN
-    l = MAX_PIECE_LEN  # noqa: E741
     n = F.length("word")
-    out = _pivot_lattice(pieces, probs).withColumn(
-        "v0", F.lit(1.0)
-    ).withColumn("c0", F.lit(0))
-    for i in range(1, w + 1):
-        js = list(range(max(0, i - l), i))
-        terms = [F.col(f"v{j}") * F.col(f"p_{j}_{i}") for j in js]
-        vi = F.greatest(*terms) if len(terms) > 1 else terms[0]
-        out = out.withColumn(f"v{i}", vi)
-        ci = None
-        for j, t in zip(js, terms):
-            cond = F.col(f"v{i}") == t
-            arm = F.col(f"c{j}") + 1
-            ci = F.when(cond, arm) if ci is None else ci.when(cond, arm)
-        out = out.withColumn(f"c{i}", ci)
-    vbest = F.col(f"v{w}")
-    cbest = F.col(f"c{w}")
-    for i in range(w - 1, 0, -1):
-        vbest = F.when(n == i, F.col(f"v{i}")).otherwise(vbest)
-        cbest = F.when(n == i, F.col(f"c{i}")).otherwise(cbest)
+    out = _viterbi_chain(_pivot_lattice(pieces, probs), with_counts=True)
     return out.select(
         "word",
         "w",
-        vbest.alias("vbest"),
-        cbest.cast("long").alias("n_pieces"),
+        _select_at_length("v", n).alias("vbest"),
+        _select_at_length("c", n).cast("long").alias("n_pieces"),
+    )
+
+
+def viterbi_encode_from_map(
+    wt: DataFrame, pmap: dict[str, float]
+) -> DataFrame:
+    """``viterbi_encode`` from the literal prob map — one zero-shuffle
+    projection over the histogram (round-11 optimization)."""
+    n = F.length("word")
+    out = _viterbi_chain(lattice_wide_from_map(wt, pmap), with_counts=True)
+    return out.select(
+        "word",
+        "w",
+        _select_at_length("v", n).alias("vbest"),
+        _select_at_length("c", n).cast("long").alias("n_pieces"),
+    )
+
+
+def viterbi_encode_cols(
+    df: DataFrame,
+    head_col: Column,
+    pmap: dict[str, float],
+) -> DataFrame:
+    """Append ``vbest``/``n_pieces`` for ``head_col`` (≤ W chars) to an
+    arbitrary DataFrame — the joinless serving form: a consumer with
+    full words computes its head's encode INLINE instead of joining a
+    separately-encoded truncated table (identical expressions on the
+    same head string ⇒ identical values)."""
+    tmp = df.withColumn("__head", head_col)
+    maps = _prob_map_sqls(pmap)
+    n = F.length("__head")
+    wide = tmp.selectExpr(
+        "*",
+        *[
+            f"{_edge_prob_sql(maps, '__head', j, i)} AS p_{j}_{i}"
+            for j, i in lattice_pairs()
+        ],
+    )
+    out = _viterbi_chain(wide, with_counts=True)
+    keep = [c for c in df.columns]
+    return out.select(
+        *keep,
+        _select_at_length("v", n).alias("vbest"),
+        _select_at_length("c", n).cast("long").alias("n_pieces"),
     )
 
 
@@ -359,23 +609,23 @@ def viterbi_stats(pieces: DataFrame, probs: DataFrame) -> DataFrame:
     max-product Viterbi score v (best single segmentation probability),
     the total probability Z, and the posterior expected piece count —
     all closed-form over the same wide lattice row. Returns one row
-    per word type: (word, w, v, z, exp_pieces)."""
-    w = MAX_WORD_LEN
-    l = MAX_PIECE_LEN  # noqa: E741
+    per word type: (word, w, v, z, exp_pieces). DataFrame-probs form;
+    ``viterbi_stats_from_map`` is the plans' joinless twin."""
+    return _viterbi_stats_over(_pivot_lattice(pieces, probs))
+
+
+def viterbi_stats_from_map(
+    wt: DataFrame, pmap: dict[str, float]
+) -> DataFrame:
+    """``viterbi_stats`` from the literal prob map — one zero-shuffle
+    projection over the histogram (round-11 optimization)."""
+    return _viterbi_stats_over(lattice_wide_from_map(wt, pmap))
+
+
+def _viterbi_stats_over(wide: DataFrame) -> DataFrame:
     n = F.length("word")
-    fb = _with_forward_backward(_pivot_lattice(pieces, probs))
-    out = fb.withColumn("v0", F.lit(1.0))
-    for i in range(1, w + 1):
-        terms = [
-            F.col(f"v{j}") * F.col(f"p_{j}_{i}")
-            for j in range(max(0, i - l), i)
-        ]
-        out = out.withColumn(
-            f"v{i}", F.greatest(*terms) if len(terms) > 1 else terms[0]
-        )
-    vbest = F.col(f"v{w}")
-    for i in range(w - 1, 0, -1):
-        vbest = F.when(n == i, F.col(f"v{i}")).otherwise(vbest)
+    fb = _with_forward_backward(wide)
+    out = _viterbi_chain(fb, with_counts=False)
     ec_terms = [
         F.col(f"f{j}") * F.col(f"p_{j}_{i}") * F.col(f"b{i}") / F.col("z")
         for j, i in lattice_pairs()
@@ -386,7 +636,7 @@ def viterbi_stats(pieces: DataFrame, probs: DataFrame) -> DataFrame:
     return out.select(
         "word",
         "w",
-        vbest.alias("v"),
+        _select_at_length("v", n).alias("v"),
         F.col("z").alias("z"),
         ec.alias("exp_pieces"),
     )

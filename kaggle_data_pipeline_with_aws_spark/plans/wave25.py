@@ -80,12 +80,36 @@ def d126_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.select(
         F.col("doc_id_1").alias("d"), "jaccard"
     ).unionByName(pairs.select(F.col("doc_id_2").alias("d"), "jaccard"))
-    out = None
-    for t in _SWEEP_TS:
-        agg = sym.filter(F.col("jaccard") >= t).agg(
-            F.lit(float(t)).alias("threshold"),
-            (F.count("*") / 2).cast("long").alias("n_pairs"),
-            F.countDistinct("d").alias("n_docs_implicated"),
+    # ONE aggregation over the (tiny, near-dup-sized) symmetric pair
+    # list: per-threshold conditional counts in a single global agg
+    # row, unpivoted to the three policy rows — the previous
+    # per-threshold union of aggregates repeated the whole PPJoin
+    # subtree three times in the physical plan (no cross-branch reuse
+    # below the differing filters; round-11 optimization, guide §2.4).
+    # A global agg (not a groupBy) so a threshold with zero qualifying
+    # pairs still states its (t, 0, 0) row, as before.
+    aggs = []
+    for idx, t in enumerate(_SWEEP_TS):
+        hit = F.col("jaccard") >= t
+        aggs.append(
+            (F.count(F.when(hit, F.lit(1))) / 2)
+            .cast("long")
+            .alias(f"__np{idx}")
         )
-        out = agg if out is None else out.unionByName(agg)
-    return out.orderBy("threshold")
+        aggs.append(
+            F.countDistinct(F.when(hit, F.col("d"))).alias(f"__nd{idx}")
+        )
+    row = sym.agg(*aggs)
+    out_structs = [
+        F.struct(
+            F.lit(float(t)).alias("threshold"),
+            F.col(f"__np{idx}").alias("n_pairs"),
+            F.col(f"__nd{idx}").alias("n_docs_implicated"),
+        )
+        for idx, t in enumerate(_SWEEP_TS)
+    ]
+    return (
+        row.select(F.explode(F.array(*out_structs)).alias("r"))
+        .select("r.*")
+        .orderBy("threshold")
+    )

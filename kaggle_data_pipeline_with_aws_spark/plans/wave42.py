@@ -154,8 +154,9 @@ def d162_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-round BPE training over the documents corpus: the merge table
     (round, left_sym, right_sym, pair_count, merged). The corpus
     collapses to its word-type histogram in one bounded shuffle; every
-    round after that is window passes over the vocab-sized
-    segmentation table with a broadcast 1-row winner and a per-round
-    localCheckpoint — no collect, no UDF, no sequential fold (see
-    ``operators/bpe.py``)."""
+    round after that is a row-local pair explode into one partial-
+    aggregated integer-sum shuffle (the winner a 1-row fence) and a
+    row-local greedy-merge fold over the array segmentation with a
+    per-round localCheckpoint — no window exchanges, no UDF (see
+    ``operators/bpe.py``; round-11 rework)."""
     return bpe.bpe_train(load_table(spark, sf_dir, "documents"), _ROUNDS)

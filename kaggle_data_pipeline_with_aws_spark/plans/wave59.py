@@ -224,10 +224,12 @@ def d202_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (piece, expected micro-count, smoothed probability) — the
     artifact a unigram tokenizer ships.
 
-    Scale shape per operators/unigram.py: the corpus collapses to the
-    word-type histogram once; each EM round is one broadcast join of
-    the ≤(150+alphabet)-row vocab into the checkpointed lattice table,
-    one word-keyed pivot, one piece-keyed integer-sum shuffle."""
+    Scale shape per operators/unigram.py (round-11 rework): the corpus
+    collapses to the word-type histogram once; each EM round is one
+    zero-join lattice projection over the checkpointed histogram (the
+    ≤(150+alphabet)-row vocab rides in as a literal prob map) plus the
+    piece-keyed integer-sum shuffle — no per-round broadcast, no
+    word-keyed pivot exchange, no materialized lattice-edge table."""
     docs = _t(spark, sf_dir, "documents").select("text")
     out = U.unigram_train(docs, rounds=_ROUNDS, top_k=_TOPK)
     return out.select(
@@ -289,13 +291,13 @@ def d203_unigram_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is where extra rounds stop paying (d167's compression-curve role,
     likelihood flavor)."""
     docs = _t(spark, sf_dir, "documents").select("text")
-    pieces = U.candidate_pieces(
-        U.word_types_truncated(docs)
-    ).localCheckpoint()
-    vocab = U.seed_vocab(pieces, _TOPK).localCheckpoint()
+    wt = U.word_types_truncated(docs).localCheckpoint()
+    vocab_rows = U.collect_vocab(
+        U.seed_vocab(U.candidate_pieces(wt), _TOPK)
+    )
     rows = []
     for r in range(_ROUNDS + 1):
-        st = U.viterbi_stats(pieces, U.normalized_probs(vocab))
+        st = U.viterbi_stats_from_map(wt, U.probs_map(vocab_rows))
         q_ec = F.floor(
             F.col("w").cast("double") * F.col("exp_pieces") * _Q
             + F.lit(0.5)
@@ -317,9 +319,7 @@ def d203_unigram_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         if r < _ROUNDS:
-            vocab = U.em_expected_counts(
-                pieces, U.normalized_probs(vocab)
-            ).localCheckpoint()
+            vocab_rows = U.em_round_rows(wt, vocab_rows)
     out = rows[0]
     for x in rows[1:]:
         out = out.unionByName(x)
@@ -385,19 +385,12 @@ def d206_unigram_prune_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact determinism contract are unchanged
     (operators/unigram.py)."""
     docs = _t(spark, sf_dir, "documents").select("text")
-    pieces = U.candidate_pieces(
-        U.word_types_truncated(docs)
-    ).localCheckpoint()
-    vocab = U.seed_vocab(pieces, _TOPK).localCheckpoint()
-    for _ in range(_ROUNDS):
-        vocab = U.em_expected_counts(
-            pieces, U.normalized_probs(vocab)
-        ).localCheckpoint()
-    pruned = U.prune_vocab(vocab, _PRUNE_TO).localCheckpoint()
-    final = U.em_expected_counts(pieces, U.normalized_probs(pruned))
-    probs = U.normalized_probs(final)
+    wt = U.word_types_truncated(docs).localCheckpoint()
+    vocab_rows = U.train_rows(wt, _ROUNDS, _TOPK)
+    pruned = U.prune_rows(vocab_rows, _PRUNE_TO)
+    final_rows = U.em_round_rows(wt, pruned)
     return (
-        final.join(probs, "piece")
+        U.vocab_with_probs_df(spark, final_rows)
         .select("piece", "qc", F.round("p", 9).alias("p"))
         .orderBy("piece")
     )

@@ -182,65 +182,47 @@ def d210_unigram_viterbi_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is vocab-broadcast + one pivot — the same 100 TB shape as
     the trainer."""
     docs = _t(spark, sf_dir, "documents").select("text")
+    # ONE corpus pass: the truncated histogram derives from the full
+    # one word-type-side (round-11 optimization — previously both
+    # histograms re-exploded the corpus).
     wt_full = U.word_types_full(docs).localCheckpoint()
-    pieces = U.candidate_pieces(
-        U.word_types_truncated(docs)
-    ).localCheckpoint()
-    vocab = U.seed_vocab(pieces, _TOPK).localCheckpoint()
-    for _ in range(_ROUNDS):
-        vocab = U.em_expected_counts(
-            pieces, U.normalized_probs(vocab)
-        ).localCheckpoint()
-    enc = U.viterbi_encode(pieces, U.normalized_probs(vocab))
-    singles = vocab.filter(F.length("piece") == 1).select("piece")
-    tailch = (
-        wt_full.filter(F.length("word") > _W)
-        .select(
-            "word",
-            F.explode(
-                F.sequence(F.lit(_W + 1), F.length("word"))
-            ).alias("pos"),
-        )
-        .select("word", F.col("word").substr(F.col("pos"), F.lit(1))
-                .alias("ch"))
+    wt = U.truncate_types(wt_full).localCheckpoint()
+    vocab_rows = U.train_rows(wt, _ROUNDS, _TOPK)
+    pmap = U.probs_map(vocab_rows)
+    # The head's Viterbi encode computes INLINE on substring(word, 1, W)
+    # — identical expressions on the same head string as the previous
+    # encode-then-join-by-head plan, with the join and the separate
+    # tail-char explode+broadcast-join removed (guide §2.4). The
+    # trained single-char vocab rides in as a literal array.
+    singles = sorted(p for p, _ in vocab_rows if len(p) == 1)
+    singles_arr = F.array(*[F.lit(s) for s in singles])
+    enc = U.viterbi_encode_cols(
+        wt_full, F.substring("word", 1, _W), pmap
     )
-    tailstats = (
-        tailch.join(
-            F.broadcast(singles.withColumn("known", F.lit(1))),
-            tailch["ch"] == F.col("piece"),
-            "left",
-        )
-        .groupBy("word")
-        .agg(
-            F.sum(F.when(F.col("known").isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_unk_ch"),
-            F.sum(F.when(F.col("known").isNull(), 0).otherwise(1))
-            .cast("long")
-            .alias("n_fb_ch"),
-        )
-    )
-    perword = (
-        wt_full.join(
-            enc.select(
-                F.col("word").alias("__head"), "vbest", "n_pieces"
-            ),
-            F.substring(wt_full["word"], 1, _W) == F.col("__head"),
-        )
-        .join(tailstats, "word", "left")
-        .select(
-            F.when(F.length("word") <= _W, F.length("word"))
-            .otherwise(F.lit(_W + 1))
-            .cast("long")
-            .alias("wlen"),
-            "w",
-            F.length("word").alias("flen"),
-            F.greatest(F.length("word") - _W, F.lit(0)).alias("tail_len"),
-            "vbest",
-            "n_pieces",
-            F.coalesce(F.col("n_unk_ch"), F.lit(0)).alias("n_unk_ch"),
-            F.coalesce(F.col("n_fb_ch"), F.lit(0)).alias("n_fb_ch"),
-        )
+    tailch = F.when(
+        F.length("word") > _W,
+        F.transform(
+            F.sequence(F.lit(_W + 1), F.length("word")),
+            lambda pos: F.col("word").substr(pos, F.lit(1)),
+        ),
+    ).otherwise(F.slice(F.split(F.lit(""), ","), 1, 0))
+    n_fb = F.size(
+        F.filter(tailch, lambda c: F.array_contains(singles_arr, c))
+    ).cast("long")
+    perword = enc.select(
+        F.when(F.length("word") <= _W, F.length("word"))
+        .otherwise(F.lit(_W + 1))
+        .cast("long")
+        .alias("wlen"),
+        "w",
+        F.length("word").alias("flen"),
+        F.greatest(F.length("word") - _W, F.lit(0)).alias("tail_len"),
+        "vbest",
+        "n_pieces",
+        (
+            F.greatest(F.length("word") - _W, F.lit(0)).cast("long") - n_fb
+        ).alias("n_unk_ch"),
+        n_fb.alias("n_fb_ch"),
     )
     q_vb = F.floor(
         F.col("w").cast("double") * F.col("vbest") * _Q + F.lit(0.5)
@@ -348,9 +330,12 @@ def d211_tokenizer_compression_compare(
     outgrows the lattice (identical to the truncated basis until it
     does)."""
     docs = _t(spark, sf_dir, "documents").select("text")
-    wt = U.word_types_truncated(docs).localCheckpoint()
+    # ONE corpus pass (round-11): full histogram checkpointed, the
+    # truncated basis derived word-type-side.
+    wt_full = U.word_types_full(docs).localCheckpoint()
+    wt = U.truncate_types(wt_full).localCheckpoint()
     fullagg = F.broadcast(
-        U.word_types_full(docs).agg(
+        wt_full.agg(
             F.sum(
                 F.col("w")
                 * F.greatest(F.length("word") - _W, F.lit(0))
@@ -361,13 +346,8 @@ def d211_tokenizer_compression_compare(
             .alias("n_chars_full"),
         )
     )
-    pieces = U.candidate_pieces(wt).localCheckpoint()
-    vocab = U.seed_vocab(pieces, _TOPK).localCheckpoint()
-    for _ in range(_ROUNDS):
-        vocab = U.em_expected_counts(
-            pieces, U.normalized_probs(vocab)
-        ).localCheckpoint()
-    enc = U.viterbi_encode(pieces, U.normalized_probs(vocab))
+    vocab_rows = U.train_rows(wt, _ROUNDS, _TOPK)
+    enc = U.viterbi_encode_from_map(wt, U.probs_map(vocab_rows))
     utok = enc.agg(
         F.sum(F.col("w") * F.col("n_pieces")).alias("n_tokens")
     )
@@ -375,7 +355,9 @@ def d211_tokenizer_compression_compare(
     for rnd in range(1, _BPE_ROUNDS + 1):
         _, seg = bpe.bpe_round(seg, rnd)
         seg = seg.localCheckpoint()
-    btok = seg.agg(F.sum("w").alias("n_tokens"))
+    btok = seg.agg(
+        F.sum(F.col("w") * F.size("syms")).alias("n_tokens")
+    )
     chars = F.broadcast(
         wt.agg(
             F.sum(F.col("w") * F.length("word")).cast("long")

@@ -121,7 +121,8 @@ def test_bpe_encode_stats_match_python_replay(spark):
 
 def test_bpe_round_resegmentation_shapes(spark):
     """One round over 'aaa' (count 1): winner (a,a) with overlapping
-    count 2; segmentation becomes [aa, a]."""
+    count 2; segmentation becomes [aa, a] (array form — round-11
+    rework: the merge is a row-local fold, not a window pass)."""
     docs = spark.createDataFrame([("aaa",)], "text string")
     seg = bpe.initial_segmentation(bpe.word_types(docs))
     merge_row, new_seg = bpe.bpe_round(seg, 1)
@@ -132,8 +133,6 @@ def test_bpe_round_resegmentation_shapes(spark):
         2,
         "aa",
     )
-    out = [
-        (r.pos, r.sym)
-        for r in new_seg.orderBy("pos").collect()
-    ]
-    assert out == [(1, "aa"), (2, "a")]
+    out = new_seg.collect()
+    assert len(out) == 1
+    assert out[0].syms == ["aa", "a"]
