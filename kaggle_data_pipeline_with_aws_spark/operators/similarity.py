@@ -873,3 +873,80 @@ def ivf_topk_fixed_centroids_grouped(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def ivf_cells_fixed_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    n: int,
+    out_id: str,
+    vec_out: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    vectorized: bool = True,
+) -> DataFrame:
+    """Top-``n`` quantizer cells per row of ``df`` with the vector AND
+    the cell rank (``__crank``) carried — the assignment half of
+    ``ivf_topk_fixed_centroids`` factored out so adaptive-probe plans
+    compute it ONCE, checkpoint it, and derive every probe level from
+    the same table (``filter(__crank <= n_probe)``) instead of
+    re-assigning the corpus per level (guide §2.4: the repeated
+    subtree was 3-4 full assignment passes per query plan).
+
+    Same score expression (rounded sequential-fold cosine), same
+    deterministic tiebreak as ``ivf_topk_fixed_centroids`` — a level's
+    filtered rows are value-identical to a direct top-``n_probe``
+    assignment."""
+    cents = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__ct")
+    )
+    scored = (
+        df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(vec_out))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "__cscore",
+            F.round(_cosine(F.col(vec_out), F.col("__ct"), vectorized), 6),
+        )
+    )
+    w = Window.partitionBy(out_id).orderBy(
+        F.col("__cscore").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("__crank", F.row_number().over(w))
+        .filter(F.col("__crank") <= n)
+        .select(out_id, vec_out, "centroid_id", "__crank")
+    )
+
+
+def ivf_topk_precomputed(
+    assigned: DataFrame,
+    probed: DataFrame,
+    k: int = 5,
+    vectorized: bool = True,
+) -> DataFrame:
+    """The scoring half of ``ivf_topk_fixed_centroids`` over
+    PRE-COMPUTED cell tables: ``assigned`` = (neighbor_id, __cv,
+    centroid_id) corpus assignment, ``probed`` = (query_id, __qv,
+    centroid_id) probe cells (any extra columns must be dropped by the
+    caller). Tail is expression-for-expression the fixed-centroids
+    join plan — same rounded cosine, same (query, neighbor) dedup,
+    same deterministic rank cut — so feeding checkpointed cell tables
+    yields bit-identical values while the assignment cost is paid
+    once per substrate instead of once per probe level."""
+    candidates = (
+        assigned.join(F.broadcast(probed), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(_cosine(F.col("__qv"), F.col("__cv"), vectorized), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        candidates.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

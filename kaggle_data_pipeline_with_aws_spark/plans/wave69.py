@@ -32,7 +32,7 @@ Reference scope: beyond-reference LLM-data-curation surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import similarity
@@ -84,55 +84,54 @@ def _queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cells(
-    cents: DataFrame, df: DataFrame, out_id: str, n: int
-) -> DataFrame:
-    """Top-``n`` quantizer cells per row of ``df`` — the d213 restated
-    assignment (broadcast centroid cross join, windowed top-n)."""
-    c = cents.select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("__ct"),
-    )
-    w = Window.partitionBy(out_id).orderBy(
-        F.col("__cs").desc(), F.col("centroid_id")
-    )
-    return (
-        df.select(F.col("vec_id").alias(out_id), "embedding")
-        .crossJoin(F.broadcast(c))
-        .withColumn(
-            "__cs",
-            F.round(similarity.cosine(F.col("embedding"), F.col("__ct")), 6),
-        )
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= n)
-        .select(out_id, "centroid_id")
-    )
-
-
-def _candidates(
-    spark: SparkSession, sf_dir: str, n_probe: int
-) -> DataFrame:
-    """(query_id, neighbor_id): the filtered posting lists admitted by
-    the query's top-``n_probe`` cells."""
+def _substrate(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The two cell tables EVERY probe level derives from, each
+    computed once and checkpointed (round-11 optimization, guide
+    §2.4): ``assigned`` = the filtered corpus's best cell with the
+    vector carried (neighbor_id, __cv, centroid_id), ``qcells`` = the
+    queries' top-``_P_HI`` probe cells with vector and rank carried
+    (query_id, __qv, centroid_id, __crank). A probe level ``n`` is
+    ``qcells.filter(__crank <= n)`` — previously the counting pass and
+    each ``ivf_topk_fixed_centroids`` call re-assigned corpus and
+    queries from scratch (3-4 assignment passes per query plan)."""
     cents = _embs(spark, sf_dir).filter(F.col("vec_id") < _N_CENTS)
-    return (
-        _cells(cents, _queries(spark, sf_dir), "query_id", n_probe)
-        .join(_cells(cents, _filtered(spark, sf_dir), "neighbor_id", 1),
-              "centroid_id")
+    assigned = (
+        similarity.ivf_cells_fixed_centroids(
+            _filtered(spark, sf_dir), cents, 1, "neighbor_id", "__cv"
+        )
+        .drop("__crank")
+        .localCheckpoint()
+    )
+    qcells = similarity.ivf_cells_fixed_centroids(
+        _queries(spark, sf_dir), cents, _P_HI, "query_id", "__qv"
+    ).localCheckpoint()
+    return assigned, qcells
+
+
+def _ncand_from(
+    assigned: DataFrame,
+    qcells: DataFrame,
+    queries: DataFrame,
+    n_probe: int,
+) -> DataFrame:
+    """(query_id, n_candidates) at probe level ``n_probe`` from the
+    substrate tables, zero-candidate queries kept."""
+    counts = (
+        qcells.filter(F.col("__crank") <= n_probe)
+        .select("query_id", "centroid_id")
+        .join(
+            assigned.select("neighbor_id", "centroid_id"), "centroid_id"
+        )
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .distinct()
-    )
-
-
-def _ncand(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
-    """(query_id, n_candidates) with zero-candidate queries kept."""
-    counts = _candidates(spark, sf_dir, n_probe).groupBy("query_id").agg(
-        F.count("*").cast("long").alias("n_candidates")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_candidates"))
     )
     return (
-        _queries(spark, sf_dir)
-        .select(F.col("vec_id").alias("query_id"))
+        queries.select(F.col("vec_id").alias("query_id"))
         .join(counts, "query_id", "left")
         .select(
             "query_id",
@@ -140,13 +139,6 @@ def _ncand(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
                 "n_candidates"
             ),
         )
-    )
-
-
-def _flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, n_candidates, starved): the adaptation signal."""
-    return _ncand(spark, sf_dir, _P_BASE).withColumn(
-        "starved", F.col("n_candidates") < _MIN_CAND
     )
 
 
@@ -267,26 +259,30 @@ def d214_ann_adaptive_probe_search(
     predicate — healthy queries never pay the wider scan, starved ones
     recover recall (d215 quantifies both). At 100 TB this is the
     serve-time answer to unpredictable filter selectivity."""
-    flags = _flags(spark, sf_dir).localCheckpoint()
-    cents = _embs(spark, sf_dir).filter(F.col("vec_id") < _N_CENTS)
-    filtered = _filtered(spark, sf_dir)
+    # Round-11 plan: corpus assignment and query probe cells come from
+    # ONE checkpointed substrate; the count pass and both probe levels
+    # filter/score the same two tables instead of re-assigning corpus
+    # and queries per level (guide §2.4 — was 3 assignment passes).
+    assigned, qcells = _substrate(spark, sf_dir)
     queries = _queries(spark, sf_dir)
-    q_flag = flags.select(
-        F.col("query_id").alias("vec_id"), "starved"
+    flags = (
+        _ncand_from(assigned, qcells, queries, _P_BASE)
+        .withColumn("starved", F.col("n_candidates") < _MIN_CAND)
+        .localCheckpoint()
     )
-    healthy_q = queries.join(
-        q_flag.filter(~F.col("starved")).select("vec_id"), "vec_id",
-        "left_semi",
-    )
-    starved_q = queries.join(
-        q_flag.filter(F.col("starved")).select("vec_id"), "vec_id",
-        "left_semi",
-    )
-    base_top = similarity.ivf_topk_fixed_centroids(
-        filtered, healthy_q, cents, k=_K, n_probe=_P_BASE
+    starved_ids = flags.filter(F.col("starved")).select("query_id")
+    base_top = similarity.ivf_topk_precomputed(
+        assigned,
+        qcells.filter(F.col("__crank") <= _P_BASE)
+        .join(starved_ids, "query_id", "left_anti")
+        .drop("__crank"),
+        k=_K,
     ).withColumn("probe_level", F.lit(_P_BASE).cast("long"))
-    hi_top = similarity.ivf_topk_fixed_centroids(
-        filtered, starved_q, cents, k=_K, n_probe=_P_HI
+    hi_top = similarity.ivf_topk_precomputed(
+        assigned,
+        qcells.join(starved_ids, "query_id", "left_semi")
+        .drop("__crank"),
+        k=_K,
     ).withColumn("probe_level", F.lit(_P_HI).cast("long"))
     return (
         base_top.unionByName(hi_top)
@@ -392,25 +388,39 @@ def d215_ann_adaptive_probe_sweep(
     scanned (the cost), and the escalation count. The row that
     justifies adaptation: recall tracks fixed-hi while cost tracks
     fixed-base + the starved queries' increment."""
-    flags = _flags(spark, sf_dir).localCheckpoint()
-    filtered = _filtered(spark, sf_dir).localCheckpoint()
+    # Round-11 plan: one checkpointed substrate feeds the counting
+    # passes, both fixed-probe rankings, AND the exact leg (the
+    # assignment table carries every filtered vector, so the brute
+    # scan reuses it instead of re-filtering the corpus) — guide §2.4.
+    assigned, qcells = _substrate(spark, sf_dir)
     queries = _queries(spark, sf_dir)
-    cents = _embs(spark, sf_dir).filter(F.col("vec_id") < _N_CENTS)
     nq = queries.count()
 
-    ncand_h = _ncand(spark, sf_dir, _P_HI)
-    top_b = similarity.ivf_topk_fixed_centroids(
-        filtered, queries, cents, k=_K, n_probe=_P_BASE
+    flags = (
+        _ncand_from(assigned, qcells, queries, _P_BASE)
+        .withColumn("starved", F.col("n_candidates") < _MIN_CAND)
+        .localCheckpoint()
+    )
+    ncand_h = _ncand_from(assigned, qcells, queries, _P_HI)
+    top_b = similarity.ivf_topk_precomputed(
+        assigned,
+        qcells.filter(F.col("__crank") <= _P_BASE).drop("__crank"),
+        k=_K,
     ).select("query_id", "neighbor_id")
-    top_h = similarity.ivf_topk_fixed_centroids(
-        filtered, queries, cents, k=_K, n_probe=_P_HI
+    top_h = similarity.ivf_topk_precomputed(
+        assigned, qcells.drop("__crank"), k=_K
     ).select("query_id", "neighbor_id")
     starved = flags.filter(F.col("starved")).select("query_id")
     top_a = top_b.join(starved, "query_id", "left_anti").unionByName(
         top_h.join(starved, "query_id", "left_semi")
     )
     exact = similarity.brute_force_topk(
-        filtered, queries, k=_K
+        assigned.select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("__cv").alias("embedding"),
+        ),
+        queries,
+        k=_K,
     ).select("query_id", "neighbor_id")
 
     def sum_hits(top: DataFrame) -> DataFrame:

@@ -45,7 +45,6 @@ from .wave69 import (
     _MIN_CAND,
     _P_BASE,
     _P_HI,
-    _cells,
     _shard_col,
     _shard_sql,
 )
@@ -198,14 +197,40 @@ def _queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ncand218(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
-    """(query_id, n_candidates) under the harsh filter, zero-kept."""
+def _substrate218(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Harsh-filter twin of wave69's ``_substrate``: the corpus-to-cell
+    assignment (vector carried) and the queries' top-``_P_HI`` probe
+    cells (vector + rank carried), each ONE checkpointed pass — both
+    counting levels, both probe rankings, and the brute tier derive
+    from these two tables (round-11, guide §2.4; previously 4
+    assignment passes per query plan)."""
     cents = _embs(spark, sf_dir).filter(F.col("vec_id") < _N_CENTS)
+    assigned = (
+        similarity.ivf_cells_fixed_centroids(
+            _harsh_filtered(spark, sf_dir), cents, 1,
+            "neighbor_id", "__cv",
+        )
+        .drop("__crank")
+        .localCheckpoint()
+    )
+    qcells = similarity.ivf_cells_fixed_centroids(
+        _queries(spark, sf_dir), cents, _P_HI, "query_id", "__qv"
+    ).localCheckpoint()
+    return assigned, qcells
+
+
+def _ncand218(
+    assigned: DataFrame, qcells: DataFrame, n_probe: int
+) -> DataFrame:
+    """(query_id, n_candidates) under the harsh filter at probe level
+    ``n_probe`` from the substrate tables, zero-kept."""
     cand = (
-        _cells(cents, _queries(spark, sf_dir), "query_id", n_probe)
+        qcells.filter(F.col("__crank") <= n_probe)
+        .select("query_id", "centroid_id")
         .join(
-            _cells(cents, _harsh_filtered(spark, sf_dir), "neighbor_id", 1),
-            "centroid_id",
+            assigned.select("neighbor_id", "centroid_id"), "centroid_id"
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
@@ -214,8 +239,8 @@ def _ncand218(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_candidates"))
     )
     return (
-        _queries(spark, sf_dir)
-        .select(F.col("vec_id").alias("query_id"))
+        qcells.filter(F.col("__crank") == 1)
+        .select(F.col("query_id"))
         .join(cand, "query_id", "left")
         .select(
             "query_id",
@@ -346,8 +371,11 @@ def d218_ann_adaptive_brute_fallback(
     bounds the filtered corpus itself. Tier choice is per query from
     the admitted-candidate counts; every tier's ranking is exact
     within its candidate set."""
-    flags_b = _ncand218(spark, sf_dir, _P_BASE)
-    flags_h = _ncand218(spark, sf_dir, _P_HI)
+    # Round-11 plan: one checkpointed substrate feeds both counting
+    # levels, both probe rankings, and the brute tier (guide §2.4).
+    assigned, qcells = _substrate218(spark, sf_dir)
+    flags_b = _ncand218(assigned, qcells, _P_BASE)
+    flags_h = _ncand218(assigned, qcells, _P_HI)
     tiers = (
         flags_b.select(
             "query_id", F.col("n_candidates").alias("n_cand_base")
@@ -369,24 +397,38 @@ def d218_ann_adaptive_brute_fallback(
         )
         .localCheckpoint()
     )
-    filtered = _harsh_filtered(spark, sf_dir)
-    queries = _queries(spark, sf_dir)
-    cents = _embs(spark, sf_dir).filter(F.col("vec_id") < _N_CENTS)
+    def tier_ids(tier: str) -> DataFrame:
+        return tiers.filter(F.col("tier") == tier).select("query_id")
 
-    def q_subset(tier: str) -> DataFrame:
-        ids = tiers.filter(F.col("tier") == tier).select(
-            F.col("query_id").alias("vec_id")
+    def probed(tier: str, n_probe: int) -> DataFrame:
+        return (
+            qcells.filter(F.col("__crank") <= n_probe)
+            .join(tier_ids(tier), "query_id", "left_semi")
+            .drop("__crank")
         )
-        return queries.join(ids, "vec_id", "left_semi")
 
-    base = similarity.ivf_topk_fixed_centroids(
-        filtered, q_subset("p1_base"), cents, k=_K, n_probe=_P_BASE
+    base = similarity.ivf_topk_precomputed(
+        assigned, probed("p1_base", _P_BASE), k=_K
     )
-    hi = similarity.ivf_topk_fixed_centroids(
-        filtered, q_subset("p2_hi"), cents, k=_K, n_probe=_P_HI
+    hi = similarity.ivf_topk_precomputed(
+        assigned, probed("p2_hi", _P_HI), k=_K
     )
+    # the brute tier scans the filtered corpus exactly — the substrate
+    # assignment table carries every filtered vector, so it IS that
+    # corpus (no re-read, no re-filter); query vectors ride in on the
+    # rank-1 probe rows.
     brute = similarity.brute_force_topk(
-        filtered, q_subset("p3_brute"), k=_K
+        assigned.select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("__cv").alias("embedding"),
+        ),
+        qcells.filter(F.col("__crank") == 1)
+        .join(tier_ids("p3_brute"), "query_id", "left_semi")
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("__qv").alias("embedding"),
+        ),
+        k=_K,
     )
     results = (
         base.unionByName(hi)

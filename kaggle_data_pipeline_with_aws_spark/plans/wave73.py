@@ -109,19 +109,36 @@ def _sq8_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     los = F.array(*[F.lit(float(v)) for v in los_l])
     his = F.array(*[F.lit(float(v)) for v in his_l])
     embs = _embs(spark, sf_dir)
+    # Norms are a per-SIDE property, so they are computed in the
+    # projections BELOW the cross join — once per corpus row / once
+    # per query row — instead of twice per candidate pair (round-11,
+    # guide §1.2 "per-task work": cuts the dominant per-pair fold
+    # count 3× → 1×; same expressions on the same arrays, so every
+    # emitted double is bit-identical).
     c = embs.select(
         F.col("vec_id").alias("neighbor_id"),
         _dequant(F.col("embedding"), los, his).alias("__cv"),
-    )
-    q = embs.filter(
-        (F.col("vec_id") >= _Q_LO) & (F.col("vec_id") < _Q_HI)
     ).select(
-        F.col("vec_id").alias("query_id"),
-        _dequant(F.col("embedding"), los, his).alias("__qv"),
+        "neighbor_id",
+        "__cv",
+        F.sqrt(_fold_dot(F.col("__cv"), F.col("__cv"))).alias("__cn"),
+    )
+    q = (
+        embs.filter(
+            (F.col("vec_id") >= _Q_LO) & (F.col("vec_id") < _Q_HI)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            _dequant(F.col("embedding"), los, his).alias("__qv"),
+        )
+        .select(
+            "query_id",
+            "__qv",
+            F.sqrt(_fold_dot(F.col("__qv"), F.col("__qv"))).alias("__qn"),
+        )
     )
     cos = _fold_dot(F.col("__qv"), F.col("__cv")) / (
-        F.sqrt(_fold_dot(F.col("__qv"), F.col("__qv")))
-        * F.sqrt(_fold_dot(F.col("__cv"), F.col("__cv")))
+        F.col("__qn") * F.col("__cn")
     )
     return (
         c.crossJoin(F.broadcast(q))
