@@ -96,7 +96,7 @@ def search_visited(
         .filter(F.col("node") != F.col("query_id"))
     )
     visited = _score(cand0, embs, queries).localCheckpoint()
-    for _ in range(rounds):
+    for r in range(rounds):
         beam_df = (
             visited.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= beam)
@@ -109,9 +109,16 @@ def search_visited(
             .filter(F.col("node") != F.col("query_id"))
             .join(visited, ["query_id", "node"], "left_anti")
         )
-        visited = visited.unionByName(
-            _score(cand, embs, queries)
-        ).localCheckpoint()
+        visited = visited.unionByName(_score(cand, embs, queries))
+        # Checkpoint BETWEEN rounds only: it bounds lineage growth
+        # (each round references `visited` three times, so lazy
+        # composition is exponential in rounds), but after the LAST
+        # expansion the consumer reads the result once — that final
+        # eager materialization job was pure overhead (round 11,
+        # guide §1.2: one fewer Spark job per search, values
+        # untouched since the plan below the union is identical).
+        if r < rounds - 1:
+            visited = visited.localCheckpoint()
     return visited
 
 
@@ -139,7 +146,7 @@ def search_visited_from(
         .distinct()
     )
     visited = _score(cand0, embs, queries).localCheckpoint()
-    for _ in range(rounds):
+    for r in range(rounds):
         beam_df = (
             visited.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= beam)
@@ -152,9 +159,12 @@ def search_visited_from(
             .filter(F.col("node") != F.col("query_id"))
             .join(visited, ["query_id", "node"], "left_anti")
         )
-        visited = visited.unionByName(
-            _score(cand, embs, queries)
-        ).localCheckpoint()
+        visited = visited.unionByName(_score(cand, embs, queries))
+        # Same discipline as ``search_visited``: checkpoint between
+        # rounds (lineage bound), never after the last one (the
+        # consumer's single read replaces that materialization job).
+        if r < rounds - 1:
+            visited = visited.localCheckpoint()
     return visited
 
 
