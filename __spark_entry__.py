@@ -191,6 +191,19 @@ _WINDOW_PRIORITY = [
     "d126_dedup_threshold_sweep",
     "d152_lsh_band_tuning",
     "d155_ppjoin_cost_estimate",
+    # operators/nsw.py: the beam search no longer localCheckpoints the
+    # final round's frontier (the result is consumed exactly once —
+    # checkpointing it only added an extra materialization pass); the
+    # NSW serving faces re-prove with identical values.
+    "d204_nsw_beam_search",
+    "d205_nsw_recall_audit",
+    "d208_nsw_augmented_search",
+    "d209_nsw_augmented_recall",
+    # plans/llm_data.py::d15_ann_ivf: the 16-row fitted-centroid table
+    # is localCheckpointed before the serving operator broadcasts it
+    # twice (corpus assignment + query probing) — one Lloyd chain run
+    # instead of two whole-plan re-executions (20 -> 8 Exchanges).
+    "d15_ann_ivf",
 ]
 # The driver checks the first 50 of queries() — slots beyond the
 # staged list fall through to already-proven oracle-backed queries via

@@ -741,6 +741,12 @@ def d15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cell", "i", (F.col("s") / F.col("cnt") / q9).alias("m"))
     )
+    # The serving operator broadcasts the centroid table TWICE (corpus
+    # assignment + query probing); without a fence each broadcast
+    # re-executes the whole Lloyd chain — a corpus×64 posexplode
+    # aggregation. Checkpointing the 16-row centroid table runs Lloyd
+    # once (round 11, guide §2.4: repeated expensive subtree), values
+    # untouched.
     cents = (
         comp.groupBy("cell")
         .agg(
@@ -754,6 +760,7 @@ def d15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "embedding"
             ),
         )
+        .localCheckpoint()
     )
     queries = embs.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk_fixed_centroids(
