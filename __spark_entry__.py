@@ -204,6 +204,14 @@ _WINDOW_PRIORITY = [
     # twice (corpus assignment + query probing) — one Lloyd chain run
     # instead of two whole-plan re-executions (20 -> 8 Exchanges).
     "d15_ann_ivf",
+    # plans/wave67.py: d213 derives the IVF top-k AND its
+    # candidate-count restatement from ONE checkpointed corpus cell
+    # assignment (the wave-69 substrate discipline) instead of
+    # re-assigning the filtered corpus per consumer; d212 re-proves
+    # because the module's import list changed (audit is module-wide
+    # on imports), its plan is untouched.
+    "d212_ann_filtered_search",
+    "d213_ann_filtered_recall",
 ]
 # The driver checks the first 50 of queries() — slots beyond the
 # staged list fall through to already-proven oracle-backed queries via

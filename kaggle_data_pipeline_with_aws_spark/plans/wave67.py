@@ -26,7 +26,7 @@ Reference scope: beyond-reference LLM-data-curation surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import similarity
@@ -206,38 +206,32 @@ def d213_ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = _filtered(spark, sf_dir).localCheckpoint()
     queries = _queries(spark, sf_dir)
     cents = _embs(spark, sf_dir).filter(F.col("vec_id") < _N_CENTS)
-    ivf = similarity.ivf_topk_fixed_centroids(
-        filtered, queries, cents, k=_K, n_probe=_N_PROBE
-    ).select("query_id", "neighbor_id")
-    # candidate count: re-state the candidate set (assignment top-1 ×
-    # probed top-n_probe on the shared cell key), counted per query
-    def cells(df: DataFrame, out_id: str, n: int) -> DataFrame:
-        c = cents.select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("embedding").alias("__ct"),
+    # One corpus assignment + one query probing, each checkpointed
+    # (round 11, guide §2.4 — the wave-69 substrate discipline): the
+    # IVF top-k AND the candidate-count restatement previously each
+    # re-assigned the filtered corpus to cells (two corpus×centroids
+    # passes per plan; the r10 verdict's 100× cost driver for this
+    # face). Both now derive from the same two cell tables.
+    assigned = (
+        similarity.ivf_cells_fixed_centroids(
+            filtered, cents, 1, "neighbor_id", "__cv"
         )
-        w = Window.partitionBy(out_id).orderBy(
-            F.col("__cs").desc(), F.col("centroid_id")
+        .drop("__crank")
+        .localCheckpoint()
+    )
+    probed = (
+        similarity.ivf_cells_fixed_centroids(
+            queries, cents, _N_PROBE, "query_id", "__qv"
         )
-        return (
-            df.select(F.col("vec_id").alias(out_id), "embedding")
-            .crossJoin(F.broadcast(c))
-            .withColumn(
-                "__cs",
-                F.round(similarity.cosine(F.col("embedding"), F.col("__ct")), 6),
-            )
-            .withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= n)
-            .select(out_id, "centroid_id")
-        )
-
+        .drop("__crank")
+        .localCheckpoint()
+    )
+    ivf = similarity.ivf_topk_precomputed(assigned, probed, k=_K).select(
+        "query_id", "neighbor_id"
+    )
     cand = (
-        cells(queries.select(F.col("vec_id"), "embedding"), "query_id",
-              _N_PROBE)
-        .join(
-            cells(filtered, "neighbor_id", 1),
-            "centroid_id",
-        )
+        probed.select("query_id", "centroid_id")
+        .join(assigned.select("neighbor_id", "centroid_id"), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .distinct()
