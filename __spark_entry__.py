@@ -202,7 +202,7 @@ _WINDOW_PRIORITY = [
     # plans/llm_data.py::d15_ann_ivf: the 16-row fitted-centroid table
     # is localCheckpointed before the serving operator broadcasts it
     # twice (corpus assignment + query probing) — one Lloyd chain run
-    # instead of two whole-plan re-executions (20 -> 8 Exchanges).
+    # instead of two whole-plan re-executions (10 -> 4 Exchange ops).
     "d15_ann_ivf",
     # plans/wave67.py: d213 derives the IVF top-k AND its
     # candidate-count restatement from ONE checkpointed corpus cell
