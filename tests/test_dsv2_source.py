@@ -6,6 +6,7 @@ documented fallback elsewhere)."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 import time
 
@@ -128,7 +129,17 @@ def test_checkpoint_recovery_no_dup_no_loss(spark):
         run1.append(sorted(r.k for r in df.collect()))
 
     q1 = _stream(spark, root, ck, sink1)
-    _drain(q1, run1, want=1)  # first batch covered v0+v1; query killed
+    # Wait for the ENGINE to commit batch 0 (checkpoint commits/0)
+    # before killing the query: a stop between the foreachBatch sink
+    # and the commit-log write legitimately replays the batch on
+    # restart (Spark's at-least-once contract for uncommitted
+    # batches), which is not what this test asserts about.
+    deadline = time.time() + 90
+    commit0 = os.path.join(ck, "commits", "0")
+    while time.time() < deadline and not os.path.exists(commit0):
+        time.sleep(0.2)
+    q1.stop()
+    assert os.path.exists(commit0), "batch 0 never committed"
     assert sorted(x for b in run1 for x in b) == [1, 2]
 
     vt.commit(_df(spark, [(3, 3.0)]), "append")
