@@ -91,7 +91,7 @@ import json
 import re
 import uuid
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -408,7 +408,23 @@ class VersionedTable:
                 )
         commit_rel = f"{_DATA_DIR}/c-{uuid.uuid4().hex[:12]}"
         commit_dir = f"{self.root}/{commit_rel}"
-        df.write.mode("errorifexists").parquet(commit_dir)
+        rows_added = 0
+        stats: dict[str, dict[str, list]] = {}
+        if not stats_cols:
+            # No per-file stats requested: the row count rides on the
+            # write action itself (an observed metric), so the commit
+            # never re-reads the bytes it just wrote — at production
+            # scale that second pass over the committed data was the
+            # whole cost of a plain append (round 11, guide §1/§6).
+            obs = Observation()
+            (
+                df.observe(obs, F.count(F.lit(1)).alias("rows"))
+                .write.mode("errorifexists")
+                .parquet(commit_dir)
+            )
+            rows_added = int(obs.get["rows"])
+        else:
+            df.write.mode("errorifexists").parquet(commit_dir)
         added = sorted(
             f"{commit_rel}/{name}"
             for st in self._fs.listStatus(self._P(commit_dir))
@@ -418,10 +434,10 @@ class VersionedTable:
         # row count AND the per-file min/max stats (the bloom index,
         # when requested, is a second pass — its exploded-positions
         # aggregation has a different shape). Previously three separate
-        # jobs re-read the commit; now stats-only commits pay one.
-        rows_added = 0
-        stats: dict[str, dict[str, list]] = {}
-        if added:
+        # jobs re-read the commit; stats-only commits pay one, and
+        # plain commits (no stats_cols) pay zero — their count is the
+        # observed metric above.
+        if stats_cols and added:
             aggs = [F.count("*").alias("__n")]
             for c in stats_cols or []:
                 aggs += [
