@@ -194,7 +194,14 @@ _WINDOW_PRIORITY = [
     # operators/nsw.py: the beam search no longer localCheckpoints the
     # final round's frontier (the result is consumed exactly once —
     # checkpointing it only added an extra materialization pass); the
-    # NSW serving faces re-prove with identical values.
+    # NSW serving faces re-prove with identical values. Second r11
+    # session: search_visited_from seeds its visited set from
+    # pre-scored entry pairs (the layered descent passes the upper
+    # search's own round(cos,6) down — no entry re-scoring join), and
+    # the two-consumer audit faces (d205/d209/d217) materialize the
+    # search result once before fanning out to the top-k window and
+    # the n_scored aggregate (the lazy final round's corpus-join probe
+    # side executed once per consumer).
     "d204_nsw_beam_search",
     "d205_nsw_recall_audit",
     "d208_nsw_augmented_search",

@@ -137,15 +137,36 @@ def search_visited_from(
     near it instead of at fixed global entries. Everything else is the
     bounded set-synchronous search: frontier join → visited anti-join
     → score → top-B reselect, rounds bounded, determinism via
-    round(cos, 6) + node-id tiebreaks."""
+    round(cos, 6) + node-id tiebreaks.
+
+    If ``entry_pairs`` ALREADY carries a ``score`` column — the
+    layered descent's case: the upper-layer search scored every
+    (query, node) it visited with this module's own round(cos, 6)
+    over the same embedding table — the scores pass through instead
+    of being recomputed, removing one full embedding-table join per
+    search (guide §2.4: don't re-derive what an earlier pass already
+    computed). Values are identical by construction. Pre-scored
+    entries must be unique per (query_id, node) — true of any
+    windowed top-e selection; self-pairs are dropped either way. The
+    initial checkpoint stays in BOTH arms: round 0 references the
+    visited set three times, and a layered caller's entry frame hides
+    the upper search's (deliberately lazy) final expansion round —
+    without the checkpoint that corpus-joining subtree would execute
+    three times instead of once."""
     sym = symmetric_adjacency(edges)
     w = _beam_rank()
-    cand0 = (
-        entry_pairs.select("query_id", "node")
-        .filter(F.col("node") != F.col("query_id"))
-        .distinct()
-    )
-    visited = _score(cand0, embs, queries).localCheckpoint()
+    if "score" in entry_pairs.columns:
+        vis0 = entry_pairs.select("query_id", "node", "score").filter(
+            F.col("node") != F.col("query_id")
+        )
+    else:
+        cand0 = (
+            entry_pairs.select("query_id", "node")
+            .filter(F.col("node") != F.col("query_id"))
+            .distinct()
+        )
+        vis0 = _score(cand0, embs, queries)
+    visited = vis0.localCheckpoint()
     for r in range(rounds):
         beam_df = (
             visited.withColumn("rk", F.row_number().over(w))

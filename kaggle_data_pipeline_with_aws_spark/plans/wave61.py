@@ -218,7 +218,13 @@ def d205_nsw_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _entries(spark, sf_dir),
         beam=_BEAM,
         rounds=_ROUNDS,
-    )
+    # The audit fans the visited set out to TWO consumers (the top-k
+    # window and the n_scored aggregate), so the search's deliberately
+    # lazy final expansion round would execute once per consumer —
+    # materialize it exactly once before the fan-out (round 11,
+    # guide §5: localCheckpoint before reuse; the serving faces keep
+    # the single-consumer lazy form).
+    ).localCheckpoint()
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(

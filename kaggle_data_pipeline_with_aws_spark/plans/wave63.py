@@ -276,7 +276,11 @@ def d209_nsw_augmented_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _entries(spark, sf_dir),
         beam=_BEAM,
         rounds=_ROUNDS,
-    )
+    # Two consumers below (top-k window + n_scored aggregate): without
+    # this the search's lazy final round executes once per consumer —
+    # materialize once before the fan-out (round 11, guide §5; the
+    # single-consumer serving faces stay lazy).
+    ).localCheckpoint()
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("node")
     )

@@ -94,9 +94,13 @@ def _upper_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _layer0_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, node): each query's top-``_ENTRY_E`` upper nodes
-    after the short upper-layer beam search from the fixed entries
-    (the ``_UP_ENTRIES`` smallest upper vec_ids — deterministic)."""
+    """(query_id, node, score): each query's top-``_ENTRY_E`` upper
+    nodes after the short upper-layer beam search from the fixed
+    entries (the ``_UP_ENTRIES`` smallest upper vec_ids —
+    deterministic). The score column is the upper search's own
+    round(cos, 6) — carried through so the layer-0 search seeds its
+    visited set from it instead of re-joining the embedding table
+    (operators/nsw.py::search_visited_from's pre-scored arm)."""
     embs = _embs(spark, sf_dir)
     upper_entry = (
         embs.filter(_upper_pred())
@@ -118,7 +122,7 @@ def _layer0_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         uvis.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _ENTRY_E)
-        .select("query_id", "node")
+        .select("query_id", "node", "score")
     )
 
 
@@ -393,14 +397,19 @@ def d217_nsw_layered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_UP_ENTRIES),
         beam=_UP_BEAM,
         rounds=_UP_ROUNDS,
-    )
+    # uvis feeds TWO consumers here (the entry0 window and the n_up
+    # aggregate) — materialize its lazy final round exactly once
+    # before the fan-out (round 11, guide §5).
+    ).localCheckpoint()
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("node")
     )
     entry0 = (
         uvis.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _ENTRY_E)
-        .select("query_id", "node")
+        # keep the upper search's scores: the layer-0 search seeds its
+        # visited set from them (no entry re-scoring join)
+        .select("query_id", "node", "score")
     )
     visited = nsw.search_visited_from(
         queries,
@@ -409,7 +418,10 @@ def d217_nsw_layered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         entry0,
         beam=_BEAM,
         rounds=_ROUNDS,
-    )
+    # Two consumers below (nsw_top window + n_base aggregate): one
+    # materialization instead of one lazy-final-round execution per
+    # consumer (round 11, guide §5).
+    ).localCheckpoint()
     nsw_top = (
         visited.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _TOPK)

@@ -137,6 +137,30 @@ def test_search_visited_from_uses_per_query_entries(spark):
     assert got == {(0, 2), (1, 3)}
 
 
+def test_search_visited_from_scored_entries_pass_through(spark):
+    """Round-11 optimization: when ``entry_pairs`` carries a ``score``
+    column (the layered descent hands down the upper search's own
+    round(cos, 6) values), ``search_visited_from`` seeds the visited
+    set from it instead of re-joining the embedding table — and the
+    full visited-and-scored set is IDENTICAL to the unscored path's."""
+    queries, edges, embs, _ = _graph(spark)
+    entries = spark.createDataFrame(
+        [(99, 6), (99, 3)], "query_id long, node long"
+    )
+    unscored = nsw.search_visited_from(
+        queries, edges, embs, entries, beam=3, rounds=2
+    )
+    # pre-score the same entries with the module's own kernel — what an
+    # upper-layer search would have produced for these (query, node)s
+    scored_entries = nsw._score(entries, embs, queries)
+    scored = nsw.search_visited_from(
+        queries, edges, embs, scored_entries, beam=3, rounds=2
+    )
+    assert sorted(map(tuple, scored.collect())) == sorted(
+        map(tuple, unscored.collect())
+    )
+
+
 def test_layered_entries_beat_flat_on_recall_per_scored_node(spark):
     """The wave-70 claim at test scale: the layered search's recall is
     at least the flat d209 recall on the same corpus (the audit rows
