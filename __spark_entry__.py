@@ -84,13 +84,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # against its proof-baseline commit) — and (b) as many
 # never-driver-checked queries as fit.
 #
-# Round-11 window. Leads with the re-proofs proof_audit demands (the
-# transaction log gained snapshot-isolation conflict detection,
-# grace-windowed vacuum, and stats type safety — round-10 verdict
-# #1/#7 + the ADVICE items — staling the whole lakehouse face; the
-# CDC tailer's poll went tail-only; the unigram serving leg gained
-# byte-fallback/UNK accounting), then the round-11 additions.
+# Round-12 window (optimization round 2 of 2 — same values, faster /
+# cheaper-to-compile plans; see OPTIMIZATION_r12.md). Leads with the
+# re-proofs proof_audit demands, then falls through to already-proven
+# queries.
 _WINDOW_PRIORITY = [
+    # ---- (A) round-12 re-proofs ----
+    # operators/unigram.py: the per-round vocab probabilities ride a
+    # 1-row broadcast parameter DataFrame (map<string,double> per piece
+    # length) instead of SQL literals — identical lookups and doubles,
+    # but the generated codegen source is now IDENTICAL across EM
+    # rounds/queries/reps (one janino compile instead of one per round;
+    # the MB-scale "large task binary" WARNs are gone).
+    "d202_unigram_train",
+    "d203_unigram_segment_stats",
+    "d206_unigram_prune_round",
+    "d210_unigram_viterbi_encode",
+    "d211_tokenizer_compression_compare",
+    # operators/nsw.py: refactor-only re-proofs — the beam loop's
+    # frontier step and between-round checkpoint are extracted into
+    # named helpers whose docstrings record this round's MEASURED AND
+    # REJECTED restructures (flag-aggregation frontier, repartitioned
+    # checkpoint, checkpoint cadence 2, checkpointed adjacency
+    # substrate — every one slower at sf0.1 and none better at 10×;
+    # see OPTIMIZATION_r12.md). The executed plans are unchanged.
+    "d204_nsw_beam_search",
+    "d205_nsw_recall_audit",
+    "d208_nsw_augmented_search",
+    "d209_nsw_augmented_recall",
+    "d216_nsw_layered_search",
+    "d217_nsw_layered_recall",
+]
+
+# Round-11 window (kept for fall-through ordering continuity; all
+# proven in CORRECTNESS_r11).
+_WINDOW_R11 = [
     # ---- (A) re-proofs: operators/txnlog.py — commit() grew
     # read_version conflict detection (merge/compact recompute against
     # the new head instead of committing a stale snapshot-derived
@@ -226,19 +254,22 @@ _WINDOW_PRIORITY = [
 
 
 def _ordered() -> list[str]:
-    missing = [n for n in _WINDOW_PRIORITY if n not in registry.QUERIES]
+    head = _WINDOW_PRIORITY + [
+        n for n in _WINDOW_R11 if n not in _WINDOW_PRIORITY
+    ]
+    missing = [n for n in head if n not in registry.QUERIES]
     assert not missing, f"priority window references unknown queries: {missing}"
     rest_oracle = [
         n
         for n in registry.QUERIES
-        if n not in _WINDOW_PRIORITY and n in registry.ORACLE_SQL
+        if n not in head and n in registry.ORACLE_SQL
     ]
     rest_rows_only = [
         n
         for n in registry.QUERIES
-        if n not in _WINDOW_PRIORITY and n not in registry.ORACLE_SQL
+        if n not in head and n not in registry.ORACLE_SQL
     ]
-    return [*_WINDOW_PRIORITY, *rest_oracle, *rest_rows_only]
+    return [*head, *rest_oracle, *rest_rows_only]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -102,6 +102,34 @@ def main() -> None:
     _calibrate()  # untimed warm-up of the probe's own codegen path
     calibration = _calibrate()
 
+    # Second, SHUFFLE-BOUND calibration probe (round-11 verdict #2):
+    # the pure-CPU probe above is a single codegen stage and is blind
+    # to scheduler/exchange contention — in the round-11 driver window
+    # it moved +5% while untouched broadcast-join queries inflated
+    # 50-100%. This probe pays one fixed-size round-robin exchange +
+    # a keyed aggregation exchange (the shape the contention mode
+    # actually hits), constant in sf and in every operator here.
+    # Additions-only: the JSON gains `calibration_shuffle_sec`; the
+    # CPU probe, its band, and all existing fields are unchanged.
+    def _calibrate_shuffle() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            (
+                spark.range(0, 2_000_000, 1, 32)
+                .repartition(32)
+                .selectExpr("id % 1024 AS k")
+                .groupBy("k")
+                .count()
+                .selectExpr("sum(count) AS s")
+                .collect()
+            )
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    _calibrate_shuffle()  # untimed warm-up
+    calibration_shuffle = _calibrate_shuffle()
+
     # Idle reference band for this box: a calibration outside it means
     # the box was NOT idle, so the run's numbers carry a whole-session
     # band elevation — warn (never fail) so a loaded box can't silently
@@ -175,6 +203,7 @@ def main() -> None:
                 "queries": timings,
                 "extras_total": extras,
                 "calibration_sec": calibration,
+                "calibration_shuffle_sec": calibration_shuffle,
                 "normalized_total": round(total / cal_factor, 3),
                 "extras_total_normalized": round(extras / cal_factor, 3),
                 **(

@@ -76,6 +76,44 @@ def _beam_rank() -> Window:
     )
 
 
+def _ckpt_by_query(visited: DataFrame) -> DataFrame:
+    """Materialize the visited set between beam rounds (lineage
+    bound). MEASURED AND REJECTED (round 12): repartition("query_id")
+    before the checkpoint, so the next round's top-B window could
+    reuse the partitioning (guide §2.4) — under AQE the checkpointed
+    RDD scans back as UnknownPartitioning (the committed d216 plan
+    shows it), so the window re-exchanges anyway and the repartition
+    is a pure extra exchange per round. Plain checkpoint kept."""
+    return visited.localCheckpoint()
+
+
+def _new_frontier(
+    beam_df: DataFrame, sym: DataFrame, visited: DataFrame
+) -> DataFrame:
+    """The (query_id, node) pairs adjacent to the beam and NOT yet
+    visited: candidate distinct + left-anti join against the visited
+    set. MEASURED AND REJECTED (round 12): a single (query_id, node)-
+    keyed min(flag) aggregation over the expansion ∪ visited keys —
+    statically a prettier plan (one exchange instead of three, no
+    anti-join sorts or runtime-bloom subquery, and the committed d216
+    `_after` plan from the experiment shows SMJ 1 → 0) — but an
+    interleaved A/B at sf0.1 read it consistently 15-20% SLOWER
+    (d204 2.45→2.82, d208 2.41→2.84, d216 4.03→4.98, d217 4.64→5.47
+    min-of-4 each arm): AQE already converts the tiny anti-join to a
+    runtime broadcast with no exchange on the streamed side, while an
+    aggregation can never be broadcast-converted, so the flag form
+    forces a real shuffle per round. Same family as round 11's
+    rejected broadcast hints: on query-bounded frames, leave the tiny
+    joins to AQE."""
+    return (
+        beam_df.join(sym, beam_df["node"] == sym["u"])
+        .select("query_id", sym["v"].alias("node"))
+        .distinct()
+        .filter(F.col("node") != F.col("query_id"))
+        .join(visited, ["query_id", "node"], "left_anti")
+    )
+
+
 def search_visited(
     queries: DataFrame,
     edges: DataFrame,
@@ -95,20 +133,14 @@ def search_visited(
         .crossJoin(F.broadcast(entry_points.select("node")))
         .filter(F.col("node") != F.col("query_id"))
     )
-    visited = _score(cand0, embs, queries).localCheckpoint()
+    visited = _ckpt_by_query(_score(cand0, embs, queries))
     for r in range(rounds):
         beam_df = (
             visited.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= beam)
             .drop("rk")
         )
-        cand = (
-            beam_df.join(sym, beam_df["node"] == sym["u"])
-            .select("query_id", sym["v"].alias("node"))
-            .distinct()
-            .filter(F.col("node") != F.col("query_id"))
-            .join(visited, ["query_id", "node"], "left_anti")
-        )
+        cand = _new_frontier(beam_df, sym, visited)
         visited = visited.unionByName(_score(cand, embs, queries))
         # Checkpoint BETWEEN rounds only: it bounds lineage growth
         # (each round references `visited` three times, so lazy
@@ -118,7 +150,7 @@ def search_visited(
         # guide §1.2: one fewer Spark job per search, values
         # untouched since the plan below the union is identical).
         if r < rounds - 1:
-            visited = visited.localCheckpoint()
+            visited = _ckpt_by_query(visited)
     return visited
 
 
@@ -166,26 +198,20 @@ def search_visited_from(
             .distinct()
         )
         vis0 = _score(cand0, embs, queries)
-    visited = vis0.localCheckpoint()
+    visited = _ckpt_by_query(vis0)
     for r in range(rounds):
         beam_df = (
             visited.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= beam)
             .drop("rk")
         )
-        cand = (
-            beam_df.join(sym, beam_df["node"] == sym["u"])
-            .select("query_id", sym["v"].alias("node"))
-            .distinct()
-            .filter(F.col("node") != F.col("query_id"))
-            .join(visited, ["query_id", "node"], "left_anti")
-        )
+        cand = _new_frontier(beam_df, sym, visited)
         visited = visited.unionByName(_score(cand, embs, queries))
         # Same discipline as ``search_visited``: checkpoint between
         # rounds (lineage bound), never after the last one (the
         # consumer's single read replaces that materialization job).
         if r < rounds - 1:
-            visited = visited.localCheckpoint()
+            visited = _ckpt_by_query(visited)
     return visited
 
 

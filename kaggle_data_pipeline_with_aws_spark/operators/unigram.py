@@ -284,51 +284,47 @@ def vocab_with_probs_df(spark, vocab_rows: list[tuple[str, int]]) -> DataFrame:
     )
 
 
-def _sql_str(x: str) -> str:
-    """A Spark-SQL string literal for ``x`` (backslash escapes are ON
-    by default in Spark's parser, so escape both)."""
-    return "'" + x.replace("\\", "\\\\").replace("'", "\\'") + "'"
+def _prob_maps_params(spark, pmap: dict[str, float]) -> DataFrame:
+    """The probability maps as a ONE-ROW parameter DataFrame — one
+    map<string,double> column ``__m{L}`` per piece length (vocab-
+    bounded rows, a LocalRelation: broadcasting it launches no job).
 
-
-def _sql_double(v: float) -> str:
-    """An exact double literal: repr() round-trips doubles in python 3
-    and CAST(string AS DOUBLE) is correctly-rounded parsing, so the
-    folded constant is bit-identical to ``F.lit(v)``."""
-    return f"CAST('{repr(v)}' AS DOUBLE)"
-
-
-def _prob_map_sqls(pmap: dict[str, float]) -> dict[int, str]:
-    """Constant map<string,double> SQL text, ONE MAP PER PIECE LENGTH
-    (folded to literals by Catalyst's ConstantFolding — vocab-bounded
-    by construction). Per-length because a literal-map lookup is a
-    linear key scan and an edge (j, i) can only hold a piece of length
-    i-j — each of the 57 per-row lookups scans the handful of keys of
-    that exact length instead of the whole vocab."""
+    Round-12 optimization (guide §4 boundary discipline / round-11
+    verdict #4): the round-11 form inlined the maps as SQL literals,
+    which re-embedded the per-length map into EVERY lattice edge of
+    that length — MB-scale task binaries ("Broadcasting large task
+    binary" WARNs in the round-11 driver bench) and, worse, a fresh
+    whole-stage-codegen SOURCE per EM round (the literals differ every
+    round), so every round re-paid janino compilation of the full
+    unrolled lattice chain. With the probabilities riding a broadcast
+    parameter row instead, the generated SQL text — and therefore the
+    codegen source and its compiled class — is IDENTICAL across
+    rounds, queries, and reps; only the broadcast data changes. Values
+    are bit-identical: the same piece→double lookups evaluate through
+    ``try_element_at`` either way (per-length map because an edge
+    (j, i) can only hold a piece of length i-j — each lookup scans
+    only the keys of that exact length)."""
     by_len: dict[int, dict[str, float]] = {}
     for piece, p in pmap.items():
         by_len.setdefault(len(piece), {})[piece] = p
-    out: dict[int, str] = {}
-    for ln, sub in by_len.items():
-        parts = []
-        for piece in sorted(sub):
-            parts.append(f"{_sql_str(piece)}, {_sql_double(sub[piece])}")
-        out[ln] = "map(" + ", ".join(parts) + ")"
-    return out
+    schema = ", ".join(
+        f"__m{ln} map<string,double>" for ln in range(1, MAX_PIECE_LEN + 1)
+    )
+    row = tuple(by_len.get(ln, {}) for ln in range(1, MAX_PIECE_LEN + 1))
+    return spark.createDataFrame([row], schema)
 
 
-def _edge_prob_sql(
-    maps: dict[int, str], word_sql: str, j: int, i: int
-) -> str:
+def _edge_prob_sql(word_sql: str, j: int, i: int) -> str:
     """p_{j}_{i} as SQL: the vocab probability of word[j:i] when the
-    edge exists (i ≤ len) and the piece is in the vocab, else 0.0 —
-    the identical expression tree ``F.when``/``F.coalesce``/
-    ``F.try_element_at`` built, parsed in one pass."""
-    m = maps.get(i - j)
-    if m is None:  # no vocab piece of this length at all
-        return "CAST(0.0 AS DOUBLE)"
+    edge exists (i ≤ len) and the piece is in the vocab, else 0.0.
+    References the ``__m{L}`` parameter columns of
+    ``_prob_maps_params`` — constant text, no embedded literals (an
+    absent piece, or a length with no vocab pieces at all, reads an
+    empty/missing map entry: NULL → coalesce 0.0, the same value the
+    old literal form produced)."""
     return (
         f"CASE WHEN length({word_sql}) >= {i} THEN "
-        f"coalesce(try_element_at({m}, "
+        f"coalesce(try_element_at(__m{i - j}, "
         f"substring({word_sql}, {j + 1}, {i - j})), CAST(0.0 AS DOUBLE)) "
         f"ELSE CAST(0.0 AS DOUBLE) END"
     )
@@ -339,7 +335,10 @@ def lattice_wide_from_map(wt: DataFrame, pmap: dict[str, float]) -> DataFrame:
     p_{j}_{i} = pmap[word[j:i]] when the edge exists (i ≤ len) and the
     piece is in the vocab, else 0.0 — the exact cell values
     ``_pivot_lattice`` produced via broadcast join + pivot aggregate,
-    with zero joins and zero shuffles (guide §2.4).
+    with zero shuffles (guide §2.4); the only join is the 1-row
+    broadcast parameter attach (BroadcastNestedLoopJoin over a
+    LocalRelation — see ``_prob_maps_params`` for why the
+    probabilities ride data instead of literals).
 
     Built via ONE ``selectExpr`` from generated SQL text: constructing
     the 57 edge expressions as python Column objects costs seconds of
@@ -347,12 +346,12 @@ def lattice_wide_from_map(wt: DataFrame, pmap: dict[str, float]) -> DataFrame:
     whole trainer at bench scale, where the histogram is tiny and all
     walls are driver-side), while a generated string parses in a
     single JVM call to the IDENTICAL expression tree."""
-    maps = _prob_map_sqls(pmap)
+    params = _prob_maps_params(wt.sparkSession, pmap)
     cols = [
-        f"{_edge_prob_sql(maps, 'word', j, i)} AS p_{j}_{i}"
+        f"{_edge_prob_sql('word', j, i)} AS p_{j}_{i}"
         for j, i in lattice_pairs()
     ]
-    return wt.selectExpr("word", "w", *cols)
+    return wt.crossJoin(F.broadcast(params)).selectExpr("word", "w", *cols)
 
 
 def _pivot_lattice(pieces: DataFrame, probs: DataFrame) -> DataFrame:
@@ -585,13 +584,13 @@ def viterbi_encode_cols(
     full words computes its head's encode INLINE instead of joining a
     separately-encoded truncated table (identical expressions on the
     same head string ⇒ identical values)."""
-    tmp = df.withColumn("__head", head_col)
-    maps = _prob_map_sqls(pmap)
+    params = _prob_maps_params(df.sparkSession, pmap)
+    tmp = df.withColumn("__head", head_col).crossJoin(F.broadcast(params))
     n = F.length("__head")
     wide = tmp.selectExpr(
         "*",
         *[
-            f"{_edge_prob_sql(maps, '__head', j, i)} AS p_{j}_{i}"
+            f"{_edge_prob_sql('__head', j, i)} AS p_{j}_{i}"
             for j, i in lattice_pairs()
         ],
     )

@@ -32,7 +32,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--tag", default=None, help="plans/r11/<q>_<tag>.txt")
+    ap.add_argument("--tag", default=None, help="plans/<round>/<q>_<tag>.txt")
+    ap.add_argument("--round", default="r12", help="plans/<round>/ output dir")
     ap.add_argument("--sink", choices=["noop", "count"], default="noop")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
@@ -62,7 +63,7 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, args.sf, t).count()
 
-    plandir = os.path.join(REPO, "plans", "r11")
+    plandir = os.path.join(REPO, "plans", args.round)
     if args.tag:
         os.makedirs(plandir, exist_ok=True)
 
