@@ -386,14 +386,12 @@ def _with_forward_backward(wide: DataFrame) -> DataFrame:
     identical."""
     w = MAX_WORD_LEN
     l = MAX_PIECE_LEN  # noqa: E741
-    out = wide.selectExpr(
-        "*",
+    adds = [
         "CAST(1.0 AS DOUBLE) AS f0",
         f"CASE WHEN length(word) = {w} THEN CAST(1.0 AS DOUBLE) "
         f"ELSE CAST(0.0 AS DOUBLE) END AS b{w}",
-    )
+    ]
     for t in range(1, w + 1):
-        adds = []
         i = t
         f_terms = " + ".join(
             f"f{j} * p_{j}_{i}" for j in range(max(0, i - l), i)
@@ -411,8 +409,14 @@ def _with_forward_backward(wide: DataFrame) -> DataFrame:
             )
         else:
             adds.append(f"({b_terms}) AS b0")  # words are non-empty
-        out = out.selectExpr("*", *adds)
-    return out.selectExpr("*", "b0 AS z")
+    adds.append("b0 AS z")
+    # ONE selectExpr via lateral column aliases (each level references
+    # the aliases defined before it in the same SELECT — Spark ≥3.4
+    # resolves this to the identical nested-Project chain the per-level
+    # loop built): 14 sequential py4j/analysis round trips per call
+    # collapse to one. Round-12 optimization; the analyzed plan — and
+    # therefore every value — is unchanged.
+    return wide.selectExpr("*", *adds)
 
 
 def _expected_count_edges(fb: DataFrame) -> DataFrame:
@@ -502,10 +506,9 @@ def _viterbi_chain(
     closed-form recurrence with the fixed ascending-j tie-break."""
     w = MAX_WORD_LEN
     l = MAX_PIECE_LEN  # noqa: E741
-    init = ["CAST(1.0 AS DOUBLE) AS v0"] + (
+    adds = ["CAST(1.0 AS DOUBLE) AS v0"] + (
         ["0 AS c0"] if with_counts else []
     )
-    out = out.selectExpr("*", *init)
     for i in range(1, w + 1):
         js = list(range(max(0, i - l), i))
         terms = [f"v{j} * p_{j}_{i}" for j in js]
@@ -514,14 +517,17 @@ def _viterbi_chain(
             if len(terms) > 1
             else terms[0]
         )
-        out = out.selectExpr("*", f"({vi}) AS v{i}")
+        adds.append(f"({vi}) AS v{i}")
         if with_counts:
             arms = " ".join(
                 f"WHEN v{i} = {t} THEN c{j} + 1"
                 for j, t in zip(js, terms)
             )
-            out = out.selectExpr("*", f"CASE {arms} END AS c{i}")
-    return out
+            adds.append(f"CASE {arms} END AS c{i}")
+    # ONE selectExpr via lateral column aliases — see
+    # ``_with_forward_backward`` (identical analyzed plan, ~25 fewer
+    # py4j/analysis round trips per call).
+    return out.selectExpr("*", *adds)
 
 
 def _select_at_length(prefix: str, n: Column) -> Column:
